@@ -1,0 +1,181 @@
+"""Islands operator unit tests — the FIXTURES.md crafted-array cases.
+
+The expected values are computed by an independent NumPy mirror of the
+reference math (`build_islands_from_scores.py:59-116`), so the Spark
+operator is checked against the reference semantics, not against
+itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
+
+from transcript_analysis_spark.operators import islands as isl
+
+
+# --- independent NumPy mirror of the reference math ---------------------
+
+def ref_smooth(values, size=10, sigma=5):
+    x = np.arange(-size, size + 1, dtype=float)
+    kernel = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    v = np.asarray(values, dtype=float)
+    v = np.where(np.isfinite(v), v, 0.0)
+    padded = np.concatenate((np.zeros(size), v, np.zeros(size)))
+    smoothed = np.convolve(padded, kernel, mode="valid")
+    m = smoothed.max()
+    if m > 0:
+        smoothed = smoothed / m
+    return smoothed
+
+
+def ref_find_islands(arr, threshold=0.6, min_len=8):
+    out, start, inside = [], 0, False
+    for i, v in enumerate(arr):
+        if not inside:
+            if v >= threshold:
+                inside, start = True, i
+        else:
+            if v < threshold:
+                if (i - 1) - start >= min_len:
+                    out.append((start, i - 1))
+                inside = False
+    if inside and (len(arr) - 1) - start >= min_len:
+        out.append((start, len(arr) - 1))
+    return out
+
+
+# --- helpers ------------------------------------------------------------
+
+SCHEMA = StructType([
+    StructField("vid_id", LongType()),
+    StructField("model_id", LongType()),
+    StructField("score", ArrayType(DoubleType())),
+])
+
+
+def run_islands(spark, arrays):
+    rows = [(i, 0, [float(x) for x in arr]) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sm = isl.smooth_scores(df, score_col="score", out_col="smoothed")
+    found = isl.find_islands(sm, keys=["vid_id", "model_id"],
+                             score_col="score", smoothed_col="smoothed")
+    by_vid: dict[int, list] = {}
+    for r in found.collect():
+        by_vid.setdefault(r.vid_id, []).append(
+            (r.start_index, r.end_index, r.average_score))
+    for v in by_vid.values():
+        v.sort()
+    return by_vid
+
+
+def expected_islands(arr):
+    sm = np.round(ref_smooth(np.round(
+        # engine rounds the convolution then normalizes the rounded values
+        arr, 99)), 99)  # rounding at 9dp cannot change these coarse fixtures
+    out = []
+    for s, e in ref_find_islands(sm):
+        seg = [x for x in arr[s:e + 1] if x is not None and math.isfinite(x)]
+        out.append((s, e, round(sum(seg) / len(seg), 6)))
+    return out
+
+
+# --- FIXTURES.md cases --------------------------------------------------
+
+CRAFTED = [0.1] * 20 + [0.9] * 12 + [0.1] * 15 + [0.9] * 5 + [0.1] * 10
+
+
+def test_crafted_fixture_one_island(spark):
+    """FIXTURES.md: the 12-run survives, the 5-run fails end-start>=8."""
+    got = run_islands(spark, [CRAFTED])
+    exp = expected_islands(CRAFTED)
+    assert len(got.get(0, [])) == len(exp) >= 1
+    for (gs, ge, ga), (es, ee, ea) in zip(got[0], exp):
+        assert (gs, ge) == (es, ee)
+        assert abs(ga - ea) < 1e-9
+    # the surviving island must cover the 12-run, not the 5-run
+    s, e, _ = got[0][0]
+    assert s <= 20 <= 31 <= e < 47
+
+
+def test_all_below_threshold_no_islands(spark):
+    # constant array: smoothing normalizes edges below center, but a
+    # uniform 0.0 array has max 0 -> no normalize -> all zeros
+    got = run_islands(spark, [[0.0] * 40])
+    assert got.get(0, []) == []
+
+
+def test_all_above_threshold_one_spanning_island(spark):
+    arr = [0.9] * 40
+    got = run_islands(spark, [arr])
+    exp = expected_islands(arr)
+    assert got[0] == [(s, e, pytest.approx(a, abs=1e-9)) for s, e, a in exp]
+
+
+def test_island_touching_array_end(spark):
+    arr = [0.1] * 20 + [0.9] * 20
+    got = run_islands(spark, [arr])
+    exp = expected_islands(arr)
+    # engine must agree with the reference math (zero-padded smoothing
+    # pulls the very edge below threshold, so the island ends early —
+    # same in the reference implementation)
+    assert [g[:2] for g in got[0]] == [x[:2] for x in exp]
+
+
+def test_close_at_end_branch(spark):
+    """The reference's post-loop close (`build_islands_from_scores.py:111-115`):
+    an island still open at the end closes at len-1. Feed smoothed
+    directly to isolate the segmentation rule from the smoother."""
+    from pyspark.sql import Row
+    smoothed = [0.0] * 5 + [1.0] * 12
+    df = spark.createDataFrame(
+        [Row(vid_id=0, model_id=0, score=[float(x) for x in smoothed],
+             smoothed=[float(x) for x in smoothed])])
+    found = isl.find_islands(df, keys=["vid_id", "model_id"],
+                             score_col="score", smoothed_col="smoothed")
+    rows = [(r.start_index, r.end_index) for r in found.collect()]
+    assert rows == [(5, 16)]
+
+
+def test_nan_inf_scrubbed(spark):
+    arr = [float("nan")] * 5 + [0.9] * 15 + [float("inf")] * 3 + [0.1] * 17
+    got = run_islands(spark, [arr])
+    clean = [0.0] * 5 + [0.9] * 15 + [0.0] * 3 + [0.1] * 17
+    exp_bounds = [x[:2] for x in expected_islands(clean)]
+    assert [g[:2] for g in got.get(0, [])] == exp_bounds
+
+
+def test_smooth_matches_numpy_reference(spark):
+    """Property-ish check: deterministic pseudo-random arrays match the
+    NumPy reference implementation within the rounding contract."""
+    rng = np.random.default_rng(42)
+    arrays = [rng.random(n).round(3).tolist() for n in (1, 5, 30, 100, 257)]
+    rows = [(i, 0, arr) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sm = isl.smooth_scores(df, score_col="score", out_col="smoothed")
+    got = {r.vid_id: r.smoothed for r in sm.select("vid_id", "smoothed").collect()}
+    for i, arr in enumerate(arrays):
+        exp = ref_smooth(arr)
+        assert np.allclose(got[i], exp, atol=2e-9), f"array {i}"
+
+
+def test_min_length_boundary(spark):
+    """end - start >= 8 keeps runs of exactly 9 positions; runs the
+    smoother would blur below threshold are widened by high plateaus,
+    so test the raw rule through find_islands directly on a
+    pre-smoothed column."""
+    from pyspark.sql import Row
+    # feed smoothed directly: a 9-run (keep) and an 8-run (drop)
+    smoothed = [0.0] * 5 + [1.0] * 9 + [0.0] * 5 + [1.0] * 8 + [0.0] * 5
+    df = spark.createDataFrame(
+        [Row(vid_id=0, model_id=0, score=[float(x) for x in smoothed],
+             smoothed=[float(x) for x in smoothed])])
+    found = isl.find_islands(df, keys=["vid_id", "model_id"],
+                             score_col="score", smoothed_col="smoothed")
+    rows = [(r.start_index, r.end_index) for r in found.collect()]
+    assert rows == [(5, 13)]

@@ -1,0 +1,41 @@
+"""Every registered query with an oracle must match DuckDB at sf0.001.
+
+This is the local mirror of the driver's t2 gate (the driver runs at
+sf0.01; sf0.001 keeps the suite fast). Full-scale check:
+`python tools/check_correctness.py /root/testdata/sf0.01`.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.check_correctness import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries():
+    from transcript_analysis_spark.plans import all_queries
+    return sorted(all_queries().items())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _queries()])
+def test_query_matches_oracle(spark, duck, name):
+    from transcript_analysis_spark.plans import all_queries
+    q = all_queries()[name]
+    df = q.fn(spark, SF_DIR)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only smoke
+        return
+    res = duck.execute(q.oracle)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    ok, msg = compare(name, df, rows, cols)
+    assert ok, msg

@@ -1,0 +1,132 @@
+"""Local stand-in for the driver's t2 oracle harness.
+
+Runs every registered query's Spark plan and DuckDB oracle at a given
+scale factor and compares row count, column names, and values
+(order-insensitive: rows sorted after sorting columns by name).
+Reports exact mismatches and max float deltas so rounding contracts
+can be verified before the driver runs.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+
+def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bool):
+        return bool(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize_cell(x) for x in v)
+    return v
+
+
+def compare(name, spark_df, duck_rows, duck_cols):
+    spark_cols = sorted(spark_df.columns)
+    dcols = sorted(duck_cols)
+    if spark_cols != dcols:
+        return False, f"columns differ: spark={spark_cols} duck={dcols}"
+
+    s_idx = [spark_df.columns.index(c) for c in spark_cols]
+    d_idx = [list(duck_cols).index(c) for c in dcols]
+
+    srows = [tuple(normalize_cell(r[i]) for i in s_idx)
+             for r in spark_df.collect()]
+    drows = [tuple(normalize_cell(r[i]) for i in d_idx) for r in duck_rows]
+    if len(srows) != len(drows):
+        return False, f"row counts differ: spark={len(srows)} duck={len(drows)}"
+
+    key = lambda row: tuple((x is None, str(type(x)), str(x)) for x in row)
+    srows.sort(key=key)
+    drows.sort(key=key)
+    max_float_delta = 0.0
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        if a == b:
+            continue
+        # inspect cell-wise
+        for c, (x, y) in enumerate(zip(a, b)):
+            if x == y:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                max_float_delta = max(max_float_delta, abs(x - y))
+                continue
+            return False, (f"row {i} col {spark_cols[c]}: spark={x!r} "
+                           f"duck={y!r}\n  spark row: {a}\n  duck row:  {b}")
+    if max_float_delta > 0:
+        return False, f"float-only deltas, max={max_float_delta:g} (rounding contract violated)"
+    return True, f"{len(srows)} rows"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duck_connection(sf_dir)
+
+    queries = all_queries()
+    failed = []
+    for name, q in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = q.fn(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if q.oracle is None:
+            n = df.count()
+            print(f"ok?   {name}: rows-only check, {n} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        try:
+            ok, msg = compare(name, df, duck_rows, duck_cols)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"compare error: {e}"
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failed.append(name)
+        print(f"{status}  {name}: {msg} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

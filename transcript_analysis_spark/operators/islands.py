@@ -1,0 +1,207 @@
+"""Islands extraction — the reference's flagship analytical pipeline.
+
+Re-expresses `build_islands_from_scores.py` / `island_worker.py` of the
+reference (smooth → find_islands → word range → time range → average
+score) as declarative Spark operators:
+
+- Gaussian smoothing (`build_islands_from_scores.py:59-79`): the
+  kernel convolution runs as JVM higher-order array functions
+  (`transform` + `aggregate`) directly on the `array<double>` score
+  column — zero shuffle, whole-stage codegen, no Python in the loop.
+  Semantics match the reference exactly: zero-padding at the edges
+  (np.convolve over a zero-padded array, mode="valid"), then
+  max-normalization when max > 0.
+- Run-length segmentation (`build_islands_from_scores.py:82-116`):
+  classic gaps-and-islands SQL — filter to above-threshold positions,
+  group key = pos - row_number() — with the reference's exact keep
+  rule `end_index - start_index >= min_island_length` (i.e. length
+  >= min+1) and close-at-`i-1` semantics.
+- Word-range mapping (`build_islands_from_scores.py:119-126`):
+  score index i covers words [i+1, i+n]; pure column arithmetic.
+- Time mapping (`build_islands_from_scores.py:145-167`): interval-
+  overlap join of island word ranges against segment cumulative-word
+  intervals (equi key + range predicate), then min(start) /
+  max(start+duration) with +-pad and a floor at 0.
+
+Scale notes: smoothing is per-row array math (embarrassingly
+parallel); the gaps-and-islands pass shuffles once on the group key;
+the segment range-join is an equi-join on the key column with a range
+filter, so it hash-joins and never becomes a cartesian product. All
+floats that cross the engine boundary are rounded (see plans/registry
+float contract).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_THRESHOLD = 0.6       # build_islands_from_scores.py:34
+DEFAULT_MIN_ISLAND_LENGTH = 8  # build_islands_from_scores.py:35
+DEFAULT_SMOOTH_SIZE = 10       # build_islands_from_scores.py:37
+DEFAULT_SMOOTH_SIGMA = 5       # build_islands_from_scores.py:38
+DEFAULT_NGRAM_SIZE = 4         # build_islands_from_scores.py:32
+TIME_PAD_SECONDS = 5           # build_islands_from_scores.py:40
+
+# Number of decimal places floats are rounded to at engine-comparison
+# boundaries (smoothed values feed a >= threshold comparison, so both
+# engines must agree bit-for-bit after rounding).
+SMOOTH_ROUND = 9
+SCORE_ROUND = 6
+
+
+def gaussian_kernel(smooth_size: int = DEFAULT_SMOOTH_SIZE,
+                    sigma: float = DEFAULT_SMOOTH_SIGMA) -> list[float]:
+    """The reference's kernel (`build_islands_from_scores.py:59-64`):
+    exp(-(x-mu)^2 / (2 sigma^2)) for x in [-size, size]; NOT normalized."""
+    return [math.exp(-(x * x) / (2.0 * sigma * sigma))
+            for x in range(-smooth_size, smooth_size + 1)]
+
+
+def smooth_scores(df: DataFrame,
+                  score_col: str = "score",
+                  out_col: str = "smoothed",
+                  smooth_size: int = DEFAULT_SMOOTH_SIZE,
+                  sigma: float = DEFAULT_SMOOTH_SIGMA) -> DataFrame:
+    """Add `out_col`: the Gaussian-smoothed form of array<double>
+    `score_col`.
+
+    Matches reference `smooth()` (`build_islands_from_scores.py:67-79`):
+    non-finite values scrubbed to 0, zero-padded convolution, then
+    divide by the array max when positive. Runs fully JVM-side as
+    higher-order array functions — per-row math, no shuffle, no Python.
+    Each element is rounded to SMOOTH_ROUND decimals before and after
+    normalization so downstream threshold comparisons are
+    engine-portable.
+
+    Built as sequential intermediate columns (not one nested
+    expression) so the Catalyst expression tree stays linear — each
+    step references the previous by name instead of re-inlining its
+    subtree.
+    """
+    kernel = gaussian_kernel(smooth_size, sigma)
+    kernel_lit = "array(" + ", ".join(repr(w) + "D" for w in kernel) + ")"
+    s = smooth_size
+    clean_c = f"__{out_col}_clean"
+    conv_c = f"__{out_col}_conv"
+    max_c = f"__{out_col}_max"
+    out = (
+        df
+        # scrub non-finite -> 0 (reference :74)
+        .withColumn(clean_c, F.expr(
+            f"transform({score_col}, x -> "
+            f"CASE WHEN isnan(x) OR x = double('inf') OR x = double('-inf') "
+            f"THEN 0D ELSE x END)"))
+        # zero-padded convolution (reference :75): out-of-range
+        # neighbors simply drop out of the index sequence.
+        .withColumn(conv_c, F.expr(
+            f"transform({clean_c}, (x, i) -> round(aggregate("
+            f"  sequence(greatest(0, i - {s}), least(size({clean_c}) - 1, i + {s})),"
+            f"  0D,"
+            f"  (acc, j) -> acc + element_at({clean_c}, j + 1)"
+            f"              * element_at({kernel_lit}, j - i + {s + 1})"
+            f"), {SMOOTH_ROUND}))"))
+        # max-normalize when max > 0 (reference :76-78)
+        .withColumn(max_c, F.array_max(F.col(conv_c)))
+        .withColumn(out_col, F.expr(
+            f"CASE WHEN {max_c} > 0 THEN "
+            f"transform({conv_c}, x -> round(x / {max_c}, {SMOOTH_ROUND})) "
+            f"ELSE {conv_c} END"))
+        .drop(clean_c, conv_c, max_c)
+    )
+    return out
+
+
+def find_islands(df: DataFrame,
+                 keys: list[str],
+                 score_col: str = "score",
+                 smoothed_col: str = "smoothed",
+                 threshold: float = DEFAULT_THRESHOLD,
+                 min_island_length: int = DEFAULT_MIN_ISLAND_LENGTH,
+                 above_threshold: bool = True) -> DataFrame:
+    """Gaps-and-islands over per-key score arrays.
+
+    Input: one row per key with `score_col` (raw array<double>) and
+    `smoothed_col` (smoothed array<double>, same length). Output: one
+    row per island with 0-based `start_index`/`end_index` (inclusive)
+    and `average_score` = mean of the RAW scores in the island range
+    (reference `average_score_in_range`, build_islands_from_scores.py:170-176),
+    rounded to SCORE_ROUND.
+
+    `above_threshold=False` flips the comparison (reference
+    `find_islands(above_threshold=False)`, :92-98).
+    """
+    pos = (
+        df.select(
+            *keys,
+            F.posexplode(F.arrays_zip(F.col(smoothed_col).alias("sm"),
+                                      F.col(score_col).alias("raw")))
+             .alias("pos0", "z"))
+        .select(*keys, "pos0",
+                F.col("z.sm").alias("sm"), F.col("z.raw").alias("raw"))
+    )
+    if above_threshold:
+        flag = F.col("sm") >= threshold
+    else:
+        flag = F.col("sm") <= threshold
+    flagged = pos.filter(flag)
+    w = Window.partitionBy(*keys).orderBy("pos0")
+    grouped = flagged.withColumn(
+        "island_grp", F.col("pos0") - F.row_number().over(w))
+    return (
+        grouped.groupBy(*keys, "island_grp")
+        .agg(
+            F.min("pos0").cast("long").alias("start_index"),
+            F.max("pos0").cast("long").alias("end_index"),
+            F.round(F.avg("raw"), SCORE_ROUND).alias("average_score"),
+        )
+        # reference keep rule: end - start >= min length (:110-115)
+        .filter(F.col("end_index") - F.col("start_index") >= min_island_length)
+        .drop("island_grp")
+    )
+
+
+def with_word_range(islands: DataFrame,
+                    ngram_size: int = DEFAULT_NGRAM_SIZE) -> DataFrame:
+    """Score-index range -> 1-based word range: words [i+1, i+n]
+    (reference `score_index_to_word_range`, build_islands_from_scores.py:119-126)."""
+    return islands.withColumns({
+        "word_start": (F.col("start_index") + 1).cast("long"),
+        "word_end": (F.col("end_index") + ngram_size).cast("long"),
+    })
+
+
+def with_time_range(islands: DataFrame,
+                    segments: DataFrame,
+                    key: str,
+                    pad_sec: float = TIME_PAD_SECONDS) -> DataFrame:
+    """Map island word ranges to time ranges via an interval-overlap
+    join against transcript segments (reference `word_range_to_time`,
+    build_islands_from_scores.py:145-167).
+
+    `segments` needs: key, seg_start_word, seg_end_word (1-based
+    inclusive cumulative-word interval), start_sec, duration_sec.
+    Overlap: seg_end_word >= word_start AND seg_start_word <= word_end;
+    result time range = [min(start) - pad (floored at 0), max(start +
+    duration) + pad]. The equi key keeps this a hash join; the range
+    predicate is applied post-match (SURVEY §2.3 J6).
+    """
+    s = segments
+    cond = (
+        (islands[key] == s[key])
+        & (s.seg_end_word >= islands.word_start)
+        & (s.seg_start_word <= islands.word_end)
+    )
+    island_cols = [c for c in islands.columns]
+    joined = islands.join(s, cond, "inner")
+    return (
+        joined.groupBy(*[islands[c] for c in island_cols])
+        .agg(
+            F.greatest(F.lit(0.0), F.min("start_sec") - pad_sec)
+             .alias("time_start_sec"),
+            (F.max(F.col("start_sec") + F.col("duration_sec")) + pad_sec)
+             .alias("time_end_sec"),
+        )
+    )

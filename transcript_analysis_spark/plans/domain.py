@@ -1,0 +1,452 @@
+"""Domain queries — the reference's transcript/score/island/model
+surface, derived deterministically from the driver corpus.
+
+The DuckDB oracle only sees the driver's parquet tables, so these
+queries DERIVE the domain shapes in-query from `documents`:
+
+- tokens: `split(text, ' ')` with 1-based positions (documents.text is
+  single-space-separated words).
+- per-word scores: pure integer arithmetic on (word, pos, model_id) —
+  identical in Spark and DuckDB, no engine hash functions.
+- segments: fixed 10-word caption segments at 4.0 s each, mirroring
+  `vid_transcript_table`'s (start, duration, cum_word_count) shape.
+- n-gram models: bigram/unigram count tables per `source` (SURVEY
+  §7.4 Option A: models-as-data; scoring is a co-partitioned join, not
+  a pickled-model UDF).
+
+Float parity contract: every float that feeds a comparison or appears
+in output is rounded identically on both sides; constants are inlined
+as repr() literals so both engines parse the same double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.operators import islands as isl
+from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import load_table
+
+N_MODELS = 5
+
+# Deterministic per-word raw score: bimodal {0.9, 0.1} from integer
+# arithmetic (mirrors FIXTURES.md "crafted island arrays" — clustered
+# high words produce smoothed bumps above the 0.6 threshold).
+_RAW_EXPR = ("CASE WHEN (ascii(substr({w}, 1, 1)) * 31 + length({w}) * 17 "
+             "+ {pos} * 7 + {model} * 13) % 10 < 3 "
+             "THEN CAST(0.9 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END")
+
+
+def _kernel_values_sql() -> str:
+    """DuckDB VALUES list (off, w) for the Gaussian kernel, from the
+    exact same float literals the Spark plan uses."""
+    kernel = isl.gaussian_kernel()
+    rows = ", ".join(
+        f"({off}, CAST({w!r} AS DOUBLE))"
+        for off, w in zip(range(-isl.DEFAULT_SMOOTH_SIZE,
+                                isl.DEFAULT_SMOOTH_SIZE + 1), kernel))
+    return f"(VALUES {rows}) AS kern(off, w)"
+
+
+def _scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents x models -> (doc_id, model_id, words, raw array<double>).
+
+    The Spark-first restatement of the reference's scoring product
+    (one score array per (vid, model) pair,
+    `client/async_processing_client.py:406-444`): the cross join IS the
+    697.9M-pair work matrix (SURVEY §2.3 J8); score arrays are computed
+    as per-row JVM array expressions — no shuffle, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    models = spark.range(N_MODELS).select(F.col("id").alias("model_id"))
+    raw = _RAW_EXPR.format(w="w", pos="(i + 1)", model="model_id")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .crossJoin(F.broadcast(models))
+        .withColumn("raw", F.expr(f"transform(words, (w, i) -> {raw})"))
+    )
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived caption segments: 10 words / 4.0 s each per document
+    (the `vid_transcript_table` shape, `sql/schema.sql:67-77`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("wc"))
+        .filter(F.col("wc") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, cast(floor((wc - 1) / 10) as long))"))
+             .alias("seg_idx"),
+            "wc")
+        .select(
+            "doc_id",
+            (F.col("seg_idx") * 10 + 1).cast("long").alias("seg_start_word"),
+            F.least(F.col("wc").cast("long"),
+                    (F.col("seg_idx") * 10 + 10).cast("long")).alias("seg_end_word"),
+            (F.col("seg_idx") * F.lit(4.0)).alias("start_sec"),
+            F.lit(4.0).alias("duration_sec"),
+        )
+    )
+
+
+_TOK_CTE = """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' '))                 AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+"""
+
+_RAW_CTE = f"""
+    models AS (SELECT unnest(generate_series(0, {N_MODELS - 1})) AS model_id),
+    raw AS (
+      SELECT t.doc_id, m.model_id, t.pos,
+             {_RAW_EXPR.format(w='t.word', pos='t.pos', model='m.model_id')} AS raw
+      FROM tok t CROSS JOIN models m
+    )
+"""
+
+
+@register(
+    "islands_flagship",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    {_RAW_CTE},
+    conv AS (
+      SELECT r1.doc_id, r1.model_id, r1.pos, r1.raw,
+             ROUND(SUM(r2.raw * kern.w), {isl.SMOOTH_ROUND}) AS conv
+      FROM raw r1
+      JOIN {_kernel_values_sql()} ON TRUE
+      LEFT JOIN raw r2
+        ON r2.doc_id = r1.doc_id AND r2.model_id = r1.model_id
+       AND r2.pos = r1.pos + kern.off
+      GROUP BY r1.doc_id, r1.model_id, r1.pos, r1.raw
+    ),
+    norm AS (
+      SELECT doc_id, model_id, pos, raw,
+             CASE WHEN MAX(conv) OVER (PARTITION BY doc_id, model_id) > 0
+                  THEN ROUND(conv / MAX(conv) OVER (PARTITION BY doc_id, model_id),
+                             {isl.SMOOTH_ROUND})
+                  ELSE conv END AS sm
+      FROM conv
+    ),
+    flagged AS (
+      SELECT *,
+             (pos - 1) - ROW_NUMBER() OVER (PARTITION BY doc_id, model_id
+                                            ORDER BY pos) AS grp
+      FROM norm WHERE sm >= CAST(0.6 AS DOUBLE)
+    ),
+    isl AS (
+      SELECT doc_id, model_id,
+             CAST(MIN(pos) - 1 AS BIGINT)       AS start_index,
+             CAST(MAX(pos) - 1 AS BIGINT)       AS end_index,
+             CAST(MIN(pos) AS BIGINT)           AS word_start,
+             CAST(MAX(pos) + 3 AS BIGINT)       AS word_end,
+             ROUND(AVG(raw), {isl.SCORE_ROUND}) AS average_score
+      FROM flagged
+      GROUP BY doc_id, model_id, grp
+      HAVING MAX(pos) - MIN(pos) >= {isl.DEFAULT_MIN_ISLAND_LENGTH}
+    ),
+    seg AS (
+      SELECT doc_id,
+             CAST(FLOOR((pos - 1) / 10) AS BIGINT) AS seg_idx,
+             COUNT(*)                              AS wc
+      FROM tok GROUP BY doc_id, 2
+    ),
+    seg2 AS (
+      SELECT doc_id,
+             seg_idx * 10 + 1                    AS seg_start_word,
+             seg_idx * 10 + wc                   AS seg_end_word,
+             seg_idx * CAST(4.0 AS DOUBLE)       AS start_sec,
+             CAST(4.0 AS DOUBLE)                 AS duration_sec
+      FROM seg
+    )
+    SELECT i.doc_id, i.model_id, i.start_index, i.end_index,
+           i.word_start, i.word_end,
+           GREATEST(CAST(0 AS DOUBLE), MIN(s.start_sec) - 5) AS time_start_sec,
+           MAX(s.start_sec + s.duration_sec) + 5              AS time_end_sec,
+           i.average_score
+    FROM isl i
+    JOIN seg2 s ON s.doc_id = i.doc_id
+               AND s.seg_end_word >= i.word_start
+               AND s.seg_start_word <= i.word_end
+    GROUP BY i.doc_id, i.model_id, i.start_index, i.end_index,
+             i.word_start, i.word_end, i.average_score
+    """,
+    headline=True,
+    tags=("W3", "W4", "W5", "W6", "J6", "A10", "A13"),
+)
+def islands_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: Gaussian smooth -> gaps-and-islands -> word range
+    -> segment time range -> average raw score, per (doc, model) pair
+    (reference `island_worker.py:150-174` +
+    `build_islands_from_scores.py:321-332`). Smoothing is per-row JVM
+    array math; one shuffle for the islands grouping; one equi+range
+    hash join for times."""
+    scored = isl.smooth_scores(_scored_documents(spark, sf_dir),
+                               score_col="raw", out_col="smoothed")
+    found = isl.find_islands(scored, keys=["doc_id", "model_id"],
+                             score_col="raw", smoothed_col="smoothed")
+    ranged = isl.with_word_range(found)
+    segments = _segments(spark, sf_dir)
+    timed = isl.with_time_range(ranged, segments, key="doc_id")
+    return timed.select(
+        "doc_id", "model_id", "start_index", "end_index",
+        "word_start", "word_end", "time_start_sec", "time_end_sec",
+        "average_score")
+
+
+@register(
+    "ngram_model_score",
+    oracle="""
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             unnest(string_split(d.text, ' '))                 AS word,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+      FROM documents d
+    ),
+    bi AS (
+      SELECT t1.doc_id, t1.source, t1.pos, t1.word AS w1, t2.word AS w2
+      FROM tok t1
+      JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    ),
+    c2 AS (
+      SELECT source AS model_source, w1, w2, COUNT(*) AS cnt2
+      FROM bi GROUP BY source, w1, w2
+    ),
+    c1 AS (
+      SELECT model_source, w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1
+      FROM c2 GROUP BY model_source, w1
+    ),
+    cu AS (
+      SELECT source AS model_source, word, COUNT(*) AS cntu
+      FROM tok GROUP BY source, word
+    ),
+    tot AS (
+      SELECT source AS model_source, COUNT(*) AS total
+      FROM tok GROUP BY source
+    ),
+    pairs AS (
+      SELECT b.doc_id, m.model_source, b.pos, b.w1, b.w2
+      FROM bi b CROSS JOIN (SELECT model_source FROM tot) m
+    ),
+    scored AS (
+      SELECT p.doc_id, p.model_source,
+             CASE
+               WHEN c2.cnt2 IS NOT NULL
+                 THEN ROUND(LOG10(CAST(c2.cnt2 AS DOUBLE) / c1.cnt1), 9)
+               WHEN cu.cntu IS NOT NULL
+                 THEN ROUND(LOG10((CAST(0.4 AS DOUBLE) * cu.cntu) / t.total), 9)
+               ELSE CAST(-7.0 AS DOUBLE)
+             END AS logp
+      FROM pairs p
+      LEFT JOIN c2 ON c2.model_source = p.model_source
+                  AND c2.w1 = p.w1 AND c2.w2 = p.w2
+      LEFT JOIN c1 ON c1.model_source = p.model_source AND c1.w1 = p.w1
+      LEFT JOIN cu ON cu.model_source = p.model_source AND cu.word = p.w2
+      JOIN tot t ON t.model_source = p.model_source
+    )
+    SELECT doc_id, model_source,
+           ROUND(AVG(logp), 6) AS avg_logprob,
+           COUNT(*)            AS n_ngrams
+    FROM scored
+    GROUP BY doc_id, model_source
+    """,
+    headline=True,
+    tags=("W1", "W2", "F1", "J8"),
+)
+def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM scoring as a JOIN, not a pickled-model UDF (SURVEY
+    §7.4 Option A). Models = bigram/unigram count tables per `source`
+    (MLE with stupid-backoff 0.4 to unigram, floor -7); scoring = doc
+    bigrams x models, left join to the count tables, coalesce down the
+    back-off chain (reference hot loop
+    `client/async_processing_client.py:177-179` re-expressed).
+
+    At scale both sides partition by the join key (ngram), the model
+    tables are orders of magnitude smaller than the pair matrix, and
+    no executor ever holds a 480 MB pickle (BASELINE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    # bigrams straight from the word array: zip(words[:-1], words[1:]) —
+    # no self-join, no shuffle (W1's sliding window as array ops).
+    bi = (
+        d.select(
+            "doc_id", "source",
+            F.posexplode(F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1)))
+             .alias("pos0", "z"))
+        .select("doc_id", "source",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("z")["0"].alias("w1"),
+                F.col("z")["1"].alias("w2"))
+    )
+    tok = (d.select("doc_id", "source",
+                    F.posexplode("words").alias("pos0", "word"))
+           .select("doc_id", "source", "word"))
+    c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt2")))
+    c1 = (c2.groupBy("model_source", "w1")
+            .agg(F.sum("cnt2").cast("long").alias("cnt1")))
+    cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
+             .agg(F.count(F.lit(1)).alias("cntu")))
+    tot = (tok.groupBy(F.col("source").alias("model_source"))
+              .agg(F.count(F.lit(1)).alias("total")))
+    models = tot.select("model_source")
+    pairs = bi.select("doc_id", "pos", "w1", "w2").crossJoin(F.broadcast(models))
+    scored = (
+        pairs
+        .join(c2, ["model_source", "w1", "w2"], "left")
+        .join(c1, ["model_source", "w1"], "left")
+        .join(cu.withColumnRenamed("word", "w2"), ["model_source", "w2"], "left")
+        .join(F.broadcast(tot), ["model_source"])
+        .select(
+            "doc_id", "model_source",
+            F.when(F.col("cnt2").isNotNull(),
+                   F.round(F.log10(F.col("cnt2").cast("double") / F.col("cnt1")), 9))
+             .when(F.col("cntu").isNotNull(),
+                   F.round(F.log10((F.lit(0.4) * F.col("cntu")) / F.col("total")), 9))
+             .otherwise(F.lit(-7.0))
+             .alias("logp"))
+    )
+    return (scored.groupBy("doc_id", "model_source")
+            .agg(F.round(F.avg("logp"), 6).alias("avg_logprob"),
+                 F.count(F.lit(1)).alias("n_ngrams")))
+
+
+@register(
+    "ordered_transcript_concat",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' '))                 AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             STRING_AGG(word, ' ' ORDER BY pos) AS rebuilt_text,
+             COUNT(*)                           AS n_words
+      FROM tok GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_words,
+           (r.rebuilt_text = d.text) AS matches
+    FROM rebuilt r JOIN documents d ON d.doc_id = r.doc_id
+    """,
+    tags=("A9", "O1"),
+)
+def ordered_transcript_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — transcript assembly
+    (reference `client/async_processing_client.py:251-260`). The
+    order-preservation contract through shuffles:
+    `array_sort(collect_list(struct(pos, word)))`, never bare
+    collect_list (SURVEY §7.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs
+           .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+           # shuffle-randomizing repartition proves the sort contract
+           .repartition("doc_id"))
+    rebuilt = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.expr("concat_ws(' ', transform(array_sort(collect_list("
+                   "struct(pos0, word))), s -> s.word))").alias("rebuilt_text"),
+            F.count(F.lit(1)).alias("n_words"))
+    )
+    return (rebuilt.join(docs, "doc_id")
+            .select("doc_id", "n_words",
+                    (F.col("rebuilt_text") == F.col("text")).alias("matches")))
+
+
+@register(
+    "word_window_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, words, wc,
+             unnest(generate_series(0, CAST(FLOOR((wc - 1) / 40) AS BIGINT)))
+               AS chunk_index
+      FROM d
+    )
+    SELECT doc_id, chunk_index,
+           chunk_index * 40 + 1                            AS chunk_start_word,
+           LEAST(CAST(50 AS BIGINT), wc - (chunk_index * 40 + 1) + 1) AS token_count,
+           array_to_string(
+             list_slice(words, chunk_index * 40 + 1,
+                        chunk_index * 40 + LEAST(CAST(50 AS BIGINT),
+                                                 wc - (chunk_index * 40 + 1) + 1)),
+             ' ')                                          AS chunk_text
+    FROM chunks
+    """,
+    tags=("F9", "W7"),
+)
+def word_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-window chunker — 50-word chunks, 40-word stride (the
+    reference's 200-word/40-overlap chunker,
+    `embed_transcripts_8values.py:61-73`, scaled to the corpus) as
+    `sequence()` + `slice()` array ops: a UDTF shape (1 doc -> N
+    chunks) with zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.select("doc_id", F.split("text", " ").alias("words"))
+         .withColumn("wc", F.size("words").cast("long")))
+    chunks = d.select(
+        "doc_id", "words", "wc",
+        F.explode(F.expr("sequence(0, cast(floor((wc - 1) / 40) as long))"))
+         .alias("chunk_index"))
+    start = F.col("chunk_index") * 40 + 1
+    tc = F.least(F.lit(50).cast("long"), F.col("wc") - start + 1)
+    return chunks.select(
+        "doc_id", "chunk_index",
+        start.alias("chunk_start_word"),
+        tc.alias("token_count"),
+        F.array_join(F.slice("words", start.cast("int"), tc.cast("int")), " ")
+         .alias("chunk_text"))
+
+
+@register(
+    "score_array_stats",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    {_RAW_CTE},
+    arrs AS (
+      SELECT doc_id, model_id,
+             COUNT(*)                                        AS n_scores,
+             COUNT(*) FILTER (WHERE raw >= CAST(0.5 AS DOUBLE)) AS n_high,
+             ROUND(SUM(CASE WHEN pos <= 10 THEN raw END)
+                   / LEAST(10, COUNT(*)), 6)                 AS head_mean,
+             MAX(raw)                                        AS max_raw
+      FROM raw
+      GROUP BY doc_id, model_id
+    )
+    SELECT doc_id, model_id, n_scores, n_high, head_mean, max_raw
+    FROM arrs WHERE n_scores > 0
+    """,
+    tags=("P3", "A10", "array"),
+)
+def score_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function family over score arrays: size / filter /
+    slice / aggregate higher-order functions + the real-score predicate
+    P3 `size(score) > 0` (reference `sql/check_scoring.sql:31-33`)."""
+    scored = _scored_documents(spark, sf_dir)
+    return (
+        scored.filter(F.size("raw") > 0)
+        .select(
+            "doc_id", "model_id",
+            F.size("raw").cast("long").alias("n_scores"),
+            F.size(F.expr("filter(raw, x -> x >= CAST(0.5 AS DOUBLE))"))
+             .cast("long").alias("n_high"),
+            F.round(
+                F.expr("aggregate(slice(raw, 1, least(10, size(raw))), 0D,"
+                       " (acc, x) -> acc + x)")
+                / F.least(F.lit(10), F.size("raw")), 6).alias("head_mean"),
+            F.array_max("raw").alias("max_raw"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Query registry — single source of truth for the engine's query surface.
+
+Every operator claimed in SURVEY.md §2 registers here as a named query:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) a DuckDB oracle SQL string over the same parquet
+tables. ``__spark_entry__.py``, ``bench.py``, and the test suite all
+read this registry, so a query is "done" exactly when it appears here
+with both halves and passes the oracle comparison.
+
+Column-name contract: the driver's compare sorts columns by name before
+hashing, so every computed column is aliased identically in the Spark
+plan and the oracle SQL.
+
+Float contract: Spark and DuckDB may differ in the last ulp of a
+double (summation order is engine-chosen), so any floating-point
+output column is explicitly ``round()``-ed to a fixed scale on BOTH
+sides. Integer/decimal arithmetic is kept exact end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "Query"] = {}
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None          # DuckDB SQL; None => rows-only check
+    headline: bool = False             # included in bench.py
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(name: str, oracle: str | None = None, *, headline: bool = False,
+             tags: tuple[str, ...] = (), doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle,
+                                headline=headline, doc=doc or (fn.__doc__ or ""),
+                                tags=tuple(tags))
+        return fn
+    return deco
+
+
+def _load_all() -> None:
+    # Import side effect: each module registers its queries.
+    from transcript_analysis_spark.plans import (  # noqa: F401
+        relational,
+        domain,
+        data_pipeline,
+        streaming_batch,
+    )
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> Query:
+    _load_all()
+    return _REGISTRY[name]

@@ -1,0 +1,622 @@
+"""Relational operator coverage (SURVEY.md §2.2-§2.8).
+
+Each query is the Spark-first restatement of a reference operator
+family, exercised on the driver's TPC-H-ish corpus, with a DuckDB
+oracle. Reference citations are on each function.
+
+Design notes for 100 TB scale (applies to every query here):
+
+- All plans are declarative DataFrame ops — Catalyst handles predicate
+  pushdown, column pruning, and join strategy selection (SURVEY §4
+  X1-X4, X16).
+- Dimension tables (region/nation/part/supplier) are broadcast
+  explicitly where the join is guaranteed small-side; fact-fact joins
+  shuffle on their equi-keys and AQE handles skew.
+- Aggregates are hash aggregates with map-side partial aggregation —
+  no collect()-and-loop anywhere.
+- Float outputs are rounded on both sides (see registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("A1", "A5", "A6", "A7"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate: the dashboard aggregate family
+    (reference `server/dashboard.py:126-176`, `sql/check_scoring.sql:22-33`)
+    as one hash-aggregate with map-side partials."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "last_order_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           STRFTIME(MAX(o.o_orderdate), '%Y-%m-%d') AS last_order_date,
+           COUNT(*)                                 AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("J1", "A5"),
+)
+def last_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join + GROUP BY MAX — the last-publish-per-channel
+    query (reference `maintain_database.py:289-306`). nation is
+    broadcast; orders⋈customer shuffles on the key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "nation_dashboard",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(c.c_custkey)                                        AS n_customers,
+           COUNT(*) FILTER (WHERE c.c_acctbal > 5000)                AS n_high_balance,
+           COUNT(*) FILTER (WHERE c.c_mktsegment = 'BUILDING')       AS n_building,
+           ROUND(COALESCE(SUM(c.c_acctbal), 0), 2)                   AS total_balance
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("J2", "A7"),
+)
+def nation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + conditional counts — the channel dashboard
+    rollup (reference `server/dashboard.py:162-176`)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_high_balance"),
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_building"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "corpus_counts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer)                       AS n_customers,
+           (SELECT COUNT(*) FROM orders)                         AS n_orders,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders)        AS n_customers_with_orders,
+           (SELECT COUNT(DISTINCT o_orderdate) FROM orders)      AS n_order_dates
+    """,
+    tags=("A1", "A2", "A3"),
+)
+def corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table stats + COUNT(DISTINCT) — the dashboard stat block
+    (reference `server/dashboard.py:126-149`). Parquet metadata makes
+    plain counts O(files); distinct counts hash-aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        F.countDistinct("o_orderdate").alias("n_order_dates"),
+    )
+    n_cust = c.agg(F.count(F.lit(1)).alias("n_customers"))
+    return n_cust.crossJoin(counts).select(
+        "n_customers", "n_orders", "n_customers_with_orders", "n_order_dates")
+
+
+@register(
+    "status_histogram",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("A6",),
+)
+def status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status histogram — the task-state histogram
+    (reference `server/dashboard.py:231-235`, `sql/check_scoring.sql:22-26`)."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "deterministic_sample_extrapolate",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) * 50                                            AS est_rows,
+           COUNT(*) FILTER (WHERE l_quantity > 25) * 50             AS est_high_qty
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    GROUP BY l_returnflag
+    """,
+    tags=("A4",),
+)
+def deterministic_sample_extrapolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-aggregate extrapolation — TABLESAMPLE + FILTER * 100
+    (reference `sql/check_scoring.sql:29-33`), made deterministic with
+    a key-modulus sample so the oracle reproduces it exactly."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_orderkey") % 50 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            (F.count(F.lit(1)) * 50).alias("est_rows"),
+            (F.count(F.when(F.col("l_quantity") > 25, 1)) * 50).alias("est_high_qty"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue_rollup",
+    oracle="""
+    SELECT STRFTIME(o_orderdate, '%Y-%m')      AS order_month,
+           COUNT(*)                            AS n_orders,
+           ROUND(SUM(o_totalprice), 2)         AS revenue,
+           ROUND(AVG(o_totalprice), 4)         AS avg_order_value
+    FROM orders
+    GROUP BY STRFTIME(o_orderdate, '%Y-%m')
+    """,
+    tags=("A5", "date"),
+)
+def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bucketed rollup — the date/time scalar family (SURVEY §2.8)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+    )
+
+
+@register(
+    "weighted_axis_score",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             SUM(l_extendedprice * (l_discount - 0.05))        AS raw_sum,
+             SUM(ABS(l_extendedprice * (l_discount - 0.05)))   AS max_sum
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(raw_sum, 2) AS raw_score,
+           ROUND(max_sum, 2) AS max_score,
+           CASE WHEN max_sum = 0 THEN 50.0
+                ELSE ROUND(100.0 * (max_sum + raw_sum) / (2 * max_sum), 3)
+           END AS pct_score
+    FROM base
+    """,
+    tags=("A11",),
+)
+def weighted_axis_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8values axis reduce (A11): raw += effect*multiplier,
+    max += abs(effect), pct = 100*(max+raw)/(2*max) with the max=0 → 50
+    branch (reference `run_8values_survey.py:306-324`)."""
+    l = _t(spark, sf_dir, "lineitem")
+    effect = F.col("l_extendedprice") * (F.col("l_discount") - 0.05)
+    base = l.groupBy("l_returnflag").agg(
+        F.sum(effect).alias("raw_sum"),
+        F.sum(F.abs(effect)).alias("max_sum"),
+    )
+    return base.select(
+        "l_returnflag",
+        F.round("raw_sum", 2).alias("raw_score"),
+        F.round("max_sum", 2).alias("max_score"),
+        F.when(F.col("max_sum") == 0, F.lit(50.0))
+         .otherwise(F.round(100.0 * (F.col("max_sum") + F.col("raw_sum"))
+                            / (2 * F.col("max_sum")), 3))
+         .alias("pct_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J4", "T1"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — THE incremental-work operator of the reference
+    (pending = candidates minus done, `client/async_processing_client.py:226-248`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "customers_with_big_order",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("J3",),
+)
+def customers_with_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join — EXISTS chosen by the reference for index probes
+    (`client/async_processing_client.py:233-246`); Spark plans left-semi."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "brand_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*)                                           AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    headline=True,
+    tags=("J5", "J9"),
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast lookup join — the hand-rolled dict join of
+    `migrate_data.py:30-77` done as `join(broadcast(dim))`; the fact
+    side never shuffles."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "shipdate_within_order_window",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*)                    AS n_lineitems,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J6",),
+)
+def shipdate_within_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + interval-range join — the reference's word-range →
+    segment-interval mapping shape (`build_islands_from_scores.py:145-167`):
+    equi key keeps it a hash join, the range predicate filters post-match."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        l.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "missing_nation_priority_combos",
+    oracle="""
+    WITH expected AS (
+      SELECT n.n_name, p.o_orderpriority
+      FROM nation n
+      CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ),
+    existing AS (
+      SELECT DISTINCT n.n_name, o.o_orderpriority
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT e.n_name, e.o_orderpriority
+    FROM expected e
+    WHERE NOT EXISTS (SELECT 1 FROM existing x
+                      WHERE x.n_name = e.n_name
+                        AND x.o_orderpriority = e.o_orderpriority)
+    """,
+    tags=("J8", "J4"),
+)
+def missing_nation_priority_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join work seeding + anti-join against done — the expected
+    work matrix (videos × models) of `server/async_processing_server.py:80-112`
+    and `run_8values_survey.py:468-504`."""
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    prios = o.select("o_orderpriority").distinct()
+    expected = n.select("n_name").crossJoin(prios)
+    existing = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_orderpriority")
+        .distinct()
+    )
+    return expected.join(existing, ["n_name", "o_orderpriority"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# W/O-family: windows, sorts, top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), 0), 2)             AS prev_order_price
+    FROM orders
+    """,
+    tags=("A8", "W6"),
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum + lag — `cum_word_count` maintenance
+    (reference `maintain_database.py:462-481`) and the prev-row interval
+    construction (`build_islands_from_scores.py:150-165`), as window
+    functions instead of insert-time state."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+         .alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2)
+         .alias("prev_order_price"),
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+    tags=("O3",),
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the cosine top-k shape (reference
+    `run_8values_survey.py:269-283`) over a generic measure."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3))
+
+
+@register(
+    "first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS first_order_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk = 1
+    """,
+    tags=("O4",),
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON first-per-group (reference
+    `embed_transcripts_to_vector_db.py:377-394`) via row_number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey", "o_orderdate",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("o_custkey",
+                    F.col("o_orderkey").alias("first_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date")))
+
+
+@register(
+    "global_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("O1", "O2"),
+)
+def global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Spark plans a TakeOrderedAndProject (per-
+    partition top-k then merge; no global sort)."""
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# U-family: set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_only_nations",
+    oracle="""
+    SELECT n.n_name
+    FROM nation n
+    JOIN (
+      SELECT DISTINCT c_nationkey AS k FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS k FROM supplier
+    ) d ON n.n_nationkey = d.k
+    """,
+    tags=("U1", "U2"),
+)
+def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference + DISTINCT — the uploads-minus-DB missing-video
+    computation (reference `maintain_database.py:109-151`) as a
+    relational EXCEPT instead of driver-side Python sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    n = _t(spark, sf_dir, "nation")
+    return (c.exceptAll(s)
+            .join(F.broadcast(n), F.col("k") == n.n_nationkey)
+            .select("n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function family (string / JSON)
+# ---------------------------------------------------------------------------
+
+@register(
+    "normalize_documents",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN TRIM(norm) = '' THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(norm), '\s+'))
+           END AS word_count,
+           norm AS text_formatted
+    FROM (
+      SELECT doc_id,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(text), '\[.*?\]|\{.*?\}', '', 'g'),
+               '[^a-z0-9\s]', '', 'g') AS norm
+      FROM documents
+    )
+    """,
+    tags=("P1",),
+)
+def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization projection P1 — lower / strip bracketed
+    spans / strip punctuation / word count (reference
+    `maintain_database.py:470-474`), all JVM-side string expressions."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"\[.*?\]|\{.*?\}", ""),
+        r"[^a-z0-9\s]", "")
+    return d.select(
+        "doc_id",
+        F.when(F.trim(norm) == "", F.lit(0))
+         .otherwise(F.size(F.split(F.trim(norm), r"\s+")))
+         .alias("word_count"),
+        norm.alias("text_formatted"),
+    )
+
+
+@register(
+    "events_json_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                                   AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))     AS sum_k,
+           ROUND(SUM(value), 2)                                       AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "A5"),
+)
+def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + rollup — `channel_snippet->>'title'` family
+    (reference `server/dashboard.py:166`, `sql/schema.sql:38,61`) via
+    get_json_object on a string column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

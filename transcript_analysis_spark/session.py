@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The engine targets a large multi-executor cluster; tests run on
+``local[N]``. Every setting here is chosen to behave identically in
+both shapes:
+
+- AQE on (runtime coalesce + skew-join splitting survive a 100x
+  scale-up where static partition counts would not).
+- Arrow on (vectorized pandas UDF / toPandas path).
+- UTC session timezone (parity with parquet/DuckDB UTC-naive
+  timestamps — see pitfalls in the PySpark docs).
+- shuffle partitions sized by env for local runs; on a real cluster
+  AQE coalesces the 2x-overprovisioned default down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "transcript-analysis-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus)))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep broadcast autodetection on; 10MB default is fine for the
+        # dims here (region/nation/kernel tables are tiny).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long and
+        # convert in the loader (Spark has no nanos timestamp type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

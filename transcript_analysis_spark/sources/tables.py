@@ -1,0 +1,45 @@
+"""Parquet table loaders for the synthetic corpus.
+
+The driver corpus (TESTDATA.md) is one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``. Reads are plain
+``spark.read.parquet`` so Catalyst gets full predicate pushdown /
+column pruning; at cluster scale the same call reads a partitioned
+directory tree unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos
+        # via spark.sql.legacy.parquet.nanosAsLong; expose a proper
+        # microsecond timestamp column (floor-truncated, UTC).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (for spark.sql plans)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
