@@ -1,6 +1,642 @@
 """Training-data pipeline operators: dedup, similarity search, text
-analysis, multimodal plumbing. Filled in incrementally; every query
-registers with a DuckDB oracle unless genuinely non-SQL-expressible.
+analysis, multimodal plumbing.
+
+These go beyond the reference's own surface (BASELINE.json north
+star): the operations a 100 TB training-data pipeline needs, each
+expressed as declarative Spark and each with a DuckDB oracle.
+
+Engine-parity hashing: no Spark `hash()` / `xxhash64()` anywhere —
+every hash is an explicit polynomial rolling hash over character
+codes, computed with exact int64 arithmetic that both engines
+reproduce bit-for-bit:
+
+    h = fold(chars, 0, (acc, c) -> (acc * 31 + ascii(c)) % 1_000_000_007)
+
+At cluster scale the Spark side of every query is shuffle-minimal:
+shingling/hashing is per-row array math; MinHash signatures are one
+hash-aggregate; LSH candidate pairs shuffle once on the band key
+(that IS the LSH bucket join); cosine math is per-row against a
+broadcast query vector.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import load_table
+
+MOD = 1_000_000_007
+# MinHash permutation parameters (a*h + b) % MOD — 8 perms, 4 bands x 2 rows.
+MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23]
+MINHASH_B = [1, 2, 3, 5, 8, 13, 21, 34]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- portable polynomial char hash --------------------------------------
+
+def spark_char_hash(col_expr: str) -> str:
+    return (f"aggregate(transform(split({col_expr}, ''),"
+            f" c -> cast(ascii(c) as bigint)), cast(0 as bigint),"
+            f" (a, b) -> (a * 31 + b) % {MOD})")
+
+
+def duck_char_hash(col_expr: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(string_split({col_expr}, ''),"
+            f" c -> CAST(ascii(c) AS BIGINT))),"
+            f" (a, b) -> (a * 31 + b) % {MOD})")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_groups",
+    oracle="""
+    SELECT MIN(doc_id)  AS canonical_doc_id,
+           COUNT(*)     AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text; canonical = min doc_id.
+    At scale this is one shuffle on the (hashed) text key; map-side
+    partial aggregation collapses duplicates before the exchange."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("text")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.min("n_chars").alias("n_chars"))
+            .drop("text"))
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per document."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(1, greatest(0, size(words) - 2)),"
+            " i -> concat_ws(' ', slice(words, i, 3)))")).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = """
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 2)),
+                 i -> array_to_string(words[i:i+2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      )
+    )
+"""
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _duck_minhash_select() -> str:
+    return ", ".join(
+        f"MIN(({a} * h + {b}) % {MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    )
+    SELECT doc_id, {_duck_minhash_select()}, COUNT(*) AS n_shingles
+    FROM hashed GROUP BY doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: shingle -> portable polynomial hash -> 8
+    permutation-min aggregates. Per-doc signature in one hash-agg pass
+    (map-side combine keeps the shuffle tiny at any scale)."""
+    sh = _spark_shingles(spark, sf_dir)
+    hashed = sh.select("doc_id",
+                       F.expr(spark_char_hash("shingle")).alias("h"))
+    return (hashed.groupBy("doc_id")
+            .agg(*_minhash_cols(), F.count(F.lit(1)).alias("n_shingles")))
+
+
+@register(
+    "minhash_lsh_candidate_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id, {_duck_minhash_select()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 4 bands x 2 rows; docs sharing any band
+    signature become candidate near-dup pairs. The band-key self-join
+    is the scale path: candidates ~ O(collisions), never O(n^2)."""
+    sh = _spark_shingles(spark, sf_dir)
+    hashed = sh.select("doc_id",
+                       F.expr(spark_char_hash("shingle")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(*_minhash_cols())
+    band_structs = ", ".join(
+        f"struct({j} as band, concat(cast(mh{2*j} as string), '_',"
+        f" cast(mh{2*j+1} as string)) as key)"
+        for j in range(4))
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wh AS (
+      SELECT doc_id, {duck_char_hash('word')} % 4294967296 AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // CAST(POWER(2, b.bit) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM wh
+      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, bit) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: per-word hash -> per-bit +-1 votes -> sign.
+    Near-dup docs differ in few bits (compare by hamming distance
+    downstream); computed with two hash-aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wh = tok.select(
+        "doc_id",
+        (F.expr(spark_char_hash("word")) % F.lit(4294967296)).alias("h"))
+    bit = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        wh.crossJoin(F.broadcast(bit))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(
+            F.when((F.col("h") / F.pow(F.lit(2), F.col("bit")).cast("long"))
+                   .cast("long") % 2 == 1, 1).otherwise(-1)).alias("vote"))
+    )
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("vote") > 0,
+                              F.pow(F.lit(2), F.col("bit")).cast("long"))
+                       .otherwise(F.lit(0))).cast("long").alias("simhash")))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND b.doc_id > a.doc_id
+       AND b.doc_id <= a.doc_id + 40
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.doc_a
+      JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           COALESCE(i.n_common, 0) AS n_common,
+           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard similarity over bounded candidate pairs (same
+    source, doc_id within +40 — the blocked-pairs pattern that keeps
+    pair count linear at scale; swap the block for LSH candidates in
+    production)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _spark_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    pairs = a.join(b, (F.col("src_a") == F.col("src_b"))
+                   & (F.col("doc_b") > F.col("doc_a"))
+                   & (F.col("doc_b") <= F.col("doc_a") + 40)).select("doc_a", "doc_b")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (pairs.join(za, "doc_a").join(zb, "doc_b")
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a", "doc_b",
+                F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+                F.round(F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                        / (F.col("na") + F.col("nb")
+                           - F.coalesce(F.col("n_common"), F.lit(0))), 6)
+                 .alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DUCK_EMB = """
+    emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM emb e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine
+    FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    headline=True,
+    tags=("similarity", "O3", "F5"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a broadcast query vector — the
+    reference's RAG retrieval (`run_8values_survey.py:269-283`). Dot
+    products are per-row JVM `zip_with`+`aggregate`; top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nv = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label",
+                F.round(F.expr(dot) / (F.sqrt(F.expr(nv)) * F.sqrt(F.expr(nq))), 6)
+                 .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_similar_pairs",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM emb a JOIN emb b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs
+    WHERE cosine >= CAST(0.3 AS DOUBLE)
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, label-bucketed (the IVF
+    pattern: compare only within a partition/cluster, never all-pairs).
+    One shuffle on the bucket key; per-bucket pair generation."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                 F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                 F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    na = "aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nb = "aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_b") > F.col("vec_a")))
+        .select("vec_a", "vec_b",
+                F.round(F.expr(dot) / (F.sqrt(F.expr(na)) * F.sqrt(F.expr(nb))), 6)
+                 .alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "embedding_rp_lsh_buckets",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    proj AS (
+      SELECT vec_id,
+             p.j,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(len(v) AS BIGINT)),
+                 d -> v[d] * (CAST(((p.j * 64 + d) * 2654435761) % 1000 AS DOUBLE)
+                              / 500.0 - 1.0))),
+               (a, b) -> a + b) AS dot
+      FROM emb CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) p
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, j) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+    tags=("similarity", "lsh", "X15"),
+)
+def embedding_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH bucketing (sign of dot with 8 fixed
+    hyperplanes -> 8-bit bucket): the scale path for ANN (SURVEY §4
+    X15) — candidate search touches one bucket instead of the corpus.
+    Hyperplanes are deterministic integer-arithmetic pseudo-vectors so
+    both engines derive identical buckets."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    planes = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    dot = ("aggregate(transform(sequence(1, size(v)),"
+           " d -> element_at(v, d)"
+           "      * (cast(((j * 64 + d) * 2654435761) % 1000 as double)"
+           "         / 500.0 - 1.0)),"
+           " 0D, (a, b) -> a + b)")
+    proj = (e.crossJoin(F.broadcast(planes))
+            .select("vec_id", "j", F.expr(dot).alias("dot")))
+    return (proj.groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("dot") > 0,
+                              F.pow(F.lit(2), F.col("j")).cast("long"))
+                       .otherwise(F.lit(0))).cast("long").alias("bucket")))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words, n_chars FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_filter(words, w -> list_contains(
+               {[*_STOPWORDS]}, w))) AS BIGINT)  AS n_stopwords,
+             CAST(len(list_filter(words, w -> length(w) >= 8)) AS BIGINT)
+               AS n_long_words
+      FROM d
+    )
+    SELECT doc_id, n_words, n_stopwords, n_long_words,
+           ROUND(CAST(n_chars AS DOUBLE) / n_words, 4)     AS avg_word_len,
+           ROUND(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stopword_ratio,
+           ROUND((CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), n_words / CAST(100.0 AS DOUBLE)))
+                 + (CAST(0.3 AS DOUBLE) * (1 - CAST(n_stopwords AS DOUBLE) / n_words))
+                 + (CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                      (CAST(n_chars AS DOUBLE) / n_words) / CAST(8.0 AS DOUBLE))), 6)
+             AS quality
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / stopword-ratio / word-length
+    heuristics combined into one [0,1]-ish score — all per-row JVM
+    array math (the training-data quality-filter pattern)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("words"))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    m = d.select(
+        "doc_id", "n_chars",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.expr(f"filter(words, w -> array_contains({stop_arr}, w))"))
+         .cast("long").alias("n_stopwords"),
+        F.size(F.expr("filter(words, w -> length(w) >= 8)"))
+         .cast("long").alias("n_long_words"))
+    nw = F.col("n_words").cast("double")
+    return m.select(
+        "doc_id", "n_words", "n_stopwords", "n_long_words",
+        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4)
+         .alias("avg_word_len"),
+        F.round(F.col("n_stopwords").cast("double") / F.col("n_words"), 6)
+         .alias("stopword_ratio"),
+        F.round((F.lit(0.4) * F.least(F.lit(1.0), nw / F.lit(100.0)))
+                + (F.lit(0.3) * (1 - F.col("n_stopwords").cast("double") / nw))
+                + (F.lit(0.3) * F.least(
+                    F.lit(1.0),
+                    (F.col("n_chars").cast("double") / nw) / F.lit(8.0))), 6)
+         .alias("quality"))
+
+
+@register(
+    "language_id_heuristic",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(words, w -> list_contains(
+               ['the','and','of','is','with'], w))) AS BIGINT) AS en_hits,
+             CAST(len(list_filter(words, w -> list_contains(
+               ['le','la','et','les','des'], w))) AS BIGINT)   AS fr_hits,
+             CAST(len(list_filter(words, w -> list_contains(
+               ['der','und','die','das','mit'], w))) AS BIGINT) AS de_hits
+      FROM d
+    )
+    SELECT doc_id, lang AS labeled_lang, en_hits, fr_hits, de_hits,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM votes
+    """,
+    tags=("text", "langid"),
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile voting (the n-gram-heuristic
+    family; swap profiles for real corpora). Pure per-row array ops."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        F.split("text", " ").alias("words"))
+    def hits(words_list: list[str]) -> Column:
+        arr = "array(" + ", ".join(f"'{w}'" for w in words_list) + ")"
+        return F.size(F.expr(f"filter(words, w -> array_contains({arr}, w))")).cast("long")
+    v = d.select(
+        "doc_id", "labeled_lang",
+        hits(["the", "and", "of", "is", "with"]).alias("en_hits"),
+        hits(["le", "la", "et", "les", "des"]).alias("fr_hits"),
+        hits(["der", "und", "die", "das", "mit"]).alias("de_hits"))
+    return v.select(
+        "doc_id", "labeled_lang", "en_hits", "fr_hits", "de_hits",
+        F.when((F.col("en_hits") >= F.col("fr_hits"))
+               & (F.col("en_hits") >= F.col("de_hits"))
+               & (F.col("en_hits") > 0), "en")
+         .when((F.col("fr_hits") >= F.col("de_hits"))
+               & (F.col("fr_hits") > 0), "fr")
+         .when(F.col("de_hits") > 0, "de")
+         .otherwise("und").alias("pred_lang"))
+
+
+@register(
+    "token_counts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(words, w -> CAST(CEIL(length(w) / 4.0) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS n_tokens_est
+    FROM d
+    """,
+    tags=("text", "F10"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish estimate
+    (ceil(len/4) subword pieces per word — the tiktoken-proxy pattern,
+    reference `embed_transcripts_to_vector_db.py:53-74`)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words"))
+    return d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.expr("aggregate(transform(words, w -> cast(ceil(length(w) / 4.0) as bigint)),"
+               " cast(0 as bigint), (a, b) -> a + b)").alias("n_tokens_est"))
+
+
+@register(
+    "document_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wh AS (
+      SELECT doc_id, {duck_char_hash('word')} AS h FROM tok
+    )
+    SELECT f.doc_id, f.fingerprint, m.min_word_hash, m.n_words
+    FROM (
+      SELECT doc_id, {duck_char_hash('text')} AS fingerprint FROM documents
+    ) f
+    JOIN (
+      SELECT doc_id, MIN(h) AS min_word_hash, COUNT(*) AS n_words
+      FROM wh GROUP BY doc_id
+    ) m ON m.doc_id = f.doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text rolling hash + winnowing-
+    style min word hash, with the portable polynomial hash."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id",
+                  F.expr(spark_char_hash("text")).alias("fingerprint"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    mwh = (tok.select("doc_id", F.expr(spark_char_hash("word")).alias("h"))
+           .groupBy("doc_id")
+           .agg(F.min("h").alias("min_word_hash"),
+                F.count(F.lit(1)).alias("n_words")))
+    return fp.join(mwh, "doc_id").select(
+        "doc_id", "fingerprint", "min_word_hash", "n_words")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode stubbed — see
+# operators/multimodal.py for the mapInPandas pipeline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_blob_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes,
+           CAST(length(text) AS BIGINT)               AS n_chars_utf,
+           (CAST(octet_length(encode(text)) AS BIGINT)
+            = CAST(length(text) AS BIGINT))           AS is_ascii
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: text encoded to a binary column
+    (standing in for image/audio payloads) with typed byte-level
+    metadata — the schema pattern for multimodal tables."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("blob_bytes"),
+        F.length("text").cast("long").alias("n_chars_utf"),
+        (F.octet_length(blob).cast("long") == F.length("text").cast("long"))
+         .alias("is_ascii"))
