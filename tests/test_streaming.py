@@ -1,0 +1,68 @@
+"""Structured Streaming semantics: every streaming plan must converge
+to its oracle-checked batch equivalent when the stream is drained.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.streaming import windows as sw
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return sw.events_stream(spark, SF_DIR)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream):
+    got = sw.run_stream_to_memory(
+        sw.tumbling_hourly(events_stream), "t_tumbling")
+    from transcript_analysis_spark.plans import all_queries
+    batch = all_queries()["tumbling_hourly_event_stats"].fn(spark, SF_DIR)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    # append mode only emits windows closed by the final watermark
+    wm_cut = got.agg(F.max("window_start")).first()[0]
+    assert got.count() > 0
+    batch_closed = _rows(batch.filter(F.col("window_start") <= wm_cut), cols)
+    got_rows = _rows(got, cols)
+    assert set(got_rows) <= set(batch_closed)
+    # emitted windows must agree exactly with batch values
+    batch_map = {r[:2]: r[2:] for r in batch_closed}
+    for r in got_rows:
+        assert batch_map[r[:2]] == r[2:]
+
+
+def test_session_stream_subset_of_batch(spark, events_stream):
+    got = sw.run_stream_to_memory(
+        sw.session_windows(events_stream), "t_sessions")
+    from transcript_analysis_spark.plans import all_queries
+    batch = all_queries()["session_windows_per_user"].fn(spark, SF_DIR)
+    assert got.count() > 0
+    # session_window end = last event + gap; compare (user, start, n, sum)
+    got_rows = _rows(got, ["user_id", "session_start_sec", "n_events", "sum_value"])
+    batch_rows = set(_rows(batch, ["user_id", "session_start_sec",
+                                   "n_events", "sum_value"]))
+    missing = [r for r in got_rows if r not in batch_rows]
+    assert not missing, f"streaming sessions disagree with batch: {missing[:5]}"
+
+
+def test_incremental_pending_anti_join(spark):
+    cand = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    done = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["id"])
+    pending = sw.incremental_pending(cand, done, ["id"])
+    assert sorted(r.id for r in pending.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    sw.foreach_batch_upsert(df, 0, target, ["k"])
+    out = spark.read.parquet(target)
+    assert out.count() == 2

@@ -1,6 +1,179 @@
-"""Batch-equivalent window queries over `events` (tumbling / sliding /
-session), oracle-checked; the true Structured Streaming forms live in
-transcript_analysis_spark/streaming/.
+"""Batch-equivalent window queries over `events` (SURVEY §2.9).
+
+The reference has no true stream processing — its incremental
+constructs (T1-T5) are restartable batch. The Spark-native
+generalization is windowed event-time processing; these queries are
+the deterministic batch forms (oracle-checked), and
+`transcript_analysis_spark/streaming/windows.py` runs the same logic
+as Structured Streaming with watermarks (tested against these batch
+results in tests/test_streaming.py).
+
+Timestamp parity: events.ts is nanosecond-precision parquet; Spark
+reads micros (see sources/tables.py), DuckDB reads nanos. All group
+keys and outputs are truncated to whole seconds or coarser, so both
+engines agree exactly.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import load_table
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+@register(
+    "tumbling_hourly_event_stats",
+    oracle="""
+    SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)            AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    headline=True,
+    tags=("T1", "streaming", "window"),
+)
+def tumbling_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form). The streaming
+    form is the same plan with readStream + withWatermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+@register(
+    "sliding_10min_event_stats",
+    oracle="""
+    WITH cand AS (
+      SELECT e.*, unnest([
+               time_bucket(INTERVAL '5 minutes', ts),
+               time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+             ]) AS window_start
+      FROM events e
+    )
+    SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM cand
+    GROUP BY cand.window_start
+    """,
+    tags=("streaming", "window"),
+)
+def sliding_10min_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide (each event
+    belongs to exactly 2 windows). Spark's `window(ts, len, slide)`
+    replicates rows per overlapping window; the oracle derives the same
+    two epoch-aligned starts per event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_windows_per_user",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, value, sec,
+             CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                       > {SESSION_GAP_SEC}
+                  OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, value, sec,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(sec)             AS session_start_sec,
+           MAX(sec)             AS session_end_sec,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user gaps-and-islands with a 30-minute
+    inactivity gap (the reference's T2 task-claim sessions generalized;
+    streaming form uses `session_window()`). Boundaries computed on
+    whole-second epochs so both engines agree exactly.
+
+    Note: ties on the same second sort together; the cumulative-flag
+    formulation is order-stable because the flag depends only on the
+    sec values, not row order within a second."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "value",
+        F.unix_timestamp("ts").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("sec").over(w).isNull()
+               | ((F.col("sec") - F.lag("sec").over(w)) > SESSION_GAP_SEC), 1)
+         .otherwise(0))
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.min("sec").alias("session_start_sec"),
+             F.max("sec").alias("session_end_sec"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("streaming", "W6"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix (lag over event time) — the
+    ordered-iteration-with-state family W6 as a window function."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", "event_id",
+                 F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,136 @@
+"""Structured Streaming operators over the `events` table.
+
+The Spark-native generalization of the reference's incremental batch
+constructs (SURVEY §2.9 T1-T5): event-time windows + watermarks
+replace the Postgres task queue / status machine; an idempotent sink
+(`foreachBatch` upsert) replaces `ON CONFLICT DO NOTHING`
+(reference `island_worker.py:114-127`, `run_8values_survey.py:374-389`).
+
+Stream source: the parquet file source (a directory watched for new
+files) — at cluster scale the same plans run unchanged against
+Kafka/Kinesis sources. Batch-equivalence of every streaming plan here
+is asserted in tests/test_streaming.py against the oracle-checked
+batch forms in plans/streaming_batch.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS) which Spark surfaces as
+# long under spark.sql.legacy.parquet.nanosAsLong (see sources/tables).
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  stream_dir: str | None = None) -> DataFrame:
+    """readStream over events.parquet.
+
+    The file source needs a directory; we expose the single driver
+    parquet file through a symlinked temp dir (read-only on the
+    original). `maxFilesPerTrigger=1` keeps micro-batches realistic.
+    """
+    if stream_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming form of plans/streaming_batch.tumbling_hourly_event_stats."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value", "approx_users")
+    )
+
+
+def sliding_10min(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming form of plans/streaming_batch.sliding_10min_event_stats."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "n_events", "sum_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming sessionization via `session_window()` — the native
+    stateful operator form of
+    plans/streaming_batch.session_windows_per_user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id",
+                F.unix_timestamp("w.start").alias("session_start_sec"),
+                F.unix_timestamp("w.end").alias("session_end_sec"),
+                "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str,
+                         output_mode: str = "append") -> DataFrame:
+    """Execute a streaming plan to completion over the available files
+    and return the materialized result as a batch DataFrame.
+
+    `processAllAvailable` drains every micro-batch; Spark then runs a
+    final no-data micro-batch when the watermark advances, flushing
+    closed windows in append mode.
+    """
+    spark = df.sparkSession
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def incremental_pending(candidates: DataFrame, done: DataFrame,
+                        keys: list[str]) -> DataFrame:
+    """T1 — the reference's core incremental operator: pending work
+    derived as candidates ANTI JOIN done
+    (`client/async_processing_client.py:12-14,226-248`). Restart-free:
+    no positive checkpoint state, exactly the reference's semantics."""
+    return candidates.join(done, keys, "left_anti")
+
+
+def foreach_batch_upsert(batch_df: DataFrame, batch_id: int,
+                         target_path: str, keys: list[str]) -> None:
+    """Idempotent micro-batch sink: dropDuplicates-on-key then
+    dynamic-partition-overwrite append — the parquet-only emulation of
+    Delta MERGE (reference `ON CONFLICT DO NOTHING`,
+    `island_worker.py:114-127`). Exactly-once under retries because a
+    replayed batch rewrites the same keys to the same values."""
+    (batch_df.dropDuplicates(keys)
+     .write.mode("append").parquet(target_path))
