@@ -1,0 +1,135 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / frame-sample as Arrow-batched pandas
+operators.
+
+Design (per the build brief): image/audio/video payloads are
+`BinaryType` columns with a `kind` discriminator and a typed metadata
+struct. The heavy steps run as `mapInPandas` — per-partition Arrow
+batches, so codec libraries initialize once per partition, never per
+row. The actual codecs (PIL/librosa/ffmpeg) are NOT in this
+container, so decode is stubbed behind an import-try with a
+deterministic byte-statistics fake; everything Spark-side — schema,
+partitioning, batch shape, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),          # image | audio | video
+    StructField("payload", BinaryType()),       # opaque encoded bytes
+    StructField("meta", StructType([            # typed, kind-specific
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ])),
+])
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("features", ArrayType(DoubleType())),
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_index", IntegerType()),
+    StructField("frame_bytes", LongType()),
+])
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic media table from `documents`: payload =
+    UTF-8 bytes of the text (standing in for encoded image/audio),
+    kind cycling by doc_id, metadata from n_chars."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 30 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"))
+
+
+def _decode_real(payload: bytes, kind: str) -> list[float]:
+    """Real decode path — requires codec libs absent from this
+    container. Kept so the wiring is visible and testable."""
+    raise NotImplementedError(
+        "codec libraries (PIL/librosa/av) are not available in this "
+        "environment; use the deterministic fake decode")
+
+
+def _decode_fake(payload: bytes, kind: str) -> list[float]:
+    """Deterministic stand-in: byte-statistics 'features' so tests and
+    downstream similarity plumbing have stable real numbers."""
+    n = len(payload) or 1
+    feats = []
+    for d in range(FEATURE_DIM):
+        s = sum(payload[i] for i in range(d, len(payload), FEATURE_DIM))
+        feats.append(round(s / n, 6))
+    return feats
+
+
+def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """payload -> fixed-dim feature vector via mapInPandas (Arrow
+    batches; decoder state initialized once per partition)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_real if use_real_codecs else _decode_fake
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "features": [decode(p, k) for p, k in
+                             zip(pdf["payload"], pdf["kind"])],
+            })
+            yield out
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int = 7) -> DataFrame:
+    """Frame sampling for video payloads (UDTF shape: 1 row -> N
+    frames). Frame boundaries are byte-range slices of the payload —
+    with real codecs this is the keyframe index walk."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                n_frames = int(row["meta"]["n_frames"])
+                total = len(row["payload"])
+                per = max(1, total // max(1, n_frames))
+                for fi in range(0, n_frames, stride):
+                    ids.append(row["media_id"])
+                    idxs.append(fi)
+                    sizes.append(min(per, total - fi * per))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_index": pd.Series(idxs, dtype="int32"),
+                "frame_bytes": pd.Series(sizes, dtype="int64"),
+            })
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)

@@ -640,3 +640,186 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_utf"),
         (F.octet_length(blob).cast("long") == F.length("text").cast("long"))
          .alias("is_ascii"))
+
+
+# ---------------------------------------------------------------------------
+# 8values survey math + LLM answer parsing (SURVEY §2.10 F7, §2.4 A11)
+# ---------------------------------------------------------------------------
+
+@register(
+    "eightvalues_axis_scores",
+    oracle="""
+    WITH resp AS (
+      SELECT o_custkey AS run_id,
+             o_orderkey % 10                         AS qid,
+             CAST(o_orderkey % 5 + 1 AS BIGINT)      AS answer,
+             CASE WHEN o_orderstatus = 'P' THEN CAST(0.0 AS DOUBLE)
+                  ELSE (3 - (o_orderkey % 5 + 1)) / CAST(2.0 AS DOUBLE)
+             END AS mult
+      FROM orders
+    ),
+    eff AS (
+      SELECT run_id, mult,
+             ((qid * 7 + 0) % 9) - 4 AS e_econ,
+             ((qid * 7 + 3) % 9) - 4 AS e_dipl,
+             ((qid * 7 + 6) % 9) - 4 AS e_govt,
+             ((qid * 7 + 9) % 9) - 4 AS e_scty
+      FROM resp
+    ),
+    agg AS (
+      SELECT run_id,
+             SUM(e_econ * mult) AS r_econ, SUM(ABS(e_econ)) AS m_econ,
+             SUM(e_dipl * mult) AS r_dipl, SUM(ABS(e_dipl)) AS m_dipl,
+             SUM(e_govt * mult) AS r_govt, SUM(ABS(e_govt)) AS m_govt,
+             SUM(e_scty * mult) AS r_scty, SUM(ABS(e_scty)) AS m_scty
+      FROM eff GROUP BY run_id
+    )
+    SELECT run_id,
+      CASE WHEN m_econ = 0 THEN CAST(50.0 AS DOUBLE)
+           ELSE ROUND(100 * (m_econ + r_econ) / (2 * m_econ), 3) END AS econ,
+      CASE WHEN m_dipl = 0 THEN CAST(50.0 AS DOUBLE)
+           ELSE ROUND(100 * (m_dipl + r_dipl) / (2 * m_dipl), 3) END AS dipl,
+      CASE WHEN m_govt = 0 THEN CAST(50.0 AS DOUBLE)
+           ELSE ROUND(100 * (m_govt + r_govt) / (2 * m_govt), 3) END AS govt,
+      CASE WHEN m_scty = 0 THEN CAST(50.0 AS DOUBLE)
+           ELSE ROUND(100 * (m_scty + r_scty) / (2 * m_scty), 3) END AS scty
+    FROM agg
+    """,
+    tags=("A11", "F8"),
+)
+def eightvalues_axis_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 8values axis reduction (reference
+    `run_8values_survey.py:306-324`): per run, per axis, raw +=
+    effect*multiplier and max += abs(effect); pct =
+    100*(max+raw)/(2*max) with the max=0 -> 50 branch and failed
+    responses treated as Neutral (multiplier 0, reference :316-319).
+    Responses are derived deterministically from `orders` (order =
+    answered question, status P = failed)."""
+    o = _t(spark, sf_dir, "orders")
+    answer = (F.col("o_orderkey") % 5 + 1).cast("long")
+    mult = (F.when(F.col("o_orderstatus") == "P", F.lit(0.0))
+            .otherwise((3 - answer) / F.lit(2.0)))
+    qid = F.col("o_orderkey") % 10
+    resp = o.select(F.col("o_custkey").alias("run_id"),
+                    qid.alias("qid"), mult.alias("mult"))
+    effs = {ax: ((F.col("qid") * 7 + off) % 9) - 4
+            for ax, off in [("econ", 0), ("dipl", 3), ("govt", 6), ("scty", 9)]}
+    eff = resp.select("run_id", "mult",
+                      *[e.alias(f"e_{ax}") for ax, e in effs.items()])
+    agg = eff.groupBy("run_id").agg(
+        *[F.sum(F.col(f"e_{ax}") * F.col("mult")).alias(f"r_{ax}")
+          for ax in effs],
+        *[F.sum(F.abs(F.col(f"e_{ax}"))).alias(f"m_{ax}") for ax in effs])
+    def pct(ax: str) -> Column:
+        m, r = F.col(f"m_{ax}"), F.col(f"r_{ax}")
+        return (F.when(m == 0, F.lit(50.0))
+                .otherwise(F.round(100 * (m + r) / (2 * m), 3)).alias(ax))
+    return agg.select("run_id", pct("econ"), pct("dipl"),
+                      pct("govt"), pct("scty"))
+
+
+@register(
+    "llm_answer_parse",
+    oracle=r"""
+    WITH raw AS (
+      SELECT event_id,
+             'Model says: ' ||
+             CASE WHEN event_id % 7 = 0 THEN 'rating 3 of 5' ELSE props END
+               AS llm_out
+      FROM events
+    ),
+    ext AS (
+      SELECT event_id, llm_out,
+             regexp_extract(llm_out, '\{[^}]*\}', 0) AS json_str,
+             regexp_extract(llm_out, '([1-5])', 1)   AS digit_str
+      FROM raw
+    ),
+    parsed AS (
+      SELECT event_id,
+             CASE WHEN json_str <> '' THEN
+               CAST(json_extract_string(json_str, '$.k') AS BIGINT) % 5 + 1
+             END AS json_answer,
+             CASE WHEN digit_str <> '' THEN CAST(digit_str AS BIGINT) END
+               AS digit_answer
+      FROM ext
+    )
+    SELECT event_id,
+           COALESCE(json_answer, digit_answer, 3) AS answer,
+           CASE WHEN json_answer IS NOT NULL THEN 'json'
+                WHEN digit_answer IS NOT NULL THEN 'digit'
+                ELSE 'default' END AS parse_mode
+    FROM parsed
+    """,
+    tags=("F7",),
+)
+def llm_answer_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM answer parsing (reference `parse_answer`,
+    `run_8values_survey.py:222-262`): extract the first {...} JSON
+    object from free text, fall back to a bare 1-5 digit, default
+    Neutral(3) — as a regexp_extract + from_json + coalesce chain, no
+    UDF."""
+    e = _t(spark, sf_dir, "events")
+    llm_out = F.concat(
+        F.lit("Model says: "),
+        F.when(F.col("event_id") % 7 == 0, F.lit("rating 3 of 5"))
+         .otherwise(F.col("props")))
+    ext = e.select(
+        "event_id",
+        F.regexp_extract(llm_out, r"\{[^}]*\}", 0).alias("json_str"),
+        F.regexp_extract(llm_out, r"([1-5])", 1).alias("digit_str"))
+    parsed = ext.select(
+        "event_id",
+        F.when(F.col("json_str") != "",
+               F.get_json_object("json_str", "$.k").cast("long") % 5 + 1)
+         .alias("json_answer"),
+        F.when(F.col("digit_str") != "",
+               F.col("digit_str").cast("long")).alias("digit_answer"))
+    return parsed.select(
+        "event_id",
+        F.coalesce("json_answer", "digit_answer", F.lit(3)).alias("answer"),
+        F.when(F.col("json_answer").isNotNull(), "json")
+         .when(F.col("digit_answer").isNotNull(), "digit")
+         .otherwise("default").alias("parse_mode"))
+
+
+# ---------------------------------------------------------------------------
+# Pandas-operator surface (rows-only checks: mapInPandas/applyInPandas
+# are not SQL-expressible; semantics are pytest-verified instead)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_bounded_chunks",
+    oracle=None,
+    tags=("W7", "F9"),
+)
+def token_bounded_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-bounded chunker (reference
+    `embed_transcripts_to_vector_db.py:265-360`) via applyInPandas —
+    see operators/chunking.py; invariants tested in tests/test_chunking.py."""
+    from transcript_analysis_spark.operators.chunking import token_bounded_chunks
+    docs = _t(spark, sf_dir, "documents")
+    return token_bounded_chunks(docs)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,
+    tags=("multimodal", "F6"),
+)
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> feature vectors via mapInPandas (deterministic
+    fake decode; real codecs stubbed) — see operators/multimodal.py."""
+    from transcript_analysis_spark.operators import multimodal as mm
+    return mm.extract_features(mm.synthetic_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_samples",
+    oracle=None,
+    tags=("multimodal",),
+)
+def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 row -> N frames UDTF shape) via
+    mapInPandas — see operators/multimodal.py."""
+    from transcript_analysis_spark.operators import multimodal as mm
+    return mm.sample_frames(mm.synthetic_media(spark, sf_dir))
