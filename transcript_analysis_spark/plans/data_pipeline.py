@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.registry import register
-from transcript_analysis_spark.sources.tables import load_table
+from transcript_analysis_spark.sources.tables import fanout, load_table
 
 MOD = 1_000_000_007
 # MinHash permutation parameters (a*h + b) % MOD — 8 perms, 4 bands x 2 rows.
@@ -81,7 +81,7 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = fanout(_t(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.split("text", " ").alias("words"))
         .select("doc_id", F.explode(F.expr(
@@ -219,7 +219,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: per-word hash -> per-bit +-1 votes -> sign.
     Near-dup docs differ in few bits (compare by hamming distance
     downstream); computed with two hash-aggregates."""
-    d = _t(spark, sf_dir, "documents")
+    d = fanout(_t(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wh = tok.select(
         "doc_id",
@@ -372,7 +372,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs, label-bucketed (the IVF
     pattern: compare only within a partition/cluster, never all-pairs).
     One shuffle on the bucket key; per-bucket pair generation."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = fanout(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
@@ -599,7 +599,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text rolling hash + winnowing-
     style min word hash, with the portable polynomial hash."""
-    d = _t(spark, sf_dir, "documents")
+    d = fanout(_t(spark, sf_dir, "documents"))
     fp = d.select("doc_id",
                   F.expr(spark_char_hash("text")).alias("fingerprint"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))

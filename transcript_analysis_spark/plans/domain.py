@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.operators import islands as isl
 from transcript_analysis_spark.plans.registry import register
-from transcript_analysis_spark.sources.tables import load_table
+from transcript_analysis_spark.sources.tables import fanout, load_table
 
 N_MODELS = 5
 
@@ -58,7 +58,7 @@ def _scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     697.9M-pair work matrix (SURVEY §2.3 J8); score arrays are computed
     as per-row JVM array expressions — no shuffle, no Python.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout(load_table(spark, sf_dir, "documents"))
     models = spark.range(N_MODELS).select(F.col("id").alias("model_id"))
     raw = _RAW_EXPR.format(w="w", pos="(i + 1)", model="model_id")
     return (
@@ -269,7 +269,7 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale both sides partition by the join key (ngram), the model
     tables are orders of magnitude smaller than the pair matrix, and
     no executor ever holds a 480 MB pickle (BASELINE.md)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
     # bigrams straight from the word array: zip(words[:-1], words[1:]) —
     # no self-join, no shuffle (W1's sliding window as array ops).

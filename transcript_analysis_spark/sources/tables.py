@@ -35,6 +35,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to engage every core.
+
+    The driver corpus ships one small parquet file per table, which
+    Spark scans as a single partition — any compute-heavy per-row work
+    (array smoothing, shingling, scoring) would run on one core. At
+    production scale the scan has thousands of splits and this is a
+    no-op decision; for single-file inputs the tiny shuffle (the raw
+    rows) buys full parallelism for everything downstream.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
