@@ -1,0 +1,126 @@
+"""Sinks (S2-S4, S7, S9), broadcast-model scoring (Option B), and
+external-service operators (S10/F6)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.operators.external import (
+    DeterministicFakeTransport, embed_documents)
+from transcript_analysis_spark.operators.scoring import (
+    NGramModel, score_with_broadcast_model)
+from transcript_analysis_spark.sources import sinks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- sinks --------------------------------------------------------------
+
+def test_replace_partitions_only_touches_written_keys(spark, tmp_path):
+    path = str(tmp_path / "scores")
+    df1 = spark.createDataFrame(
+        [(1, 10, 0.1), (1, 11, 0.2), (2, 10, 0.3)], ["model_id", "vid_id", "s"])
+    sinks.write_append(df1, path, partition_by=["model_id"])
+    # replace model 1's rows entirely; model 2 untouched (S3 semantics)
+    df2 = spark.createDataFrame([(1, 12, 0.9)], ["model_id", "vid_id", "s"])
+    sinks.replace_partitions(df2, path, partition_by=["model_id"])
+    out = {(r.model_id, r.vid_id): r.s
+           for r in spark.read.parquet(path).collect()}
+    assert out == {(1, 12): 0.9, (2, 10): 0.3}
+
+
+def test_upsert_by_key_update_and_nothing(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    sinks.upsert_by_key(base, path, ["k"])
+    # DO UPDATE: key 2 replaced, key 3 added
+    sinks.upsert_by_key(
+        spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]), path, ["k"])
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+    # DO NOTHING: key 3 kept as-is, key 4 added
+    sinks.upsert_by_key(
+        spark.createDataFrame([(3, "X"), (4, "d")], ["k", "v"]),
+        path, ["k"], do_update=False)
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_filtered_export_and_csv_roundtrip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = str(tmp_path / "dev_dump")
+    sinks.filtered_export(src, out, "c_nationkey = 3",
+                          columns=["c_custkey", "c_name", "c_nationkey"])
+    dumped = spark.read.parquet(out)
+    assert dumped.columns == ["c_custkey", "c_name", "c_nationkey"]
+    assert dumped.filter("c_nationkey <> 3").count() == 0
+    assert dumped.count() == src.filter("c_nationkey = 3").count()
+    # S7: CSV round-trip with explicit schema
+    csv_path = str(tmp_path / "csv")
+    dumped.write.option("header", True).csv(csv_path)
+    back = sinks.read_csv_source(spark, csv_path, dumped.schema)
+    assert back.schema == dumped.schema
+    assert back.count() == dumped.count()
+
+
+# --- Option B scoring ---------------------------------------------------
+
+def test_ngram_model_train_and_score():
+    corpus = [["a", "b", "c"], ["a", "b", "d"]]
+    m = NGramModel.train(corpus, n=2)
+    # P(b|a) = 1.0 -> log10 = 0
+    assert m.score("b", ("a",)) == 0.0
+    # P(c|b) = 0.5
+    assert m.score("c", ("b",)) == round(math.log10(0.5), 9)
+    # unseen bigram backs off to unigram with alpha penalty
+    exp = round(round(math.log10(2 / 6), 9) + math.log10(0.4), 9)
+    assert m.score("a", ("c",)) == exp
+    # fully unseen word -> floor
+    assert m.score("zzz", ("a",)) == -7.0
+
+
+def test_broadcast_scoring_matches_local(spark):
+    corpus_df = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    texts = [r.text for r in corpus_df.collect()]
+    model = NGramModel.train([t.split(" ") for t in texts[:10]])
+    scored = score_with_broadcast_model(corpus_df, model)
+    got = {r.doc_id: r.score for r in scored.select("doc_id", "score").collect()}
+    by_id = {r.doc_id: r.text for r in corpus_df.collect()}
+    for doc_id, text in list(by_id.items())[:5]:
+        exp = model.score_words(text.split(" "))
+        assert got[doc_id] == exp
+        assert len(exp) == len(text.split(" "))  # one score per word
+
+
+# --- external service ---------------------------------------------------
+
+def test_embed_documents_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    out = embed_documents(
+        docs, hosts=["h1", "h2"],
+        transport_factory=lambda: DeterministicFakeTransport())
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.embedding) == 8 for r in rows)
+    assert all(r.attempts == 1 for r in rows)
+    # deterministic across runs
+    rows2 = embed_documents(
+        docs, hosts=["h1", "h2"],
+        transport_factory=lambda: DeterministicFakeTransport()).collect()
+    assert {r.doc_id: tuple(r.embedding) for r in rows} == \
+           {r.doc_id: tuple(r.embedding) for r in rows2}
+
+
+def test_embed_documents_retries_failures(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).coalesce(1)
+    out = embed_documents(
+        docs, hosts=["h1", "h2"],
+        transport_factory=lambda: DeterministicFakeTransport(fail_every=3))
+    rows = out.collect()
+    assert len(rows) == 20
+    # every third call fails -> some rows needed >1 attempt, all recovered
+    assert any(r.attempts > 1 for r in rows)
+    assert all(r.embedding is not None for r in rows)

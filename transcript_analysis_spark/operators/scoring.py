@@ -1,0 +1,103 @@
+"""N-gram model scoring — both designs from SURVEY §7.4.
+
+Option A (primary, used by plans/domain.ngram_model_score): models as
+DATA — `(model_id, ngram..., logprob)` count tables; scoring is a
+co-partitioned join with a back-off coalesce chain. Scales to 9,511
+models x 73k transcripts because no executor ever materializes a
+model: the pair matrix shuffles on the n-gram key.
+
+Option B (here): the faithful fallback — one in-memory model per job,
+broadcast to executors, scored by an Arrow-vectorized pandas UDF.
+This mirrors the reference's hot loop
+(`model.score(word, context)`, `client/async_processing_client.py:177-179`)
+including the `<s>`-padding and sliding-window prep
+(`prep_transcript`/`build_transcript_items`, :163-174), but without
+NLTK: the model is a plain dict {(context, word): logprob} with
+stupid-backoff — the contract SURVEY §7.3 defines. Use only when a
+model genuinely cannot be expressed as a table (bounded by executor
+memory — the exact limitation that motivates Option A).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+N_GRAM_SIZE = 4          # client/async_processing_client.py:50 (N_GRAM_SIZE)
+PAD_TOKEN = "<s>"        # pad_sequence left-pad, :163-165
+BACKOFF_ALPHA = 0.4      # stupid backoff
+FLOOR_LOGPROB = -7.0
+
+
+class NGramModel:
+    """Picklable n-gram model: ngram-tuple -> logprob, with
+    stupid-backoff scoring. The broadcast-able stand-in for the
+    reference's 480 MB pickled NLTK LM (`model_table.model_data`,
+    `sql/schema.sql:85-90`)."""
+
+    def __init__(self, logprobs: dict[tuple[str, ...], float]):
+        self.logprobs = logprobs
+
+    @classmethod
+    def train(cls, corpus: list[list[str]], n: int = N_GRAM_SIZE) -> "NGramModel":
+        """MLE counts for orders 1..n with left-padding, log10 probs."""
+        counts: dict[tuple[str, ...], int] = {}
+        ctx_counts: dict[tuple[str, ...], int] = {}
+        total = 0
+        for words in corpus:
+            padded = [PAD_TOKEN] * (n - 1) + words
+            total += len(words)
+            for order in range(1, n + 1):
+                for i in range(n - 1, len(padded)):
+                    gram = tuple(padded[i - order + 1:i + 1])
+                    counts[gram] = counts.get(gram, 0) + 1
+                    ctx_counts[gram[:-1]] = ctx_counts.get(gram[:-1], 0) + 1
+        logprobs = {}
+        for gram, c in counts.items():
+            denom = ctx_counts[gram[:-1]] if gram[:-1] else total
+            logprobs[gram] = round(math.log10(c / denom), 9)
+        return cls(logprobs)
+
+    def score(self, word: str, context: tuple[str, ...]) -> float:
+        """Stupid-backoff: try (ctx, word), back off to shorter
+        contexts with an alpha penalty, floor at FLOOR_LOGPROB."""
+        penalty = 0.0
+        for start in range(len(context) + 1):
+            gram = tuple(context[start:]) + (word,)
+            lp = self.logprobs.get(gram)
+            if lp is not None:
+                return round(lp + penalty, 9)
+            penalty += math.log10(BACKOFF_ALPHA)
+        return FLOOR_LOGPROB
+
+    def score_words(self, words: list[str], n: int = N_GRAM_SIZE) -> list[float]:
+        """Per-word score array — one score per word, context = the
+        n-1 preceding (padded) tokens; mirrors
+        `build_transcript_items` + `score_transcript_items`
+        (`client/async_processing_client.py:168-179`)."""
+        padded = [PAD_TOKEN] * (n - 1) + words
+        return [self.score(padded[i], tuple(padded[i - n + 1:i]))
+                for i in range(n - 1, len(padded))]
+
+
+def score_with_broadcast_model(docs: DataFrame, model: NGramModel,
+                               text_col: str = "text",
+                               out_col: str = "score") -> DataFrame:
+    """Option B: broadcast the model once, score word arrays with an
+    Arrow-batched pandas UDF (vectorized transfer; model deserialized
+    once per executor, not per row — the Spark form of the reference's
+    LRU model cache, `client/async_processing_client.py:336-361`)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def score_udf(texts: pd.Series) -> pd.Series:
+        m = bc.value
+        return texts.map(lambda t: m.score_words(t.split(" ")) if t else [])
+
+    return docs.withColumn(out_col, score_udf(F.col(text_col)))

@@ -142,6 +142,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_candidate_pairs",
+    headline=True,
     oracle=f"""
     WITH {_DUCK_SHINGLES},
     hashed AS (

@@ -450,3 +450,43 @@ def score_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("raw").alias("max_raw"),
         )
     )
+
+
+@register(
+    "scoring_progress",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    {_RAW_CTE},
+    pair AS (
+      SELECT doc_id, model_id,
+             COUNT(*) FILTER (WHERE raw >= CAST(0.5 AS DOUBLE)) AS n_high
+      FROM raw GROUP BY doc_id, model_id
+    ),
+    stats AS (
+      SELECT COUNT(*)                                AS total_pairs,
+             COUNT(*) FILTER (WHERE n_high > 0)      AS scored_pairs
+      FROM pair
+    )
+    SELECT total_pairs, scored_pairs,
+           ROUND(100 * CAST(scored_pairs AS DOUBLE) / total_pairs, 3)
+             AS pct_complete
+    FROM stats
+    """,
+    tags=("A12", "A7"),
+)
+def scoring_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-progress dashboard aggregate (reference
+    `server/dashboard.py:460-476`): scored pairs / expected work-matrix
+    size as a percentage."""
+    scored = _scored_documents(spark, sf_dir)
+    pair = scored.select(
+        "doc_id", "model_id",
+        F.size(F.expr("filter(raw, x -> x >= CAST(0.5 AS DOUBLE))"))
+         .alias("n_high"))
+    stats = pair.agg(
+        F.count(F.lit(1)).alias("total_pairs"),
+        F.count(F.when(F.col("n_high") > 0, 1)).alias("scored_pairs"))
+    return stats.select(
+        "total_pairs", "scored_pairs",
+        F.round(100 * F.col("scored_pairs").cast("double")
+                / F.col("total_pairs"), 3).alias("pct_complete"))

@@ -117,6 +117,7 @@ def sliding_10min_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, session_id
     """,
+    headline=True,
     tags=("streaming", "session"),
 )
 def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,105 @@
+"""Sinks — the reference's write patterns (SURVEY §2.1 S2-S4, S9),
+re-expressed for a file-based lakehouse.
+
+The reference hand-batches inserts (`execute_values`, SAVE_BATCH=10,
+commit_every=100 — X10); Spark's task-commit protocol subsumes all of
+that. What remains are the three upsert semantics and the filtered
+export:
+
+- S2 append: `df.write.mode("append")`.
+- S3 delete-then-insert (replace all rows of a partition key):
+  dynamic partition overwrite — the Spark form of
+  `DELETE ... USING (VALUES %s)` + INSERT per (vid, model)
+  (`client/async_processing_client.py:290-313`).
+- S4 idempotent upsert (`INSERT ... ON CONFLICT DO UPDATE/NOTHING`):
+  with Delta this is MERGE; on plain parquet it is read-existing ->
+  anti-join -> union -> rewrite (emulated per partition to keep the
+  rewrite bounded).
+- S9 filtered logical dump (`create_dev_database.py:40-124`): a
+  predicate-pushdown export — filter + partitioned write.
+
+All writers sort within partitions on the natural read key (X12's
+`CLUSTER` analog) so downstream scans get row-group skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_append(df: DataFrame, path: str,
+                 partition_by: list[str] | None = None,
+                 sort_by: list[str] | None = None) -> None:
+    """S2 — batched insert sink. Task-level atomic commit replaces the
+    reference's micro-transactions."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def replace_partitions(df: DataFrame, path: str,
+                       partition_by: list[str],
+                       sort_by: list[str] | None = None) -> None:
+    """S3 — delete-then-insert upsert: replace exactly the partitions
+    present in `df`, leave all others untouched (dynamic partition
+    overwrite). This is the reference's per-(vid,model) score replace
+    at file granularity."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        (df.write.mode("overwrite").partitionBy(*partition_by).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def upsert_by_key(df: DataFrame, path: str, keys: list[str],
+                  do_update: bool = True) -> None:
+    """S4 — idempotent upsert on plain parquet: existing rows whose
+    keys collide are replaced (ON CONFLICT DO UPDATE) or kept
+    (DO NOTHING). Emulation: read existing, anti-join one side, union,
+    rewrite. With Delta/Iceberg on the cluster this is a MERGE — the
+    emulation keeps the same contract for the parquet-only test env."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write — nothing to merge  # noqa: BLE001
+        df.dropDuplicates(keys).write.mode("overwrite").parquet(path)
+        return
+    incoming = df.dropDuplicates(keys)
+    if do_update:
+        keep = existing.join(incoming, keys, "left_anti")
+        merged = keep.unionByName(incoming)
+    else:
+        new_only = incoming.join(existing, keys, "left_anti")
+        merged = existing.unionByName(new_only)
+    # materialize before overwriting the files being read
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema)
+    out.write.mode("overwrite").parquet(path)
+
+
+def filtered_export(source: DataFrame, path: str, predicate: str,
+                    columns: list[str] | None = None,
+                    partition_by: list[str] | None = None) -> None:
+    """S9 — WHERE-pushdown export of a table subset (the reference's
+    filtered pg_dump dev-database builder). The filter and projection
+    reach the parquet scan via Catalyst pushdown."""
+    df = source.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv_source(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S7 — CSV bulk source with an explicit schema (never inferred for
+    the core model — SURVEY §1.3)."""
+    return spark.read.csv(path, header=True, schema=schema)
