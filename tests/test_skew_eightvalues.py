@@ -1,0 +1,89 @@
+"""Skew utilities + the 8values composite pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.operators import eightvalues as ev
+from transcript_analysis_spark.operators.skew import salted_aggregate, salted_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- skew ---------------------------------------------------------------
+
+def _skewed_df(spark):
+    # 90% of rows share one hot key
+    hot = spark.range(9000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(1000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+    return hot.unionByName(cold)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {(r.k): (r.n, r.total, r.lo, r.hi) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("v").alias("total"),
+                                 F.min("v").alias("lo"),
+                                 F.max("v").alias("hi")).collect()}
+    salted = {(r.k): (r.n, r.total, r.lo, r.hi) for r in
+              salted_aggregate(df, ["k"],
+                               {"n": "count(*)", "total": "sum(v)",
+                                "lo": "min(v)", "hi": "max(v)"}).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    left = _skewed_df(spark)
+    right = spark.range(60).select((F.col("id") + 1).alias("k"),
+                                   (F.col("id") * 10).alias("w"))
+    plain = sorted((r.k, r.v, r.w) for r in left.join(right, "k").collect())
+    salted = sorted((r.k, r.v, r.w)
+                    for r in salted_join(left, right, "k").collect())
+    assert salted == plain
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark):
+    with pytest.raises(ValueError):
+        salted_aggregate(_skewed_df(spark), ["k"], {"a": "avg(v)"})
+
+
+# --- 8values composite --------------------------------------------------
+
+def test_seed_runs_anti_join(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    runs = ev.seed_runs(docs, ["baseline", "probe"])
+    assert runs.count() == 20
+    done = runs.limit(5).select("run_id")
+    remaining = ev.seed_runs(docs, ["baseline", "probe"], done=done)
+    assert remaining.count() == 15
+
+
+def test_rag_top_chunks_bounded_and_ranked(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(15)
+    top = ev.rag_top_chunks(docs, "what is a filter?", top_k=3)
+    rows = top.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.sim)
+    assert all(len(v) <= 3 for v in by_doc.values())
+    assert len(by_doc) == 15
+
+
+def test_full_survey_scores_in_range(spark):
+    out = ev.run_survey(spark, SF_DIR, n_questions=8).limit(200).collect()
+    assert out
+    for r in out:
+        for ax in ("econ", "dipl", "govt", "scty"):
+            v = getattr(r, f"score_{ax}")
+            assert 0.0 <= v <= 100.0
+
+
+def test_survey_deterministic(spark):
+    a = sorted((r.run_id, r.score_econ) for r in
+               ev.run_survey(spark, SF_DIR, n_questions=4).limit(50).collect())
+    b = sorted((r.run_id, r.score_econ) for r in
+               ev.run_survey(spark, SF_DIR, n_questions=4).limit(50).collect())
+    assert a == b

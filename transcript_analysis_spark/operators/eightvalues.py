@@ -1,0 +1,153 @@
+"""The 8values survey pipeline — reference entry point #3
+(`run_8values_survey.py`, SURVEY §3.3) composed end-to-end from this
+engine's operators:
+
+    seed (cross join x anti join)                      J8 + J4
+    -> RAG retrieval: chunk -> embed -> cosine top-k   F9/F6/F5
+    -> answer (external LLM; deterministic fake here)  F6
+    -> parse_answer fallback chain                     F7
+    -> axis scores                                     A11
+
+Each stage is an engine operator used elsewhere; this module is the
+composition, mirroring the reference's per-run loop as one declarative
+pipeline (no task queue, no FOR UPDATE SKIP LOCKED — the driver
+schedules; incremental = anti-join of done).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.operators.chunking import token_bounded_chunks
+from transcript_analysis_spark.operators.external import (
+    DeterministicFakeTransport, embed_documents)
+
+TOP_K = 6  # run_8values_survey.py:572 (--top-k default)
+
+
+def seed_runs(docs: DataFrame, modes: list[str],
+              done: DataFrame | None = None) -> DataFrame:
+    """Expected-work seeding: modes x documents, minus already-done
+    (reference `run_8values_survey.py:468-504`: INSERT ... ON CONFLICT
+    DO NOTHING becomes crossJoin + left_anti)."""
+    spark = docs.sparkSession
+    mode_df = spark.createDataFrame([(m,) for m in modes], ["mode"])
+    runs = (docs.select("doc_id").distinct()
+            .crossJoin(F.broadcast(mode_df))
+            .withColumn("run_id",
+                        F.concat_ws("_", F.col("mode"), F.col("doc_id"))))
+    if done is not None:
+        runs = runs.join(done, ["run_id"], "left_anti")
+    return runs
+
+
+def rag_top_chunks(docs: DataFrame, question: str,
+                   top_k: int = TOP_K) -> DataFrame:
+    """Transcript-RAG context retrieval (reference
+    `get_vid_chunks` + `cosine_top_k`, `run_8values_survey.py:269-288`):
+    chunk every doc, embed chunks and the question through the
+    external-service operator, take the per-doc cosine top-k.
+
+    The question vector is computed once and broadcast (the
+    reference's question-vector cache, :345-349, for free)."""
+    spark = docs.sparkSession
+    chunks = token_bounded_chunks(docs)
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_index")).alias("doc_id"),
+        F.col("text"))
+    embedded = embed_documents(
+        chunk_docs, hosts=["fake-host"],
+        transport_factory=lambda: DeterministicFakeTransport())
+    q_df = spark.createDataFrame([(0, question)], ["doc_id", "text"])
+    q_vec = embed_documents(
+        q_df, hosts=["fake-host"],
+        transport_factory=lambda: DeterministicFakeTransport()
+    ).select(F.col("embedding").alias("qv"))
+    dot = "aggregate(zip_with(embedding, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nv = "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    scored = (
+        embedded.crossJoin(F.broadcast(q_vec))
+        .select(
+            (F.col("doc_id") / 1000).cast("long").alias("doc_id"),
+            (F.col("doc_id") % 1000).cast("int").alias("chunk_index"),
+            F.round(F.expr(dot) / (F.sqrt(F.expr(nv)) * F.sqrt(F.expr(nq))), 6)
+             .alias("sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("chunk_index"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_k)
+            .drop("rk"))
+
+
+def fake_llm_answer(runs_with_context: DataFrame) -> DataFrame:
+    """Deterministic stand-in for the Ollama chat call: answer text
+    embeds a JSON fragment derived from the run key (so the parse
+    chain downstream is exercised on realistic-shaped text)."""
+    return runs_with_context.withColumn(
+        "llm_out",
+        F.concat(F.lit('The assistant replies: {"answer": '),
+                 (F.crc32(F.concat_ws("#", "run_id", "question_id")) % 5 + 1)
+                  .cast("string"),
+                 F.lit(', "confidence": 0.8}')))
+
+
+def parse_answers(responses: DataFrame) -> DataFrame:
+    """F7 parse chain (reference `parse_answer`,
+    `run_8values_survey.py:222-262`): JSON object -> bare digit ->
+    Neutral(3)."""
+    ext = responses.withColumns({
+        "json_str": F.regexp_extract("llm_out", r"\{[^}]*\}", 0),
+        "digit_str": F.regexp_extract("llm_out", r"([1-5])", 1),
+    })
+    return ext.withColumn(
+        "answer",
+        F.coalesce(
+            F.when(F.col("json_str") != "",
+                   F.get_json_object("json_str", "$.answer").cast("long")),
+            F.when(F.col("digit_str") != "",
+                   F.col("digit_str").cast("long")),
+            F.lit(3))).drop("json_str", "digit_str")
+
+
+def axis_scores(answers: DataFrame, questions: DataFrame) -> DataFrame:
+    """A11 reduction (reference `compute_axis_scores`,
+    `run_8values_survey.py:306-324`) over parsed answers x question
+    effect vectors; answer 1..5 -> multiplier {1,.5,0,-.5,-1}."""
+    mult = (3 - F.col("answer")) / F.lit(2.0)
+    joined = (answers.join(F.broadcast(questions), "question_id")
+              .withColumn("mult", mult))
+    agg = joined.groupBy("run_id").agg(
+        *[F.sum(F.col(f"effect_{ax}") * F.col("mult")).alias(f"raw_{ax}")
+          for ax in ("econ", "dipl", "govt", "scty")],
+        *[F.sum(F.abs(F.col(f"effect_{ax}"))).alias(f"max_{ax}")
+          for ax in ("econ", "dipl", "govt", "scty")])
+    cols = [F.col("run_id")]
+    for ax in ("econ", "dipl", "govt", "scty"):
+        m, r = F.col(f"max_{ax}"), F.col(f"raw_{ax}")
+        cols.append(F.when(m == 0, F.lit(50.0))
+                    .otherwise(F.round(100 * (m + r) / (2 * m), 3))
+                    .alias(f"score_{ax}"))
+    return agg.select(*cols)
+
+
+def run_survey(spark: SparkSession, sf_dir: str,
+               n_questions: int = 10,
+               modes: list[str] = ("baseline", "transcript")) -> DataFrame:
+    """End-to-end survey over the documents corpus: per (mode, doc)
+    run, answer each question (RAG context in transcript mode), parse,
+    reduce to 4-axis scores."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    questions = spark.createDataFrame(
+        [(q, f"Question {q}?",
+          ((q * 7) % 9) - 4, ((q * 7 + 3) % 9) - 4,
+          ((q * 7 + 6) % 9) - 4, ((q * 7 + 9) % 9) - 4)
+         for q in range(n_questions)],
+        ["question_id", "question_text",
+         "effect_econ", "effect_dipl", "effect_govt", "effect_scty"])
+    runs = seed_runs(docs, list(modes))
+    pairs = runs.crossJoin(F.broadcast(questions.select("question_id")))
+    responses = fake_llm_answer(pairs)
+    answers = parse_answers(responses)
+    return axis_scores(answers, questions)

@@ -1,0 +1,68 @@
+"""Skew mitigation — salting for hot keys (SURVEY §4 X6/X7; §7.1
+step 7: "a handful of models/videos dominate").
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions. Salting is the
+explicit fallback for the cases AQE cannot fix: skewed AGGREGATION
+keys and skewed BROADCAST-ineligible joins. Both are provided here as
+composable operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(df: DataFrame, keys: list[str], aggs: dict[str, str],
+                     salt_buckets: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 aggregates on (key, salt) — the hot key's rows spread over
+    `salt_buckets` reducers; phase 2 merges the partials on the key
+    alone (tiny input: buckets x distinct keys). Only algebraic
+    aggregates are supported: sum, count, min, max.
+
+    `aggs` maps output column -> "fn(col)" e.g. {"n": "count(*)",
+    "total": "sum(x)"}.
+    """
+    salted = df.withColumn(
+        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int"))
+    phase1_aggs, phase2_aggs = [], []
+    for out, spec in aggs.items():
+        fn, col = spec.rstrip(")").split("(", 1)
+        fn = fn.strip().lower()
+        part = f"__p_{out}"
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1) if col == "*" else F.col(col))
+                               .alias(part))
+            phase2_aggs.append(F.sum(part).cast("long").alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(part))
+            phase2_aggs.append(F.sum(part).alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(part))
+            phase2_aggs.append(F.min(part).alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(part))
+            phase2_aggs.append(F.max(part).alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {spec}")
+    partials = salted.groupBy(*keys, "__salt").agg(*phase1_aggs)
+    return partials.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skewed equi-join: salt the (large, skewed) left side with a
+    random bucket; replicate the right side across all buckets.
+    Correct for 1:N joins where `right` is modest but too large to
+    broadcast; for dims that fit in memory, prefer broadcast().
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int"))
+    buckets = left.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("__salt"))
+    replicated_right = right.crossJoin(F.broadcast(buckets))
+    out = salted_left.join(replicated_right, [key, "__salt"], how)
+    return out.drop("__salt")

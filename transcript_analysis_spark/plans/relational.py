@@ -620,3 +620,39 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "sql_frontend_revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*)                                              AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    headline=True,
+    tags=("sql", "J1"),
+)
+def sql_frontend_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql frontend surface: the same Catalyst plans are
+    reachable through ANSI SQL over registered views (the engine's
+    second API, replacing the reference's SQL-strings-to-Postgres
+    path). 5-way star join: Catalyst broadcast-joins every dim."""
+    from transcript_analysis_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT r.r_name,
+               COUNT(*)                                              AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)
