@@ -476,7 +476,7 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (o.select("o_custkey", "o_orderkey", "o_totalprice",
-                     F.row_number().over(w).alias("rk"))
+                     F.row_number().over(w).cast("long").alias("rk"))
             .filter(F.col("rk") <= 3))
 
 
@@ -590,7 +590,7 @@ def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.trim(norm) == "", F.lit(0))
          .otherwise(F.size(F.split(F.trim(norm), r"\s+")))
-         .alias("word_count"),
+         .cast("long").alias("word_count"),
         norm.alias("text_formatted"),
     )
 
