@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis): the Spark operators against
+independent pure-Python/NumPy references on arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
+
+from tests.test_islands import SCHEMA, ref_find_islands, ref_smooth
+from transcript_analysis_spark.operators import islands as isl
+from transcript_analysis_spark.operators.chunking import (est_tokens,
+                                                          greedy_chunk_words)
+
+# one shared spark session comes from conftest; hypothesis drives data
+
+
+scores_strategy = st.lists(
+    st.one_of(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        st.just(float("nan")),
+        st.just(float("inf")),
+    ),
+    min_size=1, max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(arrays=st.lists(scores_strategy, min_size=1, max_size=6))
+def test_islands_match_numpy_reference(spark, arrays):
+    rows = [(i, 0, [float(x) for x in arr]) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sm = isl.smooth_scores(df, score_col="score", out_col="smoothed")
+    found = isl.find_islands(sm, keys=["vid_id", "model_id"],
+                             score_col="score", smoothed_col="smoothed")
+    got: dict[int, list] = {}
+    for r in found.collect():
+        got.setdefault(r.vid_id, []).append((r.start_index, r.end_index))
+    for v in got.values():
+        v.sort()
+    for i, arr in enumerate(arrays):
+        # independent reference; rounding at 9dp can flip only exact
+        # borderline threshold hits, which random floats don't produce
+        exp = ref_find_islands(np.round(ref_smooth(arr), 12))
+        exp_rounded = ref_find_islands(
+            np.round(np.round(ref_smooth(arr), 9), 9))
+        assert got.get(i, []) in (exp, exp_rounded), (
+            f"array {i}: got {got.get(i, [])}, expected {exp}")
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    min_size=0, max_size=300)
+
+
+@settings(max_examples=50, deadline=None)
+@given(words=words_strategy,
+       max_tokens=st.integers(min_value=4, max_value=80),
+       min_tail=st.integers(min_value=1, max_value=10))
+def test_chunker_invariants(words, max_tokens, min_tail):
+    chunks = greedy_chunk_words(words, max_tokens=max_tokens,
+                                min_tail=min_tail)
+    if not words:
+        assert chunks == []
+        return
+    # tiles the doc exactly
+    assert chunks[0][0] == 1
+    assert chunks[-1][1] == len(words)
+    for (s1, e1, _, _), (s2, e2, _, _) in zip(chunks, chunks[1:]):
+        assert s2 == e1 + 1
+    for s, e, t, txt in chunks:
+        assert txt == " ".join(words[s - 1:e])
+        assert t == sum(est_tokens(w) for w in words[s - 1:e])
+    # budget: every non-final chunk within budget unless a single word
+    # exceeds it; final chunk may exceed only via tail-merge
+    for s, e, t, _ in chunks[:-1]:
+        assert t <= max_tokens or s == e

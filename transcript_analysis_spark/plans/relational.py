@@ -656,3 +656,140 @@ def sql_frontend_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFram
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """)
+
+
+@register(
+    "revenue_rollup_hierarchy",
+    oracle="""
+    SELECT COALESCE(r.r_name, '__ALL__')  AS region_name,
+           COALESCE(n.n_name, '__ALL__')  AS nation_name,
+           COUNT(*)                        AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)   AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    tags=("A5", "rollup"),
+)
+def revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total) — the
+    multi-level dashboard rollup in one pass (Spark expands grouping
+    sets in a single shuffle). NULL grouping markers are coalesced to a
+    sentinel so the oracle hash matches."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.coalesce("r_name", F.lit("__ALL__")).alias("region_name"),
+                F.coalesce("n_name", F.lit("__ALL__")).alias("nation_name"),
+                "n_orders", "revenue")
+    )
+
+
+@register(
+    "status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "A7"),
+)
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order-status columns per priority. Spark's
+    pivot with an explicit value list is one hash aggregate — no extra
+    pass to discover values."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"))
+
+
+@register(
+    "customer_order_ranks",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK()       OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT)     AS price_quartile,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                           AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "O3"),
+)
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family (rank / dense_rank / ntile / lead)
+    — introduced by the Spark translation of W4 (SURVEY §2.5 note) and
+    exposed as first-class operators."""
+    o = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(wp).cast("long").alias("price_rank"),
+        F.dense_rank().over(wp).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(wp).cast("long").alias("price_quartile"),
+        F.lead("o_orderkey").over(wd).alias("next_orderkey"))
+
+
+@register(
+    "null_semantics_audit",
+    oracle="""
+    WITH x AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+      FROM customer
+    )
+    SELECT COUNT(*)                                  AS n_rows,
+           COUNT(seg_or_null)                        AS n_nonnull_seg,
+           COUNT(DISTINCT seg_or_null)               AS n_distinct_seg,
+           ROUND(AVG(bal_or_null), 4)                AS avg_pos_bal,
+           ROUND(SUM(COALESCE(bal_or_null, 0)), 2)   AS sum_bal_zerofill,
+           COUNT(*) FILTER (WHERE seg_or_null IS NULL) AS n_null_seg
+    FROM x
+    """,
+    tags=("nulls", "A7"),
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL discipline in one query: NULLIF generation, COUNT(col) vs
+    COUNT(*), null-skipping AVG, COALESCE zero-fill, IS NULL counting
+    — the COALESCE-sentinel family of the reference
+    (`setup_8values.py:123-127`)."""
+    c = _t(spark, sf_dir, "customer")
+    x = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 0, None)
+         .otherwise(F.col("c_acctbal")).alias("bal_or_null"))
+    return x.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg_or_null").alias("n_nonnull_seg"),
+        F.countDistinct("seg_or_null").alias("n_distinct_seg"),
+        F.round(F.avg("bal_or_null"), 4).alias("avg_pos_bal"),
+        F.round(F.sum(F.coalesce("bal_or_null", F.lit(0.0))), 2)
+         .alias("sum_bal_zerofill"),
+        F.count(F.when(F.col("seg_or_null").isNull(), 1)).alias("n_null_seg"))
