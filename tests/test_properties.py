@@ -43,13 +43,27 @@ def test_islands_match_numpy_reference(spark, arrays):
     for v in got.values():
         v.sort()
     for i, arr in enumerate(arrays):
-        # independent reference; rounding at 9dp can flip only exact
-        # borderline threshold hits, which random floats don't produce
-        exp = ref_find_islands(np.round(ref_smooth(arr), 12))
-        exp_rounded = ref_find_islands(
-            np.round(np.round(ref_smooth(arr), 9), 9))
-        assert got.get(i, []) in (exp, exp_rounded), (
+        exp = ref_find_islands(contract_smooth(arr))
+        assert got.get(i, []) == exp, (
             f"array {i}: got {got.get(i, [])}, expected {exp}")
+
+
+def contract_smooth(values, size=10, sigma=5):
+    """NumPy mirror of the ENGINE's documented rounding contract
+    (operators/islands.py): convolution rounded to 9dp BEFORE
+    max-normalization, normalized values rounded to 9dp. This differs
+    from the reference only for pathological magnitudes (< 5e-10),
+    where the engine deliberately treats scores as zero."""
+    x = np.arange(-size, size + 1, dtype=float)
+    kernel = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    v = np.asarray(values, dtype=float)
+    v = np.where(np.isfinite(v), v, 0.0)
+    padded = np.concatenate((np.zeros(size), v, np.zeros(size)))
+    conv = np.round(np.convolve(padded, kernel, mode="valid"), 9)
+    m = conv.max()
+    if m > 0:
+        conv = np.round(conv / m, 9)
+    return conv
 
 
 words_strategy = st.lists(

@@ -48,6 +48,13 @@ TIME_PAD_SECONDS = 5           # build_islands_from_scores.py:40
 # Number of decimal places floats are rounded to at engine-comparison
 # boundaries (smoothed values feed a >= threshold comparison, so both
 # engines must agree bit-for-bit after rounding).
+#
+# Deliberate contract edge: the convolution is rounded BEFORE
+# max-normalization, so score arrays whose every value is < 5e-10
+# normalize to zero and produce no islands — the reference (no
+# rounding) would normalize by the tiny max instead. Real scores are
+# probabilities/log-probs far above this; the determinism is worth the
+# divergence (found and pinned by tests/test_properties.py).
 SMOOTH_ROUND = 9
 SCORE_ROUND = 6
 
@@ -133,20 +140,21 @@ def find_islands(df: DataFrame,
     `above_threshold=False` flips the comparison (reference
     `find_islands(above_threshold=False)`, :92-98).
     """
-    pos = (
-        df.select(
-            *keys,
-            F.posexplode(F.arrays_zip(F.col(smoothed_col).alias("sm"),
-                                      F.col(score_col).alias("raw")))
-             .alias("pos0", "z"))
-        .select(*keys, "pos0",
+    # Build the candidate list inside the array, BEFORE exploding:
+    # the explode and the window shuffle then carry only
+    # above-threshold positions (usually a small fraction), not every
+    # score — the filter is pushed to the map side by construction.
+    op = ">=" if above_threshold else "<="
+    cand = (
+        f"filter(transform({smoothed_col}, (x, i) -> "
+        f"struct(i as pos0, x as sm, element_at({score_col}, i + 1) as raw)),"
+        f" s -> s.sm {op} {threshold!r}D)"
+    )
+    flagged = (
+        df.select(*keys, F.explode(F.expr(cand)).alias("z"))
+        .select(*keys, F.col("z.pos0").alias("pos0"),
                 F.col("z.sm").alias("sm"), F.col("z.raw").alias("raw"))
     )
-    if above_threshold:
-        flag = F.col("sm") >= threshold
-    else:
-        flag = F.col("sm") <= threshold
-    flagged = pos.filter(flag)
     w = Window.partitionBy(*keys).orderBy("pos0")
     grouped = flagged.withColumn(
         "island_grp", F.col("pos0") - F.row_number().over(w))

@@ -21,7 +21,26 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because
+    the driver's verify harness may run queries under its own
+    SparkSession (not session.py's):
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which
+      Spark cannot read natively — without this flag the scan throws
+      PARQUET_TYPE_ILLEGAL.
+    - UTC session timezone: date_format/unix_timestamp outputs must
+      match the DuckDB oracle's UTC-naive timestamps.
+
+    Both are runtime-settable SQL confs; setting them repeatedly is
+    free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos
