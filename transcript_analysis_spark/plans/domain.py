@@ -250,8 +250,9 @@ def islands_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot t ON t.model_source = p.model_source
     )
     SELECT doc_id, model_source,
-           ROUND(AVG(logp), 6) AS avg_logprob,
-           COUNT(*)            AS n_ngrams
+           ROUND(SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))
+                 / (COUNT(*) * CAST(1e9 AS DOUBLE)), 6) AS avg_logprob,
+           COUNT(*)                                     AS n_ngrams
     FROM scored
     GROUP BY doc_id, model_source
     """,
@@ -313,8 +314,15 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.lit(-7.0))
              .alias("logp"))
     )
+    # The 9dp-rounded logps are summed as exact scaled integers so the
+    # per-group average is independent of summation order (engine
+    # aggregation order is arbitrary; a float sum could land on a 6dp
+    # rounding boundary and flip the last digit between engines).
     return (scored.groupBy("doc_id", "model_source")
-            .agg(F.round(F.avg("logp"), 6).alias("avg_logprob"),
+            .agg(F.round(
+                    F.sum(F.round(F.col("logp") * 1e9, 0).cast("long"))
+                    / (F.count(F.lit(1)) * F.lit(1e9)), 6)
+                 .alias("avg_logprob"),
                  F.count(F.lit(1)).alias("n_ngrams")))
 
 
