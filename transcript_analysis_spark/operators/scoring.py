@@ -85,6 +85,75 @@ class NGramModel:
                 for i in range(n - 1, len(padded))]
 
 
+def ngram_table(spark, model: NGramModel) -> DataFrame:
+    """Option A's model representation: the model AS a DataFrame of
+    (ngram key, order, logprob) rows — what `model_table.model_data
+    BYTEA` becomes when pickles are abandoned for tables (the
+    reference's own roadmap direction, `ROADMAP.md:61-66`)."""
+    rows = [(" ".join(gram), len(gram), lp)
+            for gram, lp in model.logprobs.items()]
+    from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("ngram_key", StringType()),
+        StructField("ngram_order", IntegerType()),
+        StructField("logprob", DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def score_with_ngram_table(docs: DataFrame, table: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n: int = N_GRAM_SIZE,
+                           out_col: str = "score") -> DataFrame:
+    """Option A scoring: explode per-word n-gram keys, LEFT JOIN the
+    model table once per back-off order, coalesce down the chain with
+    accumulated alpha penalties, reassemble the per-word score array
+    with the ordered-collect contract (SURVEY §7.3).
+
+    Produces bit-identical scores to
+    `score_with_broadcast_model` (equivalence-tested) — the same
+    contract, executed as distributed joins instead of a broadcast
+    model. At production scale the table is partitioned/bucketed by
+    ngram_key and no executor holds a model."""
+    # per-position keys for orders n..1 over the <s>-padded token array
+    keys_struct = ", ".join(
+        f"concat_ws(' ', slice(padded, i + {n + 1 - k}, {k})) as k{k}"
+        for k in range(1, n + 1))
+    exploded = (
+        docs.select(
+            id_col,
+            F.expr(f"concat(array_repeat('{PAD_TOKEN}', {n - 1}),"
+                   f" split({text_col}, ' '))").alias("padded"),
+            F.expr(f"size(split({text_col}, ' '))").alias("nw"))
+        .select(id_col, F.explode(F.expr(
+            f"transform(sequence(0, nw - 1),"
+            f" i -> struct(i as pos, {keys_struct}))")).alias("z"))
+        .select(id_col, "z.*")
+    )
+    # accumulated penalties exactly as NGramModel.score accumulates them
+    penalties = [0.0]
+    for _ in range(n - 1):
+        penalties.append(penalties[-1] + math.log10(BACKOFF_ALPHA))
+    joined = exploded
+    for k in range(n, 0, -1):
+        tk = (table.filter(F.col("ngram_order") == k)
+              .select(F.col("ngram_key").alias(f"k{k}"),
+                      F.col("logprob").alias(f"lp{k}")))
+        joined = joined.join(tk, f"k{k}", "left")
+    branches = [
+        F.when(F.col(f"lp{k}").isNotNull(),
+               F.round(F.col(f"lp{k}") + F.lit(penalties[n - k]), 9))
+        for k in range(n, 0, -1)
+    ]
+    score = F.coalesce(*branches, F.lit(FLOOR_LOGPROB))
+    scored = joined.select(id_col, "pos", score.alias("s"))
+    return (scored.groupBy(id_col)
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, s))),"
+                        " x -> x.s)").alias(out_col)))
+
+
 def score_with_broadcast_model(docs: DataFrame, model: NGramModel,
                                text_col: str = "text",
                                out_col: str = "score") -> DataFrame:
