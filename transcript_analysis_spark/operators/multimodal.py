@@ -78,14 +78,24 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         "environment; use the deterministic fake decode")
 
 
+def _round_half_up(x: float, places: int = 6) -> float:
+    """Half-away-from-zero rounding (SQL ROUND semantics; Python's
+    built-in round() is banker's rounding and would diverge from the
+    DuckDB oracle on exact .5 boundaries)."""
+    import math
+    scale = 10 ** places
+    return math.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
+
+
 def _decode_fake(payload: bytes, kind: str) -> list[float]:
     """Deterministic stand-in: byte-statistics 'features' so tests and
-    downstream similarity plumbing have stable real numbers."""
+    downstream similarity plumbing have stable real numbers. Pure
+    integer/byte arithmetic -> DuckDB-oracle-checkable."""
     n = len(payload) or 1
     feats = []
     for d in range(FEATURE_DIM):
         s = sum(payload[i] for i in range(d, len(payload), FEATURE_DIM))
-        feats.append(round(s / n, 6))
+        feats.append(_round_half_up(s / n, 6))
     return feats
 
 

@@ -790,7 +790,86 @@ def llm_answer_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_bounded_chunks",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' '))                 AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, pos,
+             GREATEST(1, CAST(CEIL(length(word) / 4.0) AS BIGINT)) AS t
+      FROM tok
+    ),
+    cums AS (
+      SELECT doc_id, pos, t,
+             SUM(t) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+      FROM toks
+    ),
+    wc AS (SELECT doc_id, MAX(pos) AS nw, MAX(cum) AS total_toks
+           FROM cums GROUP BY doc_id),
+    -- greedy reach: from start s, the furthest e with sum(s..e) <= 60;
+    -- an oversized single word falls back to e = s
+    ends AS (
+      SELECT s.doc_id, s.pos AS start_pos,
+             GREATEST(s.pos, COALESCE(MAX(e.pos), s.pos)) AS end_pos
+      FROM cums s
+      LEFT JOIN cums e
+        ON e.doc_id = s.doc_id AND e.pos >= s.pos
+       AND e.cum - (s.cum - s.t) <= 60
+      GROUP BY s.doc_id, s.pos
+    ),
+    rec AS (
+      SELECT w.doc_id, 0 AS chunk_index, 1 AS start_pos,
+             (SELECT end_pos FROM ends x
+              WHERE x.doc_id = w.doc_id AND x.start_pos = 1) AS end_pos
+      FROM wc w WHERE w.nw >= 1
+      UNION ALL
+      SELECT r.doc_id, r.chunk_index + 1, r.end_pos + 1, x.end_pos
+      FROM rec r
+      JOIN wc w  ON w.doc_id = r.doc_id AND r.end_pos < w.nw
+      JOIN ends x ON x.doc_id = r.doc_id AND x.start_pos = r.end_pos + 1
+    ),
+    sized AS (
+      SELECT r.doc_id, r.chunk_index, r.start_pos, r.end_pos,
+             ce.cum - COALESCE(cs.cum - cs.t, 0) AS n_toks,
+             MAX(r.chunk_index) OVER (PARTITION BY r.doc_id) AS last_ci
+      FROM rec r
+      JOIN cums cs ON cs.doc_id = r.doc_id AND cs.pos = r.start_pos
+      JOIN cums ce ON ce.doc_id = r.doc_id AND ce.pos = r.end_pos
+    ),
+    -- tail merge: a final chunk under 15 tokens joins the previous one
+    merged AS (
+      SELECT doc_id, chunk_index, start_pos,
+             CASE WHEN chunk_index = last_ci - 1
+                   AND LEAD(n_toks) OVER (PARTITION BY doc_id
+                                          ORDER BY chunk_index) < 15
+                  THEN LEAD(end_pos) OVER (PARTITION BY doc_id
+                                           ORDER BY chunk_index)
+                  ELSE end_pos END AS end_pos,
+             CASE WHEN chunk_index = last_ci - 1
+                   AND LEAD(n_toks) OVER (PARTITION BY doc_id
+                                          ORDER BY chunk_index) < 15
+                  THEN n_toks + LEAD(n_toks) OVER (PARTITION BY doc_id
+                                                   ORDER BY chunk_index)
+                  ELSE n_toks END AS n_toks,
+             CASE WHEN chunk_index = last_ci AND chunk_index > 0
+                   AND n_toks < 15 THEN TRUE ELSE FALSE END AS dropped
+      FROM sized
+    ),
+    words AS (
+      SELECT doc_id, list(word ORDER BY pos) AS wl FROM tok GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(m.chunk_index AS INTEGER) AS chunk_index,
+           CAST(m.start_pos AS INTEGER)   AS start_word,
+           CAST(m.end_pos AS INTEGER)     AS end_word,
+           CAST(m.n_toks AS INTEGER)      AS n_tokens,
+           array_to_string(w.wl[m.start_pos:m.end_pos], ' ') AS text
+    FROM merged m JOIN words w ON w.doc_id = m.doc_id
+    WHERE NOT m.dropped
+    """,
     tags=("W7", "F9"),
 )
 def token_bounded_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,7 +883,32 @@ def token_bounded_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ''), 1) - 1 AS bi,
+             ascii(unnest(string_split(text, '')))              AS bv,
+             length(text)                                       AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, bi % 8 AS d, n,
+             CAST(SUM(bv) AS BIGINT) AS s
+      FROM ch GROUP BY doc_id, bi % 8, n
+    ),
+    feats AS (
+      SELECT doc_id,
+             list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY d) AS features
+      FROM dims GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END          AS kind,
+           CAST(length(d.text) AS BIGINT) AS n_bytes,
+           f.features                     AS features
+    FROM documents d JOIN feats f ON f.doc_id = d.doc_id
+    """,
     tags=("multimodal", "F6"),
 )
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +920,25 @@ def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_samples",
-    oracle=None,
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id                                   AS media_id,
+             CAST(length(text) AS BIGINT)             AS total,
+             CAST(n_chars % 30 + 1 AS BIGINT)         AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    v2 AS (
+      SELECT media_id, total, n_frames,
+             GREATEST(1, total // GREATEST(1, n_frames)) AS per
+      FROM vid
+    )
+    SELECT media_id,
+           CAST(unnest(generate_series(0, n_frames - 1, 7)) AS INTEGER)
+             AS frame_index,
+           LEAST(per, total - CAST(unnest(generate_series(0, n_frames - 1, 7))
+                                   AS BIGINT) * per) AS frame_bytes
+    FROM v2
+    """,
     tags=("multimodal",),
 )
 def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
