@@ -1,0 +1,43 @@
+"""Golden-output drift guards: stable fingerprints of key query
+results at sf0.001. A failure here means query SEMANTICS changed —
+if the change is intentional, re-derive the constants with the
+snippet in each assertion message.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fingerprint(df) -> tuple[int, str]:
+    cols = sorted(df.columns)
+    rows = sorted(
+        "|".join(repr(r[c]) for c in cols) for r in df.collect())
+    digest = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(rows), digest
+
+
+def _q(spark, name):
+    from transcript_analysis_spark.plans import all_queries
+    return all_queries()[name].fn(spark, SF_DIR)
+
+
+def test_islands_flagship_golden(spark):
+    n, d = _fingerprint(_q(spark, "islands_flagship"))
+    assert (n, d) == (3512, "e18413c03e77010b"), (
+        f"islands output drifted: ({n}, {d!r}) — if intentional, update "
+        f"via tests/test_golden_outputs.py::_fingerprint")
+
+
+def test_ngram_model_score_golden(spark):
+    n, d = _fingerprint(_q(spark, "ngram_model_score"))
+    assert (n, d) == (10000, "d33982e5fd2afc4d"), (
+        f"ngram scoring drifted: ({n}, {d!r})")
+
+
+def test_minhash_pairs_golden(spark):
+    n, d = _fingerprint(_q(spark, "minhash_lsh_candidate_pairs"))
+    assert (n, d) == (40, "a7e955acde2f6c3e"), (
+        f"minhash pairs drifted: ({n}, {d!r})")

@@ -793,3 +793,32 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.coalesce("bal_or_null", F.lit(0.0))), 2)
          .alias("sum_bal_zerofill"),
         F.count(F.when(F.col("seg_or_null").isNull(), 1)).alias("n_null_seg"))
+
+
+@register(
+    "handle_normalization",
+    oracle="""
+    SELECT c_custkey,
+           TRIM(LTRIM(LOWER(c_name), '@#'))               AS handle,
+           LEFT(c_name, 12)                               AS truncated,
+           CAST(LENGTH(REGEXP_REPLACE(c_name, '\\s+', '', 'g')) AS BIGINT)
+                                                          AS squeezed_len,
+           REPLACE(c_mktsegment, 'BUILD', 'BLD')          AS seg_short
+    FROM customer
+    """,
+    tags=("string", "scalar"),
+)
+def handle_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handle/label cleanup family (reference lstrip('@')/strip at
+    `server/dashboard.py:250,271`, whitespace-squeeze label
+    normalization `run_8values_survey.py:218-219`, str[:1000] error
+    truncation `island_worker.py:142`) as JVM string expressions."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.expr("ltrim('@#', lower(c_name))")).alias("handle"),
+        F.substring("c_name", 1, 12).alias("truncated"),
+        F.length(F.regexp_replace("c_name", r"\s+", "")).cast("long")
+         .alias("squeezed_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("BUILD"), F.lit("BLD"))
+         .alias("seg_short"))

@@ -178,3 +178,71 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "vtt_timestamp_parse",
+    oracle="""
+    WITH vtt AS (
+      SELECT event_id,
+             STRFTIME(ts, '%H:%M:%S') || '.' ||
+             LPAD(CAST(event_id % 1000 AS VARCHAR), 3, '0') AS vtt_ts
+      FROM events
+    )
+    SELECT event_id, vtt_ts,
+           ROUND(CAST(SPLIT_PART(vtt_ts, ':', 1) AS BIGINT) * 3600
+                 + CAST(SPLIT_PART(vtt_ts, ':', 2) AS BIGINT) * 60
+                 + CAST(SPLIT_PART(SPLIT_PART(vtt_ts, ':', 3), '.', 1) AS BIGINT)
+                 + CAST(SPLIT_PART(vtt_ts, '.', 2) AS BIGINT)
+                   / CAST(1000.0 AS DOUBLE), 3) AS seconds
+    FROM vtt
+    """,
+    tags=("date", "scalar"),
+)
+def vtt_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VTT caption timestamp parsing HH:MM:SS.mmm -> seconds
+    (reference `update_missing_transcripts.py:117-123`, the yt-dlp
+    fallback path) as pure string/arithmetic expressions; VTT strings
+    derived deterministically from events for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    vtt = e.select(
+        "event_id",
+        F.concat(F.date_format("ts", "HH:mm:ss"), F.lit("."),
+                 F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"))
+         .alias("vtt_ts"))
+    part = lambda i: F.split("vtt_ts", ":").getItem(i)
+    return vtt.select(
+        "event_id", "vtt_ts",
+        F.round(part(0).cast("long") * 3600
+                + part(1).cast("long") * 60
+                + F.split(part(2), r"\.").getItem(0).cast("long")
+                + F.split("vtt_ts", r"\.").getItem(1).cast("long")
+                  / F.lit(1000.0), 3).alias("seconds"))
+
+
+@register(
+    "stale_events_cleanup",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+    SELECT COUNT(*) FILTER (WHERE ts <  a.mx - INTERVAL 7 DAY)  AS n_stale,
+           COUNT(*) FILTER (WHERE ts >= a.mx - INTERVAL 7 DAY)  AS n_fresh,
+           STRFTIME(a.mx - INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS cutoff
+    FROM events, anchor a
+    GROUP BY a.mx
+    """,
+    tags=("date", "T-family"),
+)
+def stale_events_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-window cleanup predicate — `NOW() - INTERVAL '30
+    days'` (reference `server/state_task_server.py:117-119`), anchored
+    to max event time for determinism."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    cutoff = F.col("mx") - F.expr("INTERVAL 7 DAYS")
+    return (e.crossJoin(F.broadcast(anchor))
+            .groupBy("mx")
+            .agg(F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_stale"),
+                 F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_fresh"))
+            .select(
+                "n_stale", "n_fresh",
+                F.date_format(cutoff, "yyyy-MM-dd HH:mm:ss").alias("cutoff")))
