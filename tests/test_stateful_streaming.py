@@ -1,0 +1,90 @@
+"""Multi-micro-batch streaming semantics: custom state via
+applyInPandasWithState accumulating across batches, and watermark
+late-data discipline — driven with two genuinely separate
+micro-batches (two files, maxFilesPerTrigger=1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.sources.tables import load_table
+from transcript_analysis_spark.streaming import windows as sw
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def two_batch_dir(spark, tmp_path_factory):
+    """events split into two parquet files by time: early half then
+    late half — the file source delivers them as two micro-batches."""
+    d = str(tmp_path_factory.mktemp("two_batches"))
+    e = load_table(spark, SF_DIR, "events")
+    cut = e.agg(F.expr("percentile_approx(cast(ts as long), 0.5)")).first()[0]
+    early = e.filter(F.col("ts").cast("long") <= cut)
+    late = e.filter(F.col("ts").cast("long") > cut)
+    # raw long-nanos form so EVENTS_RAW_SCHEMA matches
+    for i, part in enumerate([early, late]):
+        (part.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+         .coalesce(1).write.parquet(f"{d}/stage{i}"))
+        f = [x for x in os.listdir(f"{d}/stage{i}") if x.endswith(".parquet")][0]
+        os.rename(f"{d}/stage{i}/{f}", f"{d}/batch{i}.parquet")
+    return d
+
+
+def test_stateful_running_counts_accumulate(spark, two_batch_dir):
+    stream = sw.events_stream(spark, SF_DIR, stream_dir=two_batch_dir)
+    out = sw.run_stream_to_memory(
+        sw.user_running_stats(stream), "t_running_stats")
+    rows = out.collect()
+    assert rows
+    # a user appearing in both batches gets two emissions with
+    # monotonically increasing cumulative counts
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    multi = {u: rs for u, rs in by_user.items() if len(rs) >= 2}
+    assert multi, "no user spanned both micro-batches"
+    for u, rs in multi.items():
+        rs.sort(key=lambda r: r.events_seen)
+        assert rs[0].events_seen < rs[-1].events_seen
+        assert rs[0].total_value <= rs[-1].total_value + 1e-9
+    # final per-user totals equal the batch ground truth
+    truth = {r.user_id: r.n for r in
+             load_table(spark, SF_DIR, "events")
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    finals = {u: max(r.events_seen for r in rs) for u, rs in by_user.items()}
+    assert finals == truth
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg over two batches where batch 2 carries
+    data EARLIER than batch 1's watermark: the stale window must not
+    re-emit/duplicate."""
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    e = load_table(spark, SF_DIR, "events")
+    # cast(ts as long) = epoch SECONDS in Spark
+    mx = e.agg(F.max(F.col("ts").cast("long"))).first()[0]
+    recent = e.filter(F.col("ts").cast("long") >= mx - 3600 * 2)
+    old = e.filter(F.col("ts").cast("long") < mx - 3600 * 24)
+    assert recent.count() > 0 and old.count() > 0
+    for i, part in enumerate([recent, old]):  # NEW data first, OLD second
+        (part.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+         .coalesce(1).write.parquet(f"{d}/s{i}"))
+        f = [x for x in os.listdir(f"{d}/s{i}") if x.endswith(".parquet")][0]
+        os.rename(f"{d}/s{i}/{f}", f"{d}/b{i}.parquet")
+    stream = sw.events_stream(spark, SF_DIR, stream_dir=d)
+    out = sw.run_stream_to_memory(
+        sw.tumbling_hourly(stream, watermark="10 minutes"), "t_late")
+    rows = out.collect()
+    # every emitted (window, type) is unique — the late batch didn't
+    # resurrect closed windows
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
+    # and all emitted windows predate the final watermark (old data
+    # arrived after its windows were already closed -> dropped)
+    assert rows

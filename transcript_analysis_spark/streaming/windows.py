@@ -134,3 +134,54 @@ def foreach_batch_upsert(batch_df: DataFrame, batch_id: int,
     replayed batch rewrites the same keys to the same values."""
     (batch_df.dropDuplicates(keys)
      .write.mode("append").parquet(target_path))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_SCHEMA = "user_id LONG, events_seen LONG, total_value DOUBLE, batch_id LONG"
+RUNNING_STATS_STATE_SCHEMA = "events_seen LONG, total_value DOUBLE"
+
+
+def user_running_stats(events: "DataFrame", watermark: str = "10 minutes") -> "DataFrame":
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running (count, sum) maintained across micro-batches —
+    the Spark-native form of the reference's per-worker incremental
+    state (task attempt counters, `island_worker.py:72-99`), with
+    state lifetime governed by the watermark instead of a Postgres
+    status machine.
+
+    Emits one row per user per micro-batch in which the user appeared,
+    carrying the cumulative totals so far.
+    """
+    import pandas as pd  # noqa: F811
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        seen, total = state.get if state.exists else (0, 0.0)
+        n_new, v_new = 0, 0.0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            v_new += float(pdf["value"].sum())
+        seen += n_new
+        total += v_new
+        state.update((seen, total))
+        yield pd.DataFrame({
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "events_seen": pd.Series([seen], dtype="int64"),
+            "total_value": pd.Series([round(total, 2)], dtype="float64"),
+            "batch_id": pd.Series([n_new], dtype="int64"),
+        })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=RUNNING_STATS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
