@@ -498,3 +498,117 @@ def scoring_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_pairs", "scored_pairs",
         F.round(100 * F.col("scored_pairs").cast("double")
                 / F.col("total_pairs"), 3).alias("pct_complete"))
+
+
+_ISLANDS_ORACLE_BODY = f"""    WITH {_TOK_CTE},
+    {_RAW_CTE},
+    conv AS (
+      SELECT r1.doc_id, r1.model_id, r1.pos, r1.raw,
+             ROUND(SUM(r2.raw * kern.w), {isl.SMOOTH_ROUND}) AS conv
+      FROM raw r1
+      JOIN {_kernel_values_sql()} ON TRUE
+      LEFT JOIN raw r2
+        ON r2.doc_id = r1.doc_id AND r2.model_id = r1.model_id
+       AND r2.pos = r1.pos + kern.off
+      GROUP BY r1.doc_id, r1.model_id, r1.pos, r1.raw
+    ),
+    norm AS (
+      SELECT doc_id, model_id, pos, raw,
+             CASE WHEN MAX(conv) OVER (PARTITION BY doc_id, model_id) > 0
+                  THEN ROUND(conv / MAX(conv) OVER (PARTITION BY doc_id, model_id),
+                             {isl.SMOOTH_ROUND})
+                  ELSE conv END AS sm
+      FROM conv
+    ),
+    flagged AS (
+      SELECT *,
+             (pos - 1) - ROW_NUMBER() OVER (PARTITION BY doc_id, model_id
+                                            ORDER BY pos) AS grp
+      FROM norm WHERE sm >= CAST(0.6 AS DOUBLE)
+    ),
+    isl AS (
+      SELECT doc_id, model_id,
+             CAST(MIN(pos) - 1 AS BIGINT)       AS start_index,
+             CAST(MAX(pos) - 1 AS BIGINT)       AS end_index,
+             CAST(MIN(pos) AS BIGINT)           AS word_start,
+             CAST(MAX(pos) + 3 AS BIGINT)       AS word_end,
+             ROUND(AVG(raw), {isl.SCORE_ROUND}) AS average_score
+      FROM flagged
+      GROUP BY doc_id, model_id, grp
+      HAVING MAX(pos) - MIN(pos) >= {isl.DEFAULT_MIN_ISLAND_LENGTH}
+    ),
+    seg AS (
+      SELECT doc_id,
+             CAST(FLOOR((pos - 1) / 10) AS BIGINT) AS seg_idx,
+             COUNT(*)                              AS wc
+      FROM tok GROUP BY doc_id, 2
+    ),
+    seg2 AS (
+      SELECT doc_id,
+             seg_idx * 10 + 1                    AS seg_start_word,
+             seg_idx * 10 + wc                   AS seg_end_word,
+             seg_idx * CAST(4.0 AS DOUBLE)       AS start_sec,
+             CAST(4.0 AS DOUBLE)                 AS duration_sec
+      FROM seg
+    )
+    SELECT i.doc_id, i.model_id, i.start_index, i.end_index,
+           i.word_start, i.word_end,
+           GREATEST(CAST(0 AS DOUBLE), MIN(s.start_sec) - 5) AS time_start_sec,
+           MAX(s.start_sec + s.duration_sec) + 5              AS time_end_sec,
+           i.average_score
+    FROM isl i
+    JOIN seg2 s ON s.doc_id = i.doc_id
+               AND s.seg_end_word >= i.word_start
+               AND s.seg_start_word <= i.word_end
+    GROUP BY i.doc_id, i.model_id, i.start_index, i.end_index,
+             i.word_start, i.word_end, i.average_score
+"""
+
+
+@register(
+    "islands_analysis",
+    oracle=f"""
+    WITH islands_out AS (
+      {_ISLANDS_ORACLE_BODY}
+    ),
+    per_doc AS (
+      SELECT i.doc_id, i.model_id, d.source,
+             COUNT(*)                                       AS n_islands,
+             SUM(i.end_index - i.start_index + 1)           AS words_covered
+      FROM islands_out i JOIN documents d ON d.doc_id = i.doc_id
+      GROUP BY i.doc_id, i.model_id, d.source
+    )
+    SELECT model_id, source,
+           CAST(SUM(n_islands) AS BIGINT)            AS total_islands,
+           COUNT(*)                                  AS docs_with_islands,
+           ROUND(AVG(CAST(n_islands AS DOUBLE)), 6)  AS avg_islands_per_doc,
+           ROUND(SUM(words_covered)
+                 / CAST(SUM(n_islands) AS DOUBLE), 6) AS avg_island_len,
+           CAST(MAX(n_islands) AS BIGINT)            AS max_islands_in_doc
+    FROM per_doc
+    GROUP BY model_id, source
+    """,
+    tags=("WS5", "A5", "A7"),
+)
+def islands_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands analysis rollup — the reference's WS5 roadmap product
+    (`ROADMAP.md:68-73`: island counts, length distributions,
+    per-channel island density) over the flagship output, grouped by
+    (model, source-as-channel)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    isl_out = islands_flagship(spark, sf_dir)
+    per_doc = (
+        isl_out.join(docs, "doc_id")
+        .groupBy("doc_id", "model_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_islands"),
+             F.sum(F.col("end_index") - F.col("start_index") + 1)
+              .alias("words_covered")))
+    return (per_doc.groupBy("model_id", "source")
+            .agg(F.sum("n_islands").cast("long").alias("total_islands"),
+                 F.count(F.lit(1)).alias("docs_with_islands"),
+                 F.round(F.avg(F.col("n_islands").cast("double")), 6)
+                  .alias("avg_islands_per_doc"),
+                 F.round(F.sum("words_covered")
+                         / F.sum("n_islands").cast("double"), 6)
+                  .alias("avg_island_len"),
+                 F.max("n_islands").cast("long").alias("max_islands_in_doc")))
