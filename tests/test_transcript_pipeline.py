@@ -109,3 +109,23 @@ def test_full_pipeline_segments_to_islands(spark):
         assert r.time_end_sec > r.time_start_sec
         assert r.word_start == r.start_index + 1
         assert r.word_end == r.end_index + 4
+
+
+def test_fourgram_query_matches_python_model(spark):
+    """Three-way validation: the in-query-trained fourgram_model_score
+    (already oracle-checked vs DuckDB) must also equal the Python
+    NGramModel trained on the same corpus with the same contract."""
+    from transcript_analysis_spark.plans import all_queries
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.avg_logprob, r.n_scored)
+           for r in all_queries()["fourgram_model_score"].fn(spark, sf).collect()}
+    docs = {r.doc_id: r.text.split(" ") for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    model = NGramModel.train(list(docs.values()))
+    for doc_id in list(docs)[:40]:
+        scores = model.score_words(docs[doc_id])
+        scaled = sum(int(round(s * 1e9)) for s in scores)
+        exp = round(scaled / (len(scores) * 1e9), 6)
+        assert got[doc_id][1] == len(scores)
+        assert abs(got[doc_id][0] - exp) < 1e-9, (
+            f"doc {doc_id}: query={got[doc_id][0]} python={exp}")

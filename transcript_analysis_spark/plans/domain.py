@@ -612,3 +612,142 @@ def islands_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum("n_islands").cast("double"), 6)
                   .alias("avg_island_len"),
                  F.max("n_islands").cast("long").alias("max_islands_in_doc")))
+
+
+@register(
+    "fourgram_model_score",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             ['<s>', '<s>', '<s>'] || string_split(text, ' ') AS padded,
+             CAST(len(string_split(text, ' ')) AS BIGINT)     AS nw
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             array_to_string(padded[i + 1:i + 4], ' ') AS k4,
+             array_to_string(padded[i + 2:i + 4], ' ') AS k3,
+             array_to_string(padded[i + 3:i + 4], ' ') AS k2,
+             padded[i + 4]                             AS k1
+      FROM (SELECT doc_id, padded,
+                   unnest(generate_series(0, nw - 1)) AS i
+            FROM d)
+    ),
+    c4 AS (SELECT k4 AS g, COUNT(*) AS c FROM grams GROUP BY k4),
+    c3 AS (SELECT k3 AS g, COUNT(*) AS c FROM grams GROUP BY k3),
+    c2 AS (SELECT k2 AS g, COUNT(*) AS c FROM grams GROUP BY k2),
+    c1 AS (SELECT k1 AS g, COUNT(*) AS c FROM grams GROUP BY k1),
+    d4 AS (SELECT REGEXP_REPLACE(g, ' [^ ]*$', '') AS p, SUM(c) AS dc
+           FROM c4 GROUP BY 1),
+    d3 AS (SELECT REGEXP_REPLACE(g, ' [^ ]*$', '') AS p, SUM(c) AS dc
+           FROM c3 GROUP BY 1),
+    d2 AS (SELECT REGEXP_REPLACE(g, ' [^ ]*$', '') AS p, SUM(c) AS dc
+           FROM c2 GROUP BY 1),
+    tot AS (SELECT SUM(c) AS t FROM c1),
+    lp4 AS (SELECT c4.g,
+                   ROUND(LOG10(CAST(c4.c AS DOUBLE) / d4.dc), 9) AS lp
+            FROM c4 JOIN d4 ON d4.p = REGEXP_REPLACE(c4.g, ' [^ ]*$', '')),
+    lp3 AS (SELECT c3.g,
+                   ROUND(LOG10(CAST(c3.c AS DOUBLE) / d3.dc), 9) AS lp
+            FROM c3 JOIN d3 ON d3.p = REGEXP_REPLACE(c3.g, ' [^ ]*$', '')),
+    lp2 AS (SELECT c2.g,
+                   ROUND(LOG10(CAST(c2.c AS DOUBLE) / d2.dc), 9) AS lp
+            FROM c2 JOIN d2 ON d2.p = REGEXP_REPLACE(c2.g, ' [^ ]*$', '')),
+    lp1 AS (SELECT c1.g,
+                   ROUND(LOG10(CAST(c1.c AS DOUBLE) / t.t), 9) AS lp
+            FROM c1 CROSS JOIN tot t),
+    pen AS (SELECT LOG10(CAST(0.4 AS DOUBLE))                    AS p1,
+                   LOG10(CAST(0.4 AS DOUBLE)) + LOG10(CAST(0.4 AS DOUBLE)) AS p2,
+                   LOG10(CAST(0.4 AS DOUBLE)) + LOG10(CAST(0.4 AS DOUBLE))
+                     + LOG10(CAST(0.4 AS DOUBLE))                AS p3),
+    scored AS (
+      SELECT g.doc_id,
+             COALESCE(ROUND(l4.lp, 9),
+                      ROUND(l3.lp + pen.p1, 9),
+                      ROUND(l2.lp + pen.p2, 9),
+                      ROUND(l1.lp + pen.p3, 9),
+                      CAST(-7.0 AS DOUBLE)) AS s
+      FROM grams g
+      LEFT JOIN lp4 l4 ON l4.g = g.k4
+      LEFT JOIN lp3 l3 ON l3.g = g.k3
+      LEFT JOIN lp2 l2 ON l2.g = g.k2
+      LEFT JOIN lp1 l1 ON l1.g = g.k1
+      CROSS JOIN pen
+    )
+    SELECT doc_id,
+           ROUND(SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))
+                 / (COUNT(*) * CAST(1e9 AS DOUBLE)), 6) AS avg_logprob,
+           COUNT(*)                                     AS n_scored
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("W1", "W2", "F1", "F2"),
+)
+def fourgram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT scoring contract at n=4 (`<s>`x3 padding,
+    MLE counts over all orders, stupid-backoff 0.4, floor -7;
+    `client/async_processing_client.py:50,163-179` + SURVEY §7.3
+    contract), with the model TRAINED IN-QUERY as DataFrames — the
+    fully-distributed form of §7.4 Option A: count tables never touch
+    the driver, scoring is joins on gram keys.
+
+    Cross-validated three ways: this Spark plan == the DuckDB oracle
+    == the Python NGramModel (tests/test_transcript_pipeline.py)."""
+    docs = fanout(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.expr("concat(array_repeat('<s>', 3), split(text, ' '))").alias("padded"),
+        F.expr("size(split(text, ' '))").alias("nw"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, nw - 1), i -> struct("
+            " concat_ws(' ', slice(padded, i + 1, 4)) as k4,"
+            " concat_ws(' ', slice(padded, i + 2, 3)) as k3,"
+            " concat_ws(' ', slice(padded, i + 3, 2)) as k2,"
+            " element_at(padded, i + 4) as k1))")).alias("z")
+    ).select("doc_id", "z.*")
+
+    def counts(col: str):
+        return grams.groupBy(F.col(col).alias("g")).agg(
+            F.count(F.lit(1)).alias("c"))
+
+    prefix = lambda c: F.regexp_replace(c, r" [^ ]*$", "")
+    c4, c3, c2, c1 = counts("k4"), counts("k3"), counts("k2"), counts("k1")
+
+    def lp_table(ck):
+        dk = (ck.groupBy(prefix(F.col("g")).alias("p"))
+              .agg(F.sum("c").alias("dc")))
+        return (ck.join(dk, prefix(ck["g"]) == dk["p"])
+                .select("g", F.round(F.log10(F.col("c").cast("double")
+                                             / F.col("dc")), 9).alias("lp")))
+
+    tot = c1.agg(F.sum("c").alias("t"))
+    lp4, lp3, lp2 = lp_table(c4), lp_table(c3), lp_table(c2)
+    lp1 = (c1.crossJoin(F.broadcast(tot))
+           .select("g", F.round(F.log10(F.col("c").cast("double")
+                                        / F.col("t")), 9).alias("lp")))
+    import math
+    p1 = math.log10(0.4)
+    p2 = p1 + math.log10(0.4)
+    p3 = p2 + math.log10(0.4)
+    j = (grams
+         .join(lp4.withColumnRenamed("g", "k4").withColumnRenamed("lp", "l4"),
+               "k4", "left")
+         .join(lp3.withColumnRenamed("g", "k3").withColumnRenamed("lp", "l3"),
+               "k3", "left")
+         .join(lp2.withColumnRenamed("g", "k2").withColumnRenamed("lp", "l2"),
+               "k2", "left")
+         .join(lp1.withColumnRenamed("g", "k1").withColumnRenamed("lp", "l1"),
+               "k1", "left"))
+    s = F.coalesce(
+        F.round(F.col("l4"), 9),
+        F.round(F.col("l3") + F.lit(p1), 9),
+        F.round(F.col("l2") + F.lit(p2), 9),
+        F.round(F.col("l1") + F.lit(p3), 9),
+        F.lit(-7.0))
+    return (j.select("doc_id", s.alias("s"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.round(F.col("s") * 1e9, 0).cast("long"))
+                         / (F.count(F.lit(1)) * F.lit(1e9)), 6)
+                  .alias("avg_logprob"),
+                 F.count(F.lit(1)).alias("n_scored")))
