@@ -946,3 +946,84 @@ def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFram
     mapInPandas — see operators/multimodal.py."""
     from transcript_analysis_spark.operators import multimodal as mm
     return mm.sample_frames(mm.synthetic_media(spark, sf_dir))
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id, {_duck_minhash_select()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    walk(n, label) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, w.label
+      FROM walk w JOIN edges e ON e.v = w.n
+      WHERE w.label < e.u
+    )
+    SELECT component_id, COUNT(*) AS n_members,
+           CAST(MIN(n) AS BIGINT) AS canonical_doc_id
+    FROM (SELECT n, MIN(label) AS component_id FROM walk GROUP BY n)
+    GROUP BY component_id
+    """,
+    tags=("dedup", "iterative"),
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    LSH candidate graph via iterative min-label propagation — the
+    representative iterative algorithm (large-scale dedup keeps one
+    doc per component, not per pair). Each iteration is one join +
+    aggregate; converges in O(log(diameter)) rounds; the driver loop
+    only checks the convergence counter, never touches row data."""
+    pairs = minhash_lsh_candidate_pairs(spark, sf_dir)
+    edges = (pairs.selectExpr("doc_a as u", "doc_b as v")
+             .unionByName(pairs.selectExpr("doc_b as u", "doc_a as v"))
+             .distinct())
+    labels = edges.select(F.col("u").alias("n")).distinct() \
+                  .withColumn("label", F.col("n"))
+    edges = edges.cache()
+    labels = labels.cache()
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (edges.join(labels, edges["v"] == labels["n"])
+                        .groupBy("u").agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["n"] == neighbor_min["u"], "left")
+                      .select(F.col("n"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nl"), F.col("label")))
+                               .alias("label")))
+        new_labels = new_labels.cache()
+        changed = (new_labels.alias("a")
+                   .join(labels.alias("b"), "n")
+                   .filter(F.col("a.label") != F.col("b.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.groupBy(F.col("label").alias("component_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("n").cast("long").alias("canonical_doc_id")))
