@@ -822,3 +822,35 @@ def handle_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("squeezed_len"),
         F.replace(F.col("c_mktsegment"), F.lit("BUILD"), F.lit("BLD"))
          .alias("seg_short"))
+
+
+@register(
+    "order_value_statistics",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4)          AS stddev_price,
+           ROUND(CORR(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_price_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("stats", "A5"),
+)
+def order_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: exact interpolated quantiles
+    (median/p90), sample stddev, correlation — the distribution
+    analytics the reference's roadmap islands analysis calls for
+    (`ROADMAP.md:68-73` length distributions). At scale, swap exact
+    percentile for `percentile_approx` without plan changes."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                  .alias("median_price"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+                  .alias("p90_price"),
+                 F.round(F.stddev_samp("o_totalprice"), 4)
+                  .alias("stddev_price"),
+                 F.round(F.corr("o_totalprice",
+                                F.col("o_custkey").cast("double")), 6)
+                  .alias("corr_price_cust")))
