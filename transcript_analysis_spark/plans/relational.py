@@ -854,3 +854,55 @@ def order_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.corr("o_totalprice",
                                 F.col("o_custkey").cast("double")), 6)
                   .alias("corr_price_cust")))
+
+
+@register(
+    "nation_segment_sets",
+    oracle="""
+    SELECT c_nationkey                                   AS nationkey,
+           list_sort(list(DISTINCT c_mktsegment))        AS segments,
+           COUNT(DISTINCT c_mktsegment)                  AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("A9", "array"),
+)
+def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation with deterministic ordering:
+    sort_array(collect_set(...)) — the ordered-collection contract
+    applied to set aggregation (array-typed output columns are part of
+    the engine surface)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+                 F.countDistinct("c_mktsegment").alias("n_segments")))
+
+
+@register(
+    "all_account_parties",
+    oracle="""
+    SELECT party_kind, COUNT(*) AS n,
+           ROUND(SUM(acctbal), 2) AS total_balance
+    FROM (
+      SELECT 'customer' AS party_kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier', s_acctbal FROM supplier
+    )
+    GROUP BY party_kind
+    """,
+    tags=("U1", "union"),
+)
+def all_account_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogenous sources into one rollup — the
+    combine-then-aggregate shape (idempotent re-insert semantics are
+    dropDuplicates + append, SURVEY §2.7 note)."""
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.lit("customer").alias("party_kind"),
+                 F.col("c_acctbal").alias("acctbal")))
+    s = (_t(spark, sf_dir, "supplier")
+         .select(F.lit("supplier").alias("party_kind"),
+                 F.col("s_acctbal").alias("acctbal")))
+    return (c.unionByName(s)
+            .groupBy("party_kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("acctbal"), 2).alias("total_balance")))
