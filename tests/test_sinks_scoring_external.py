@@ -124,3 +124,25 @@ def test_embed_documents_retries_failures(spark):
     # every third call fails -> some rows needed >1 attempt, all recovered
     assert any(r.attempts > 1 for r in rows)
     assert all(r.embedding is not None for r in rows)
+
+
+# --- as-of join ---------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    from transcript_analysis_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d")],
+        ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (3, 1, 999.0)],
+        ["k", "ts", "val"])
+    out = {r.tag: r.asof_val for r in
+           asof_join(left, right, key="k", ts="ts",
+                     payload_cols=["val"]).collect()}
+    assert out["a"] == 100.0      # equal-instant right row IS visible
+    assert out["b"] == 200.0      # latest preceding wins
+    assert out["c"] is None       # nothing precedes
+    assert out["d"] is None       # key has no right rows
+    inner = asof_join(left, right, key="k", ts="ts",
+                      payload_cols=["val"], how="inner")
+    assert {r.tag for r in inner.collect()} == {"a", "b"}

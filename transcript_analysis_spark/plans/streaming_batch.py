@@ -246,3 +246,45 @@ def stale_events_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "n_stale", "n_fresh",
                 F.date_format(cutoff, "yyyy-MM-dd HH:mm:ss").alias("cutoff")))
+
+
+@register(
+    "asof_purchase_context",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('second', ts) AS pts,
+             MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('second', ts)
+    )
+    SELECT e.event_type,
+           COUNT(*)                          AS n_events,
+           COUNT(p.purchase_value)           AS n_matched,
+           ROUND(AVG(p.purchase_value), 4)   AS avg_asof_purchase
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+    GROUP BY e.event_type
+    """,
+    tags=("asof", "custom-operator"),
+)
+def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — attach each event's most recent preceding purchase
+    value per user (operators/asof.py: union-then-window composition,
+    since Spark has no native ASOF JOIN; the oracle uses DuckDB's
+    native ASOF JOIN, so the composition is checked against a real
+    engine implementation). Purchases are second-truncated and deduped
+    per (user, second) so both engines resolve ties identically."""
+    from transcript_analysis_spark.operators.asof import asof_join
+    e = load_table(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id",
+                          F.date_trunc("second", "ts").alias("ts"))
+                 .agg(F.max("value").alias("purchase_value")))
+    joined = asof_join(e.select("event_id", "user_id", "ts", "event_type"),
+                       purchases, key="user_id", ts="ts",
+                       payload_cols=["purchase_value"])
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("asof_purchase_value").alias("n_matched"),
+                 F.round(F.avg("asof_purchase_value"), 4)
+                  .alias("avg_asof_purchase")))
