@@ -1027,3 +1027,71 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (labels.groupBy(F.col("label").alias("component_id"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("n").cast("long").alias("canonical_doc_id")))
+
+
+@register(
+    "minhash_verified_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id, {_duck_minhash_select()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+    FROM cand c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    WHERE CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+          / (za.n + zb.n - COALESCE(i.n_common, 0)) >= CAST(0.2 AS DOUBLE)
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete LSH dedup pipeline: MinHash banding proposes
+    candidates, exact shingle Jaccard VERIFIES them (>= 0.2) — the
+    standard two-phase near-dup flow, where verification cost is
+    bounded by candidate count, not corpus size."""
+    cand = minhash_lsh_candidate_pairs(spark, sf_dir)
+    sh = _spark_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+           / (F.col("na") + F.col("nb")
+              - F.coalesce(F.col("n_common"), F.lit(0))))
+    return (cand.join(za, "doc_a").join(zb, "doc_b")
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .filter(jac >= 0.2)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))

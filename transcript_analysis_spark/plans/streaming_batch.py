@@ -288,3 +288,37 @@ def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("asof_purchase_value").alias("n_matched"),
                  F.round(F.avg("asof_purchase_value"), 4)
                   .alias("avg_asof_purchase")))
+
+
+@register(
+    "hourly_to_daily_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT STRFTIME(date_trunc('day', h), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(SUM(n) AS BIGINT)  AS n_events,
+           ROUND(SUM(v), 2)        AS sum_value,
+           COUNT(*)                AS active_hours
+    FROM hourly GROUP BY date_trunc('day', h), event_type
+    """,
+    tags=("rollup", "hypertable"),
+)
+def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable/continuous-aggregate
+    pattern): daily stats derived FROM the hourly pre-aggregate, not
+    the raw events — sums-of-sums re-aggregation, which is how a
+    materialized hourly table serves coarser granularities for free at
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")))
+    return (hourly.groupBy(F.date_format(F.date_trunc("day", "h"),
+                                         "yyyy-MM-dd").alias("day"),
+                           "event_type")
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.round(F.sum("v"), 2).alias("sum_value"),
+                 F.count(F.lit(1)).alias("active_hours")))
