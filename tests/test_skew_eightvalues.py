@@ -87,3 +87,11 @@ def test_survey_deterministic(spark):
     b = sorted((r.run_id, r.score_econ) for r in
                ev.run_survey(spark, SF_DIR, n_questions=4).limit(50).collect())
     assert a == b
+
+
+def test_build_succinct_probes(spark):
+    qs = spark.createDataFrame(
+        [(0, "Taxes SHOULD rise")], ["question_id", "question_text"])
+    r = ev.build_succinct_probes(qs).first()
+    assert r.probe_for == "I strongly believe that taxes should rise"
+    assert r.probe_against == "I strongly oppose the idea that taxes should rise"

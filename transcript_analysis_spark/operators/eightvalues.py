@@ -151,3 +151,19 @@ def run_survey(spark: SparkSession, sf_dir: str,
     responses = fake_llm_answer(pairs)
     answers = parse_answers(responses)
     return axis_scores(answers, questions)
+
+
+FOR_PREFIX = "I strongly believe that "        # build_succinct_probes.py:26
+AGAINST_PREFIX = "I strongly oppose the idea that "  # :27
+
+
+def build_succinct_probes(questions: DataFrame,
+                          text_col: str = "question_text") -> DataFrame:
+    """Deterministic succinct probe statements (reference
+    `build_succinct_probes.py:28-40`): lowercase the question, prepend
+    the fixed stance phrases — no LLM."""
+    q = F.lower(F.col(text_col))
+    return questions.withColumns({
+        "probe_for": F.concat(F.lit(FOR_PREFIX), q),
+        "probe_against": F.concat(F.lit(AGAINST_PREFIX), q),
+    })
