@@ -295,8 +295,10 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt2").cast("long").alias("cnt1")))
     cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
              .agg(F.count(F.lit(1)).alias("cntu")))
-    tot = (tok.groupBy(F.col("source").alias("model_source"))
-              .agg(F.count(F.lit(1)).alias("total")))
+    # total tokens per source = sum of unigram counts — derived from cu
+    # instead of re-scanning/re-exploding the corpus a third time
+    tot = (cu.groupBy("model_source")
+             .agg(F.sum("cntu").cast("long").alias("total")))
     models = tot.select("model_source")
     pairs = bi.select("doc_id", "pos", "w1", "w2").crossJoin(F.broadcast(models))
     scored = (
