@@ -1,0 +1,44 @@
+"""MLlib LSH ANN operators (X15): recall against brute force."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.operators.ann import (
+    approx_nearest_neighbors, approx_similarity_pairs)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ann_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.collect()
+    q = [float(x) for x in rows[0].embedding]
+
+    def dist(v):
+        return math.sqrt(sum((float(a) - b) ** 2 for a, b in zip(v, q)))
+
+    brute = sorted(rows, key=lambda r: dist(r.embedding))[:10]
+    brute_ids = {r.vec_id for r in brute}
+    got = approx_nearest_neighbors(emb, q, k=10, bucket_length=4.0,
+                                   num_tables=5)
+    got_ids = {r.vec_id for r in got.collect()}
+    # approximate: demand decent recall, not exactness
+    assert len(got_ids & brute_ids) >= 6, (got_ids, brute_ids)
+
+
+def test_ann_pairs_subset_of_true_pairs(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    pairs = approx_similarity_pairs(emb, threshold=3.5, bucket_length=4.0,
+                                    num_tables=5)
+    got = pairs.collect()
+    assert got, "LSH join found no pairs at this threshold"
+    # every reported distance must be genuine (verify a sample exactly)
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    for r in got[:20]:
+        d = math.sqrt(sum((a - b) ** 2 for a, b in
+                          zip(vecs[r.vec_a], vecs[r.vec_b])))
+        assert abs(d - r.euclidean_dist) < 1e-4
+        assert d <= 3.5 + 1e-9

@@ -66,3 +66,33 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     sw.foreach_batch_upsert(df, 0, target, ["k"])
     out = spark.read.parquet(target)
     assert out.count() == 2
+
+
+def test_writestream_foreach_batch_end_to_end(spark, tmp_path):
+    """True writeStream.foreachBatch path: stream events through the
+    idempotent upsert sink and verify the parquet target converges to
+    the batch ground truth."""
+    import functools
+    from transcript_analysis_spark.sources.tables import load_table
+    target = str(tmp_path / "sink")
+    stream = sw.events_stream(spark, SF_DIR)
+    counts = (stream.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    q = (counts.writeStream.outputMode("update")
+         .foreachBatch(functools.partial(
+             sw.foreach_batch_upsert, target_path=target,
+             keys=["user_id", "event_type"]))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # dedupe by key keeping the final update (append-mode file sink
+    # accumulates updates; latest n per key wins)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n"))
+    final = (spark.read.parquet(target)
+             .withColumn("rk", F.row_number().over(w)).filter("rk = 1"))
+    truth = (load_table(spark, SF_DIR, "events")
+             .groupBy("user_id", "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    a = sorted((r.user_id, r.event_type, r.n) for r in final.collect())
+    b = sorted((r.user_id, r.event_type, r.n) for r in truth.collect())
+    assert a == b
