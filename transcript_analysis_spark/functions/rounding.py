@@ -1,0 +1,45 @@
+"""Engine-portable half-up rounding of exact integer ratios.
+
+The hazard (found by the sf0.1 sweep, pinned in text_quality_scores):
+when a query output is a ratio of exact integers N/D, its true decimal
+expansion can terminate EXACTLY on a round-half boundary
+(e.g. 8149/16000 = 0.5093125 at 6dp). Spark's ROUND (exact BigDecimal
+of the double, HALF_UP) and DuckDB's ROUND (scaled multiply through
+doubles) can then disagree by one last digit.
+
+Fix: perform the half-up rounding in integer arithmetic —
+
+    round_k(N/D) = sign(N) * ((2*|N|*10^k + D) // (2*D)) / 10^k
+
+Integer floor-division of non-negative operands is identical in both
+engines (Spark `div` truncates, DuckDB `//` floors — equal for
+non-negatives, hence the sign decomposition). The final /10^k is one
+deterministic double division of exact integers.
+
+Only for INTEGER numerators/denominators; ratios of accumulated
+doubles are binary rationals whose decimal expansions terminate far
+beyond the rounding digit and cannot sit on a decimal half-boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def spark_round_ratio(n: str, d: str, digits: int) -> Column:
+    """Half-up round of integer-expression ratio n/d to `digits`,
+    as an engine-portable Spark Column (n, d are SQL expression
+    strings yielding integers; d > 0)."""
+    s = 10 ** digits
+    q = (f"(CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
+         f"((2 * abs(cast(({n}) as bigint)) * {s} + ({d})) div (2 * ({d})))")
+    return (F.expr(q).cast("double") / F.lit(float(s)))
+
+
+def duck_round_ratio(n: str, d: str, digits: int) -> str:
+    """Same contract as SQL text for the DuckDB oracle."""
+    s = 10 ** digits
+    return (f"(CAST((CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
+            f"((2 * abs(CAST(({n}) AS BIGINT)) * {s} + ({d})) // (2 * ({d}))) "
+            f"AS DOUBLE) / {s})")

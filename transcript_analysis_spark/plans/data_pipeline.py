@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.functions.rounding import (duck_round_ratio,
+                                                          spark_round_ratio)
 from transcript_analysis_spark.sources.tables import fanout, load_table
 
 MOD = 1_000_000_007
@@ -259,8 +261,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.doc_a, p.doc_b,
            COALESCE(i.n_common, 0) AS n_common,
-           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                 / (za.n + zb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+           (CAST((CASE WHEN (COALESCE(i.n_common, 0)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((COALESCE(i.n_common, 0)) AS BIGINT)) * 1000000 + (za.n + zb.n - COALESCE(i.n_common, 0))) // (2 * (za.n + zb.n - COALESCE(i.n_common, 0)))) AS DOUBLE) / 1000000) AS jaccard
     FROM pairs p
     JOIN sizes za ON za.doc_id = p.doc_a
     JOIN sizes zb ON zb.doc_id = p.doc_b
@@ -292,9 +293,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_a", "doc_b",
                 F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
-                F.round(F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                        / (F.col("na") + F.col("nb")
-                           - F.coalesce(F.col("n_common"), F.lit(0))), 6)
+                spark_round_ratio("coalesce(n_common, 0)",
+                                  "na + nb - coalesce(n_common, 0)", 6)
                  .alias("jaccard")))
 
 
@@ -459,13 +459,19 @@ _STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
       FROM d
     )
     SELECT doc_id, n_words, n_stopwords, n_long_words,
-           ROUND(CAST(n_chars AS DOUBLE) / n_words, 4)     AS avg_word_len,
-           ROUND(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stopword_ratio,
-           ROUND((CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), n_words / CAST(100.0 AS DOUBLE)))
-                 + (CAST(0.3 AS DOUBLE) * (1 - CAST(n_stopwords AS DOUBLE) / n_words))
-                 + (CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
-                      (CAST(n_chars AS DOUBLE) / n_words) / CAST(8.0 AS DOUBLE))), 6)
-             AS quality
+           (CAST((CASE WHEN (n_chars) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((n_chars) AS BIGINT)) * 10000 + (n_words)) // (2 * (n_words))) AS DOUBLE) / 10000)     AS avg_word_len,
+           (CAST((CASE WHEN (n_stopwords) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((n_stopwords) AS BIGINT)) * 1000000 + (n_words)) // (2 * (n_words))) AS DOUBLE) / 1000000) AS stopword_ratio,
+           -- 0.4*min(1,nw/100) + 0.3*(1-stop/nw) + 0.3*min(1,chars/(8nw))
+           -- = N/D with exact integers; the rational can land EXACTLY
+           -- on a 6dp half-boundary where Spark's BigDecimal round and
+           -- DuckDB's scaled-multiply round disagree, so the half-up
+           -- rounding itself is done in integer arithmetic:
+           -- q6 = (2*N*1e6 + D) // (2*D), quality = q6/1e6
+           CAST((2 * (32 * n_words * LEAST(CAST(100 AS BIGINT), n_words)
+                      + 2400 * (n_words - n_stopwords)
+                      + 300 * LEAST(8 * n_words, CAST(n_chars AS BIGINT)))
+                   * 1000000 + 8000 * n_words)
+                // (2 * 8000 * n_words) AS DOUBLE) / 1000000 AS quality
     FROM m
     """,
     tags=("text", "quality"),
@@ -487,15 +493,17 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = F.col("n_words").cast("double")
     return m.select(
         "doc_id", "n_words", "n_stopwords", "n_long_words",
-        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4)
-         .alias("avg_word_len"),
-        F.round(F.col("n_stopwords").cast("double") / F.col("n_words"), 6)
+        spark_round_ratio("n_chars", "n_words", 4).alias("avg_word_len"),
+        spark_round_ratio("n_stopwords", "n_words", 6)
          .alias("stopword_ratio"),
-        F.round((F.lit(0.4) * F.least(F.lit(1.0), nw / F.lit(100.0)))
-                + (F.lit(0.3) * (1 - F.col("n_stopwords").cast("double") / nw))
-                + (F.lit(0.3) * F.least(
-                    F.lit(1.0),
-                    (F.col("n_chars").cast("double") / nw) / F.lit(8.0))), 6)
+        # integer half-up rounding of the exact rational N/D (see the
+        # oracle note: engine round() functions disagree on true
+        # decimal half-boundaries)
+        (F.expr("(2 * (32 * n_words * least(cast(100 as bigint), n_words)"
+                " + 2400 * (n_words - n_stopwords)"
+                " + 300 * least(8 * n_words, cast(n_chars as bigint)))"
+                " * 1000000 + 8000 * n_words)"
+                " div (2 * 8000 * n_words)").cast("double") / 1000000)
          .alias("quality"))
 
 
@@ -677,13 +685,13 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT run_id,
       CASE WHEN m_econ = 0 THEN CAST(50.0 AS DOUBLE)
-           ELSE ROUND(100 * (m_econ + r_econ) / (2 * m_econ), 3) END AS econ,
+           ELSE (CAST((CASE WHEN (CAST(ROUND(200 * (m_econ + r_econ), 0) AS BIGINT)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((CAST(ROUND(200 * (m_econ + r_econ), 0) AS BIGINT)) AS BIGINT)) * 1000 + (CAST(ROUND(4 * m_econ, 0) AS BIGINT))) // (2 * (CAST(ROUND(4 * m_econ, 0) AS BIGINT)))) AS DOUBLE) / 1000) END AS econ,
       CASE WHEN m_dipl = 0 THEN CAST(50.0 AS DOUBLE)
-           ELSE ROUND(100 * (m_dipl + r_dipl) / (2 * m_dipl), 3) END AS dipl,
+           ELSE (CAST((CASE WHEN (CAST(ROUND(200 * (m_dipl + r_dipl), 0) AS BIGINT)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((CAST(ROUND(200 * (m_dipl + r_dipl), 0) AS BIGINT)) AS BIGINT)) * 1000 + (CAST(ROUND(4 * m_dipl, 0) AS BIGINT))) // (2 * (CAST(ROUND(4 * m_dipl, 0) AS BIGINT)))) AS DOUBLE) / 1000) END AS dipl,
       CASE WHEN m_govt = 0 THEN CAST(50.0 AS DOUBLE)
-           ELSE ROUND(100 * (m_govt + r_govt) / (2 * m_govt), 3) END AS govt,
+           ELSE (CAST((CASE WHEN (CAST(ROUND(200 * (m_govt + r_govt), 0) AS BIGINT)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((CAST(ROUND(200 * (m_govt + r_govt), 0) AS BIGINT)) AS BIGINT)) * 1000 + (CAST(ROUND(4 * m_govt, 0) AS BIGINT))) // (2 * (CAST(ROUND(4 * m_govt, 0) AS BIGINT)))) AS DOUBLE) / 1000) END AS govt,
       CASE WHEN m_scty = 0 THEN CAST(50.0 AS DOUBLE)
-           ELSE ROUND(100 * (m_scty + r_scty) / (2 * m_scty), 3) END AS scty
+           ELSE (CAST((CASE WHEN (CAST(ROUND(200 * (m_scty + r_scty), 0) AS BIGINT)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((CAST(ROUND(200 * (m_scty + r_scty), 0) AS BIGINT)) AS BIGINT)) * 1000 + (CAST(ROUND(4 * m_scty, 0) AS BIGINT))) // (2 * (CAST(ROUND(4 * m_scty, 0) AS BIGINT)))) AS DOUBLE) / 1000) END AS scty
     FROM agg
     """,
     tags=("A11", "F8"),
@@ -712,9 +720,15 @@ def eightvalues_axis_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
           for ax in effs],
         *[F.sum(F.abs(F.col(f"e_{ax}"))).alias(f"m_{ax}") for ax in effs])
     def pct(ax: str) -> Column:
-        m, r = F.col(f"m_{ax}"), F.col(f"r_{ax}")
+        # effects are ints, multipliers exact halves -> 2*(m+r) and 4m
+        # are exact integers; integer half-up rounding (see
+        # functions/rounding.py)
+        m = F.col(f"m_{ax}")
         return (F.when(m == 0, F.lit(50.0))
-                .otherwise(F.round(100 * (m + r) / (2 * m), 3)).alias(ax))
+                .otherwise(spark_round_ratio(
+                    f"cast(round(200 * (m_{ax} + r_{ax}), 0) as bigint)",
+                    f"cast(round(4 * m_{ax}, 0) as bigint)", 3))
+                .alias(ax))
     return agg.select("run_id", pct("econ"), pct("dipl"),
                       pct("govt"), pct("scty"))
 
@@ -1063,8 +1077,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                 / (za.n + zb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+           (CAST((CASE WHEN (COALESCE(i.n_common, 0)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((COALESCE(i.n_common, 0)) AS BIGINT)) * 1000000 + (za.n + zb.n - COALESCE(i.n_common, 0))) // (2 * (za.n + zb.n - COALESCE(i.n_common, 0)))) AS DOUBLE) / 1000000) AS jaccard
     FROM cand c
     JOIN sizes za ON za.doc_id = c.doc_a
     JOIN sizes zb ON zb.doc_id = c.doc_b
@@ -1094,4 +1107,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(za, "doc_a").join(zb, "doc_b")
             .join(inter, ["doc_a", "doc_b"], "left")
             .filter(jac >= 0.2)
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+            .select("doc_a", "doc_b",
+                    spark_round_ratio("coalesce(n_common, 0)",
+                                      "na + nb - coalesce(n_common, 0)", 6)
+                     .alias("jaccard")))

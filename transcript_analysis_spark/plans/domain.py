@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.operators import islands as isl
 from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.functions.rounding import (duck_round_ratio,
+                                                          spark_round_ratio)
 from transcript_analysis_spark.sources.tables import fanout, load_table
 
 N_MODELS = 5
@@ -250,8 +252,7 @@ def islands_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot t ON t.model_source = p.model_source
     )
     SELECT doc_id, model_source,
-           ROUND(SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))
-                 / (COUNT(*) * CAST(1e9 AS DOUBLE)), 6) AS avg_logprob,
+           (CAST((CASE WHEN (SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1000000 + (COUNT(*) * 1000000000)) // (2 * (COUNT(*) * 1000000000))) AS DOUBLE) / 1000000) AS avg_logprob,
            COUNT(*)                                     AS n_ngrams
     FROM scored
     GROUP BY doc_id, model_source
@@ -321,10 +322,9 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation order is arbitrary; a float sum could land on a 6dp
     # rounding boundary and flip the last digit between engines).
     return (scored.groupBy("doc_id", "model_source")
-            .agg(F.round(
-                    F.sum(F.round(F.col("logp") * 1e9, 0).cast("long"))
-                    / (F.count(F.lit(1)) * F.lit(1e9)), 6)
-                 .alias("avg_logprob"),
+            .agg(spark_round_ratio(
+                    "sum(cast(round(logp * 1e9, 0) as bigint))",
+                    "count(1) * 1000000000", 6).alias("avg_logprob"),
                  F.count(F.lit(1)).alias("n_ngrams")))
 
 
@@ -478,7 +478,7 @@ def score_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pair
     )
     SELECT total_pairs, scored_pairs,
-           ROUND(100 * CAST(scored_pairs AS DOUBLE) / total_pairs, 3)
+           (CAST((CASE WHEN (100 * scored_pairs) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((100 * scored_pairs) AS BIGINT)) * 1000 + (total_pairs)) // (2 * (total_pairs))) AS DOUBLE) / 1000)
              AS pct_complete
     FROM stats
     """,
@@ -498,8 +498,8 @@ def scoring_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_high") > 0, 1)).alias("scored_pairs"))
     return stats.select(
         "total_pairs", "scored_pairs",
-        F.round(100 * F.col("scored_pairs").cast("double")
-                / F.col("total_pairs"), 3).alias("pct_complete"))
+        spark_round_ratio("100 * scored_pairs", "total_pairs", 3)
+         .alias("pct_complete"))
 
 
 _ISLANDS_ORACLE_BODY = f"""    WITH {_TOK_CTE},
@@ -583,9 +583,8 @@ _ISLANDS_ORACLE_BODY = f"""    WITH {_TOK_CTE},
     SELECT model_id, source,
            CAST(SUM(n_islands) AS BIGINT)            AS total_islands,
            COUNT(*)                                  AS docs_with_islands,
-           ROUND(AVG(CAST(n_islands AS DOUBLE)), 6)  AS avg_islands_per_doc,
-           ROUND(SUM(words_covered)
-                 / CAST(SUM(n_islands) AS DOUBLE), 6) AS avg_island_len,
+           (CAST((CASE WHEN (SUM(n_islands)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(n_islands)) AS BIGINT)) * 1000000 + (COUNT(*))) // (2 * (COUNT(*)))) AS DOUBLE) / 1000000)  AS avg_islands_per_doc,
+           (CAST((CASE WHEN (SUM(words_covered)) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(words_covered)) AS BIGINT)) * 1000000 + (SUM(n_islands))) // (2 * (SUM(n_islands)))) AS DOUBLE) / 1000000) AS avg_island_len,
            CAST(MAX(n_islands) AS BIGINT)            AS max_islands_in_doc
     FROM per_doc
     GROUP BY model_id, source
@@ -608,10 +607,9 @@ def islands_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_doc.groupBy("model_id", "source")
             .agg(F.sum("n_islands").cast("long").alias("total_islands"),
                  F.count(F.lit(1)).alias("docs_with_islands"),
-                 F.round(F.avg(F.col("n_islands").cast("double")), 6)
+                 spark_round_ratio("sum(n_islands)", "count(1)", 6)
                   .alias("avg_islands_per_doc"),
-                 F.round(F.sum("words_covered")
-                         / F.sum("n_islands").cast("double"), 6)
+                 spark_round_ratio("sum(words_covered)", "sum(n_islands)", 6)
                   .alias("avg_island_len"),
                  F.max("n_islands").cast("long").alias("max_islands_in_doc")))
 
@@ -677,8 +675,7 @@ def islands_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN pen
     )
     SELECT doc_id,
-           ROUND(SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))
-                 / (COUNT(*) * CAST(1e9 AS DOUBLE)), 6) AS avg_logprob,
+           (CAST((CASE WHEN (SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1000000 + (COUNT(*) * 1000000000)) // (2 * (COUNT(*) * 1000000000))) AS DOUBLE) / 1000000) AS avg_logprob,
            COUNT(*)                                     AS n_scored
     FROM scored GROUP BY doc_id
     """,
@@ -749,7 +746,7 @@ def fourgram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-7.0))
     return (j.select("doc_id", s.alias("s"))
             .groupBy("doc_id")
-            .agg(F.round(F.sum(F.round(F.col("s") * 1e9, 0).cast("long"))
-                         / (F.count(F.lit(1)) * F.lit(1e9)), 6)
-                  .alias("avg_logprob"),
+            .agg(spark_round_ratio(
+                    "sum(cast(round(s * 1e9, 0) as bigint))",
+                    "count(1) * 1000000000", 6).alias("avg_logprob"),
                  F.count(F.lit(1)).alias("n_scored")))
