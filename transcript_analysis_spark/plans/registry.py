@@ -15,6 +15,12 @@ Float contract: Spark and DuckDB may differ in the last ulp of a
 double (summation order is engine-chosen), so any floating-point
 output column is explicitly ``round()``-ed to a fixed scale on BOTH
 sides. Integer/decimal arithmetic is kept exact end-to-end.
+Integer-RATIO outputs must NOT use plain round() — their decimal
+expansion can terminate exactly on a round-half boundary where the
+engines' round() implementations disagree; use
+``functions/rounding.py`` (integer half-up rounding) instead. Every
+query is validated at both sf0.01 and sf0.1
+(tools/check_correctness.py).
 """
 
 from __future__ import annotations
