@@ -1,0 +1,98 @@
+"""Property tests for the engine's portable primitives: the
+polynomial char hash / MinHash signatures against a pure-Python
+mirror, and the integer half-up rounding against exact Fraction
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.functions.rounding import (duck_round_ratio,
+                                                          spark_round_ratio)
+from transcript_analysis_spark.plans.data_pipeline import (MINHASH_A,
+                                                           MINHASH_B, MOD,
+                                                           spark_char_hash)
+
+
+def py_char_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % MOD
+    return h
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.text(alphabet="abcdefg hij", min_size=1, max_size=40),
+                      min_size=1, max_size=8))
+def test_char_hash_matches_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    got = {r.i: r.h for r in
+           df.select("i", F.expr(spark_char_hash("t")).alias("h")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_char_hash(t)
+
+
+def test_minhash_signature_matches_python(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(25)
+    from transcript_analysis_spark.plans import all_queries
+    sig = {r.doc_id: [getattr(r, f"mh{i}") for i in range(8)]
+           for r in all_queries()["minhash_signatures"]
+           .fn(spark, "/root/testdata/sf0.001").collect()}
+    for r in docs.collect():
+        words = r.text.split(" ")
+        shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+        if not shingles:
+            continue
+        hs = [py_char_hash(sh) for sh in shingles]
+        exp = [min((a * h + b) % MOD for h in hs)
+               for a, b in zip(MINHASH_A, MINHASH_B)]
+        assert sig[r.doc_id] == exp, f"doc {r.doc_id}"
+
+
+def exact_round_half_up(n: int, d: int, digits: int) -> float:
+    """Ground truth via Fraction: half-up (away from zero)."""
+    s = 10 ** digits
+    fr = Fraction(n, d) * s
+    sign = -1 if fr < 0 else 1
+    fr = abs(fr)
+    q = fr.numerator // fr.denominator
+    rem = fr - q
+    if rem >= Fraction(1, 2):
+        q += 1
+    return sign * q / s
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=-10**9, max_value=10**9),
+       d=st.integers(min_value=1, max_value=10**6),
+       digits=st.sampled_from([2, 3, 4, 6]))
+def test_round_ratio_matches_fraction(spark, n, d, digits):
+    import duckdb
+    row = (spark.range(1)
+           .select(spark_round_ratio(str(n), str(d), digits).alias("v"))
+           .first())
+    exp = exact_round_half_up(n, d, digits)
+    assert row.v == exp, f"spark {row.v} != {exp} for {n}/{d}@{digits}"
+
+
+def test_round_ratio_duck_equals_spark_on_boundaries(spark):
+    import duckdb
+    con = duckdb.connect()
+    cases = [(8149, 16000, 6), (65192, 128000, 6), (-8149, 16000, 6),
+             (1, 3, 6), (5, 2, 2), (-5, 2, 2), (509313, 1000000, 6),
+             (1, 16, 4), (3, 32, 4), (7, 128, 6)]
+    for n, d, k in cases:
+        sv = (spark.range(1)
+              .select(spark_round_ratio(str(n), str(d), k).alias("v"))
+              .first().v)
+        dv = con.execute(
+            f"SELECT {duck_round_ratio(str(n), str(d), k)}").fetchone()[0]
+        assert sv == dv == exact_round_half_up(n, d, k), (n, d, k, sv, dv)
