@@ -21,7 +21,6 @@ memory — the exact limitation that motivates Option A).
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

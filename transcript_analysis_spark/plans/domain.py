@@ -26,8 +26,7 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.operators import islands as isl
 from transcript_analysis_spark.plans.registry import register
-from transcript_analysis_spark.functions.rounding import (duck_round_ratio,
-                                                          spark_round_ratio)
+from transcript_analysis_spark.functions.rounding import spark_round_ratio
 from transcript_analysis_spark.sources.tables import fanout, load_table
 
 N_MODELS = 5
