@@ -27,6 +27,23 @@ def duck():
 
 
 @pytest.mark.parametrize("name", [n for n, _ in _queries()])
+def test_no_unhashable_output_columns(spark, name):
+    """The driver's harness canonicalizes results through pandas, which
+    cannot hash array/map/struct cells (nation_segment_sets errored in
+    round 1 exactly this way). Every registered query must emit only
+    scalar columns — serialize collections to strings."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from transcript_analysis_spark.plans import all_queries
+    df = all_queries()[name].fn(spark, SF_DIR)
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"{name} outputs non-scalar columns {bad}; the driver harness "
+        f"cannot hash them — serialize with concat_ws/sort_array")
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _queries()])
 def test_query_matches_oracle(spark, duck, name):
     from transcript_analysis_spark.plans import all_queries
     q = all_queries()[name]

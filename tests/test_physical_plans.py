@@ -90,6 +90,21 @@ def test_lsh_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_neardup_components_plan_depth_bounded(spark):
+    """The iterative min-label-propagation loop must localCheckpoint
+    its loop-carried DataFrame: with .cache() alone the logical plan
+    deepens every iteration and Catalyst stalls on large graphs. After
+    checkpointing, the final plan is a shallow read over a
+    materialized RDD — its string form stays small no matter how many
+    iterations ran."""
+    df = _q(spark, "neardup_components")
+    opt = optimized_of(df)
+    assert "LogicalRDD" in opt or "Scan ExistingRDD" in opt
+    # a lineage-accumulating plan here would be tens of thousands of
+    # chars (one join+agg layer per iteration)
+    assert len(opt) < 5000, f"plan unexpectedly deep: {len(opt)} chars"
+
+
 def test_session_config_scale_flags(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

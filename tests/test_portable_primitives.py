@@ -56,6 +56,28 @@ def test_minhash_signature_matches_python(spark):
         assert sig[r.doc_id] == exp, f"doc {r.doc_id}"
 
 
+def test_shingles_short_documents(spark, tmp_path):
+    """Docs under 3 words must yield ZERO shingles, not crash:
+    sequence(1, 0) in Spark is the DESCENDING [1, 0] and slice(words,
+    0, 3) throws INVALID_PARAMETER_VALUE.START without the size guard
+    (found by the round-1 advisor; latent in all MinHash/Jaccard
+    queries on any short document)."""
+    import pandas as pd
+
+    from transcript_analysis_spark.plans.data_pipeline import _spark_shingles
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one", "two words", "now three words", ""],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [3, 9, 15, 0],
+    })
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    rows = _spark_shingles(spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.shingle) for r in rows}
+    assert got == {(3, "now three words")}
+
+
 def exact_round_half_up(n: int, d: int, digits: int) -> float:
     """Ground truth via Fraction: half-up (away from zero)."""
     s = 10 ** digits

@@ -50,6 +50,17 @@ def compare(name, spark_df, duck_rows, duck_cols):
     if spark_cols != dcols:
         return False, f"columns differ: spark={spark_cols} duck={dcols}"
 
+    # Mirror the driver harness: it canonicalizes through pandas, which
+    # cannot hash array/map/struct cells. Flag them here (this local
+    # gate used to tuple-ize lists and silently pass what the driver
+    # would crash on).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    bad = [f.name for f in spark_df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    if bad:
+        return False, (f"non-scalar output columns {bad}: the driver "
+                       f"harness cannot hash these — serialize to string")
+
     s_idx = [spark_df.columns.index(c) for c in spark_cols]
     d_idx = [list(duck_cols).index(c) for c in dcols]
 

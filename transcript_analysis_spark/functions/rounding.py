@@ -27,19 +27,39 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def spark_round_ratio(n: str, d: str, digits: int) -> Column:
+def _mults(digits: int, n_prescale: int) -> tuple[int, int, int]:
+    """Split the 10^digits scaling between numerator and denominator.
+
+    When the numerator is ALREADY a 10^n_prescale-scaled integer (e.g.
+    per-term logps stored as round(logp*1e9)), multiplying it again by
+    10^digits overflows int64 for large sums (|N| > ~4.6e12 at 6
+    digits).  The true value is N / (10^prescale * C); rounding it to
+    `digits` only needs the NET factor 10^(digits - prescale), which we
+    apply to whichever side keeps both operands small."""
+    if n_prescale <= digits:
+        return 10 ** (digits - n_prescale), 1, 10 ** digits
+    return 1, 10 ** (n_prescale - digits), 10 ** digits
+
+
+def spark_round_ratio(n: str, d: str, digits: int,
+                      n_prescale: int = 0) -> Column:
     """Half-up round of integer-expression ratio n/d to `digits`,
     as an engine-portable Spark Column (n, d are SQL expression
-    strings yielding integers; d > 0)."""
-    s = 10 ** digits
+    strings yielding integers; d > 0).  With `n_prescale` = p, the
+    ratio interpreted is n / (10^p * d) — pass the raw count as d
+    instead of count*10^p to stay far from int64 overflow."""
+    nm, dm, s = _mults(digits, n_prescale)
     q = (f"(CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
-         f"((2 * abs(cast(({n}) as bigint)) * {s} + ({d})) div (2 * ({d})))")
+         f"((2 * abs(cast(({n}) as bigint)) * {nm} + ({d}) * {dm})"
+         f" div (2 * ({d}) * {dm}))")
     return (F.expr(q).cast("double") / F.lit(float(s)))
 
 
-def duck_round_ratio(n: str, d: str, digits: int) -> str:
+def duck_round_ratio(n: str, d: str, digits: int,
+                     n_prescale: int = 0) -> str:
     """Same contract as SQL text for the DuckDB oracle."""
-    s = 10 ** digits
+    nm, dm, s = _mults(digits, n_prescale)
     return (f"(CAST((CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
-            f"((2 * abs(CAST(({n}) AS BIGINT)) * {s} + ({d})) // (2 * ({d}))) "
+            f"((2 * abs(CAST(({n}) AS BIGINT)) * {nm} + ({d}) * {dm})"
+            f" // (2 * ({d}) * {dm})) "
             f"AS DOUBLE) / {s})")

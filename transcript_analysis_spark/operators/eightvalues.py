@@ -53,13 +53,17 @@ def rag_top_chunks(docs: DataFrame, question: str,
     reference's question-vector cache, :345-349, for free)."""
     spark = docs.sparkSession
     chunks = token_bounded_chunks(docs)
+    # Composite chunk key as a delimited STRING — a packed numeric key
+    # (doc_id*1000+chunk) silently collides once a document exceeds
+    # 1000 chunks, which a 2-hour transcript can.
     chunk_docs = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_index")).alias("doc_id"),
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_index"))
+         .alias("doc_id"),
         F.col("text"))
     embedded = embed_documents(
         chunk_docs, hosts=["fake-host"],
         transport_factory=lambda: DeterministicFakeTransport())
-    q_df = spark.createDataFrame([(0, question)], ["doc_id", "text"])
+    q_df = spark.createDataFrame([("q", question)], ["doc_id", "text"])
     q_vec = embed_documents(
         q_df, hosts=["fake-host"],
         transport_factory=lambda: DeterministicFakeTransport()
@@ -70,8 +74,8 @@ def rag_top_chunks(docs: DataFrame, question: str,
     scored = (
         embedded.crossJoin(F.broadcast(q_vec))
         .select(
-            (F.col("doc_id") / 1000).cast("long").alias("doc_id"),
-            (F.col("doc_id") % 1000).cast("int").alias("chunk_index"),
+            F.split("doc_id", ":").getItem(0).cast("long").alias("doc_id"),
+            F.split("doc_id", ":").getItem(1).cast("int").alias("chunk_index"),
             F.round(F.expr(dot) / (F.sqrt(F.expr(nv)) * F.sqrt(F.expr(nq))), 6)
              .alias("sim")))
     from pyspark.sql import Window

@@ -28,8 +28,12 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
 
 EMBED_DIM = 8
 
+# The id travels as a STRING so any key shape — long doc_id or a
+# composite like "doc:chunk" — passes through without lossy packing
+# (a numeric doc_id*1000+chunk scheme silently aliases keys once a
+# document exceeds 1000 chunks).
 EMBED_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
+    StructField("doc_id", StringType()),
     StructField("embedding", ArrayType(DoubleType())),
     StructField("host", StringType()),
     StructField("attempts", IntegerType()),
@@ -90,10 +94,12 @@ def embed_documents(docs: DataFrame,
                 used_hosts.append(host_used)
                 attempts.append(tries)
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
+                "doc_id": pd.Series(ids, dtype="object"),
                 "embedding": vecs,
                 "host": used_hosts,
                 "attempts": pd.Series(attempts, dtype="int32"),
             })
 
-    return docs.select(id_col, text_col).mapInPandas(run, EMBED_SCHEMA)
+    from pyspark.sql import functions as F
+    return (docs.select(F.col(id_col).cast("string").alias(id_col), text_col)
+            .mapInPandas(run, EMBED_SCHEMA))

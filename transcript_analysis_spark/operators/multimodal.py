@@ -78,13 +78,13 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         "environment; use the deterministic fake decode")
 
 
-def _round_half_up(x: float, places: int = 6) -> float:
-    """Half-away-from-zero rounding (SQL ROUND semantics; Python's
-    built-in round() is banker's rounding and would diverge from the
-    DuckDB oracle on exact .5 boundaries)."""
-    import math
-    scale = 10 ** places
-    return math.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
+def scaled_feature(s: int, n: int) -> int:
+    """Feature value as an exact half-up-rounded scaled integer
+    (round(s/n, 6) * 1e6), computed in pure integer arithmetic so
+    Python, Spark and the DuckDB oracle agree bit-for-bit — float
+    rounding at the .5 boundary is engine-dependent, integers are not.
+    Requires s >= 0, n > 0 (byte sums are)."""
+    return (2 * s * 1_000_000 + n) // (2 * n)
 
 
 def _decode_fake(payload: bytes, kind: str) -> list[float]:
@@ -95,7 +95,7 @@ def _decode_fake(payload: bytes, kind: str) -> list[float]:
     feats = []
     for d in range(FEATURE_DIM):
         s = sum(payload[i] for i in range(d, len(payload), FEATURE_DIM))
-        feats.append(_round_half_up(s / n, 6))
+        feats.append(scaled_feature(s, n) / 1e6)
     return feats
 
 

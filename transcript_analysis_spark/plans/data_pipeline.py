@@ -85,9 +85,15 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fanout(_t(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.split("text", " ").alias("words"))
+        # Guard: sequence(1, 0) yields DESCENDING [1, 0] in Spark, and
+        # slice(words, 0, 3) then throws — docs under 3 words must
+        # short-circuit to an empty shingle set (the DuckDB oracle's
+        # generate_series(1, 0) is already empty).
         .select("doc_id", F.explode(F.expr(
-            "transform(sequence(1, greatest(0, size(words) - 2)),"
-            " i -> concat_ws(' ', slice(words, i, 3)))")).alias("shingle"))
+            "CASE WHEN size(words) >= 3 THEN"
+            " transform(sequence(1, size(words) - 2),"
+            " i -> concat_ws(' ', slice(words, i, 3)))"
+            " ELSE array() END")).alias("shingle"))
         .distinct()
     )
 
@@ -220,24 +226,26 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: per-word hash -> per-bit +-1 votes -> sign.
     Near-dup docs differ in few bits (compare by hamming distance
-    downstream); computed with two hash-aggregates."""
+    downstream). The 32 bit-votes are folded PER ROW into an array
+    (no ×32 cross-join blow-up of the aggregate input), then one
+    hash-aggregate sums each bit position; simhash is assembled from
+    the 32 vote sums in a plain projection."""
     d = fanout(_t(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wh = tok.select(
         "doc_id",
         (F.expr(spark_char_hash("word")) % F.lit(4294967296)).alias("h"))
-    bit = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        wh.crossJoin(F.broadcast(bit))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(
-            F.when((F.col("h") / F.pow(F.lit(2), F.col("bit")).cast("long"))
-                   .cast("long") % 2 == 1, 1).otherwise(-1)).alias("vote"))
-    )
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("vote") > 0,
-                              F.pow(F.lit(2), F.col("bit")).cast("long"))
-                       .otherwise(F.lit(0))).cast("long").alias("simhash")))
+    per_row = wh.withColumn("vote_vec", F.expr(
+        "transform(sequence(0, 31),"
+        " b -> CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END)"))
+    votes = per_row.groupBy("doc_id").agg(
+        *[F.sum(F.element_at("vote_vec", b + 1)).alias(f"v{b}")
+          for b in range(32)])
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 @register(
@@ -911,7 +919,8 @@ def token_bounded_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     feats AS (
       SELECT doc_id,
-             list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY d) AS features
+             string_agg(CAST((2 * s * 1000000 + n) // (2 * n) AS VARCHAR),
+                        ',' ORDER BY d) AS features
       FROM dims GROUP BY doc_id
     )
     SELECT d.doc_id AS media_id,
@@ -926,9 +935,19 @@ def token_bounded_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> feature vectors via mapInPandas (deterministic
-    fake decode; real codecs stubbed) — see operators/multimodal.py."""
+    fake decode; real codecs stubbed) — see operators/multimodal.py.
+    The array<double> feature vector is serialized to a comma-joined
+    string of ×1e6 scaled integers for the harness (pandas cannot hash
+    array cells; scaled integers stringify identically everywhere).
+    `extract_features` itself keeps the array API."""
     from transcript_analysis_spark.operators import multimodal as mm
-    return mm.extract_features(mm.synthetic_media(spark, sf_dir))
+    feats = mm.extract_features(mm.synthetic_media(spark, sf_dir))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.concat_ws(",", F.expr(
+            "transform(features,"
+            " x -> cast(cast(round(x * 1000000) as bigint) as string))"))
+         .alias("features"))
 
 
 @register(
@@ -1018,9 +1037,15 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
     labels = edges.select(F.col("u").alias("n")).distinct() \
                   .withColumn("label", F.col("n"))
-    edges = edges.cache()
-    labels = labels.cache()
-    for _ in range(20):  # diameter bound; converges far earlier
+    # localCheckpoint truncates lineage: .cache() alone keeps the full
+    # logical plan, which deepens every iteration and stalls Catalyst
+    # on large graphs. Eager-checkpointing the loop-carried DF every
+    # iteration keeps plan depth O(1) across rounds.
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    max_iters = 30
+    converged = False
+    for _ in range(max_iters):
         neighbor_min = (edges.join(labels, edges["v"] == labels["n"])
                         .groupBy("u").agg(F.min("label").alias("nl")))
         new_labels = (labels.join(neighbor_min,
@@ -1029,14 +1054,21 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nl"), F.col("label")))
                                .alias("label")))
-        new_labels = new_labels.cache()
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("a")
                    .join(labels.alias("b"), "n")
                    .filter(F.col("a.label") != F.col("b.label")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Loud, not silent: an unconverged labeling is a WRONG answer
+        # (labels diverge from true components), never return it.
+        raise RuntimeError(
+            f"neardup_components: min-label propagation did not converge "
+            f"within {max_iters} iterations (graph diameter too large); "
+            f"raise max_iters or switch to large-star/small-star")
     return (labels.groupBy(F.col("label").alias("component_id"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("n").cast("long").alias("canonical_doc_id")))

@@ -251,7 +251,7 @@ def islands_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot t ON t.model_source = p.model_source
     )
     SELECT doc_id, model_source,
-           (CAST((CASE WHEN (SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1000000 + (COUNT(*) * 1000000000)) // (2 * (COUNT(*) * 1000000000))) AS DOUBLE) / 1000000) AS avg_logprob,
+           (CAST((CASE WHEN (SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1 + (COUNT(*)) * 1000) // (2 * (COUNT(*)) * 1000)) AS DOUBLE) / 1000000) AS avg_logprob,
            COUNT(*)                                     AS n_ngrams
     FROM scored
     GROUP BY doc_id, model_source
@@ -320,10 +320,15 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group average is independent of summation order (engine
     # aggregation order is arbitrary; a float sum could land on a 6dp
     # rounding boundary and flip the last digit between engines).
+    # n_prescale=9: the summed logps are 1e9-scaled integers; letting
+    # the rounding helper cancel that against the 10^6 output scale
+    # keeps 2*|N| (not 2*|N|*10^6) as the largest intermediate, so
+    # int64 holds to ~2e8-word documents instead of overflowing at a
+    # few hundred words.
     return (scored.groupBy("doc_id", "model_source")
             .agg(spark_round_ratio(
                     "sum(cast(round(logp * 1e9, 0) as bigint))",
-                    "count(1) * 1000000000", 6).alias("avg_logprob"),
+                    "count(1)", 6, n_prescale=9).alias("avg_logprob"),
                  F.count(F.lit(1)).alias("n_ngrams")))
 
 
@@ -674,7 +679,7 @@ def islands_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN pen
     )
     SELECT doc_id,
-           (CAST((CASE WHEN (SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1000000 + (COUNT(*) * 1000000000)) // (2 * (COUNT(*) * 1000000000))) AS DOUBLE) / 1000000) AS avg_logprob,
+           (CAST((CASE WHEN (SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(s * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1 + (COUNT(*)) * 1000) // (2 * (COUNT(*)) * 1000)) AS DOUBLE) / 1000000) AS avg_logprob,
            COUNT(*)                                     AS n_scored
     FROM scored GROUP BY doc_id
     """,
@@ -747,5 +752,5 @@ def fourgram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(spark_round_ratio(
                     "sum(cast(round(s * 1e9, 0) as bigint))",
-                    "count(1) * 1000000000", 6).alias("avg_logprob"),
+                    "count(1)", 6, n_prescale=9).alias("avg_logprob"),
                  F.count(F.lit(1)).alias("n_scored")))

@@ -600,7 +600,8 @@ def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)                                                   AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))     AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)                                            AS sum_k,
            ROUND(SUM(value), 2)                                       AS sum_value
     FROM events
     GROUP BY event_type
@@ -859,9 +860,10 @@ def order_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nation_segment_sets",
     oracle="""
-    SELECT c_nationkey                                   AS nationkey,
-           list_sort(list(DISTINCT c_mktsegment))        AS segments,
-           COUNT(DISTINCT c_mktsegment)                  AS n_segments
+    SELECT c_nationkey                                             AS nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                                                                   AS segments,
+           COUNT(DISTINCT c_mktsegment)                            AS n_segments
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -870,11 +872,13 @@ def order_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-valued aggregation with deterministic ordering:
     sort_array(collect_set(...)) — the ordered-collection contract
-    applied to set aggregation (array-typed output columns are part of
-    the engine surface)."""
+    applied to set aggregation. The set is serialized to a
+    comma-joined string because the correctness harness hashes rows
+    through pandas, which cannot hash array cells."""
     c = _t(spark, sf_dir, "customer")
     return (c.groupBy(F.col("c_nationkey").alias("nationkey"))
-            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment")))
+                  .alias("segments"),
                  F.countDistinct("c_mktsegment").alias("n_segments")))
 
 

@@ -78,10 +78,29 @@ def upsert_by_key(df: DataFrame, path: str, keys: list[str],
     else:
         new_only = incoming.join(existing, keys, "left_anti")
         merged = existing.unionByName(new_only)
-    # materialize before overwriting the files being read
-    rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
-    out.write.mode("overwrite").parquet(path)
+    # Two distributed writes, zero driver materialization: the merged
+    # result cannot be written straight over the files it is reading,
+    # so stage it to a sibling temp dir, then swap via filesystem
+    # rename (Hadoop FileSystem API — works for local/HDFS; on object
+    # stores or with concurrent readers use Delta/Iceberg MERGE, which
+    # this emulation stands in for). A driver-side collect here would
+    # OOM on any real table.
+    import uuid
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}__upsert_tmp_{token}"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__upsert_old_{token}")
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(jpath, old):
+        raise IOError(f"upsert_by_key: could not stage {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(old, jpath)  # restore on failure
+        raise IOError(f"upsert_by_key: could not swap merged output into {path}")
+    fs.delete(old, True)
 
 
 def filtered_export(source: DataFrame, path: str, predicate: str,
