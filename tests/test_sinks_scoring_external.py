@@ -95,6 +95,49 @@ def test_broadcast_scoring_matches_local(spark):
         assert len(exp) == len(text.split(" "))  # one score per word
 
 
+# --- binary LM import (model blob -> model table) -----------------------
+
+def _roundtrip_scores_match(spark, table, model, docs):
+    """score_with_ngram_table over the imported table must bit-equal
+    score_with_broadcast_model with the in-memory model."""
+    from transcript_analysis_spark.operators.scoring import \
+        score_with_ngram_table
+    via_table = {r.doc_id: r.score for r in
+                 score_with_ngram_table(docs, table).collect()}
+    via_bcast = {r.doc_id: r.score for r in
+                 score_with_broadcast_model(docs, model).collect()}
+    assert via_table == via_bcast
+
+
+def test_pickled_model_import_roundtrip(spark, tmp_path):
+    from transcript_analysis_spark.sources import model_import as mi
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(15)
+    model = NGramModel.train(
+        [r.text.split(" ") for r in docs.limit(8).collect()])
+    blob = str(tmp_path / "model.pkl")
+    out = str(tmp_path / "model_table.parquet")
+    mi.export_model_pickle(model, blob)
+    n = mi.import_pickled_model(blob, model_id=7, out_path=out)
+    assert n == len(model.logprobs)
+    table = mi.load_model_table(spark, out, model_id=7)
+    _roundtrip_scores_match(spark, table, model, docs)
+
+
+def test_arpa_model_import_roundtrip(spark, tmp_path):
+    from transcript_analysis_spark.sources import model_import as mi
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(15)
+    model = NGramModel.train(
+        [r.text.split(" ") for r in docs.limit(8).collect()])
+    arpa = str(tmp_path / "model.arpa")
+    out = str(tmp_path / "model_table.parquet")
+    mi.export_model_arpa(model, arpa)
+    n = mi.import_arpa_model(arpa, model_id=3, out_path=out)
+    assert n == len(model.logprobs)
+    # float text round-trips exactly (repr -> float is lossless)
+    table = mi.load_model_table(spark, out, model_id=3)
+    _roundtrip_scores_match(spark, table, model, docs)
+
+
 # --- external service ---------------------------------------------------
 
 def test_embed_documents_deterministic(spark):

@@ -155,17 +155,27 @@ def score_with_ngram_table(docs: DataFrame, table: DataFrame,
 
 def score_with_broadcast_model(docs: DataFrame, model: NGramModel,
                                text_col: str = "text",
-                               out_col: str = "score") -> DataFrame:
+                               out_col: str = "score",
+                               tokenizer: str = "whitespace") -> DataFrame:
     """Option B: broadcast the model once, score word arrays with an
     Arrow-batched pandas UDF (vectorized transfer; model deserialized
     once per executor, not per row — the Spark form of the reference's
-    LRU model cache, `client/async_processing_client.py:336-361`)."""
+    LRU model cache, `client/async_processing_client.py:336-361`).
+
+    `tokenizer="treebank"` is the NLTK-faithful mode (the reference
+    scores over `word_tokenize`, `client/async_processing_client.py:
+    163-174`); the default whitespace mode is the engine's
+    oracle-checkable contract (SURVEY §7.3). The two agree on
+    punctuation-free text — equivalence-tested — and a model trained
+    under one tokenization must be scored under the same one."""
+    from transcript_analysis_spark.functions.tokenize import TOKENIZERS
+    tok = TOKENIZERS[tokenizer]
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(model)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def score_udf(texts: pd.Series) -> pd.Series:
         m = bc.value
-        return texts.map(lambda t: m.score_words(t.split(" ")) if t else [])
+        return texts.map(lambda t: m.score_words(tok(t)) if t else [])
 
     return docs.withColumn(out_col, score_udf(F.col(text_col)))

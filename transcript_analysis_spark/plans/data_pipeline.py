@@ -443,6 +443,29 @@ def embedding_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit(0))).cast("long").alias("bucket")))
 
 
+@register(
+    "mllib_lsh_similar_pairs",
+    headline=True,
+    tags=("similarity", "lsh", "X15", "mllib"),
+)
+def mllib_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate similarity
+    self-join (operators/ann.py — the X15/HNSW substitute): pairs
+    within euclidean distance 0.5 discovered through shared LSH
+    buckets, never an all-pairs scan. Rows-only check: the random
+    projections (seeded, deterministic in Spark) are not reproducible
+    in SQL, so there is no DuckDB oracle — recall-vs-exact is instead
+    pinned by tests/test_ann.py against the brute-force join.
+    Threshold 1.2 sits just below this corpus's median pair distance
+    (~1.41), so the join returns the near tail (~0.1% of all pairs)."""
+    from transcript_analysis_spark.operators.ann import \
+        approx_similarity_pairs
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = approx_similarity_pairs(e, threshold=1.2,
+                                    bucket_length=0.25, num_tables=2)
+    return pairs.orderBy("vec_a", "vec_b")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -265,6 +265,7 @@ def stale_events_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
     GROUP BY e.event_type
     """,
+    headline=True,
     tags=("asof", "custom-operator"),
 )
 def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
