@@ -68,6 +68,47 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert out.count() == 2
 
 
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """Incremental exact dedup: later micro-batches must not re-append
+    documents whose content already reached the target — including
+    re-deliveries of an entire earlier batch (at-least-once replay)."""
+    target = str(tmp_path / "deduped")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(4, "alpha beta"), (5, "epsilon zeta")], ["doc_id", "text"])
+    sw.foreach_batch_dedup_append(b1, 0, target)
+    out1 = spark.read.parquet(target)
+    assert out1.count() == 2  # within-batch dup dropped
+    sw.foreach_batch_dedup_append(b2, 1, target)
+    out2 = spark.read.parquet(target)
+    assert out2.count() == 3  # cross-batch dup dropped, novel doc kept
+    assert sorted(r.text for r in out2.collect()) == \
+        ["alpha beta", "epsilon zeta", "gamma delta"]
+    # at-least-once replay of batch 2 changes nothing (idempotent)
+    sw.foreach_batch_dedup_append(b2, 1, target)
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_streaming_dedup_via_writestream(spark, tmp_path):
+    """The same sink driven by a real writeStream over a file source."""
+    import functools
+    src = str(tmp_path / "incoming")
+    target = str(tmp_path / "deduped")
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "three four")],
+        ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(functools.partial(
+             sw.foreach_batch_dedup_append, target_path=target))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(target).count() == 2
+
+
 def test_writestream_foreach_batch_end_to_end(spark, tmp_path):
     """True writeStream.foreachBatch path: stream events through the
     idempotent upsert sink and verify the parquet target converges to

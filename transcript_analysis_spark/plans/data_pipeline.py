@@ -1165,3 +1165,157 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark_round_ratio("coalesce(n_common, 0)",
                                       "na + nb - coalesce(n_common, 0)", 6)
                      .alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics: relevance, decontamination, stratified sampling
+# ---------------------------------------------------------------------------
+
+from transcript_analysis_spark.functions.rounding import duck_round_ratio  # noqa: E402
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word, t.tf,
+             t.tf * ROUND(LOG10(CAST(n.n AS DOUBLE) / d.df), 9) AS s
+      FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, word, tf, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, word) AS rk
+      FROM scored
+    )
+    SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+           ROUND(s, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "tfidf", "O3"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF — the relevance/keyword
+    primitive of a corpus search layer. Term and document frequencies
+    are two hash-aggregates; idf is computed once per word (9dp-rounded
+    so both engines rank identical doubles) and ranking is a per-doc
+    window with a deterministic word tie-break. At scale: tf shuffles
+    on (doc, word), df on word — both map-side combined."""
+    from pyspark.sql import Window
+    d = fanout(_t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(n))
+              .withColumn(
+                  "s",
+                  F.col("tf") * F.round(
+                      F.log10(F.col("n").cast("double") / F.col("df")), 9)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("word"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "word", F.col("tf").cast("long").alias("tf"),
+                    F.round("s", 6).alias("tfidf"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
+EVAL_SOURCES = ("src0", "src1")
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    split AS (SELECT doc_id, source FROM documents),
+    train_set AS (
+      SELECT DISTINCT s.shingle
+      FROM shingles s JOIN split d ON d.doc_id = s.doc_id
+      WHERE d.source NOT IN {EVAL_SOURCES!r}
+    ),
+    ev AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s JOIN split d ON d.doc_id = s.doc_id
+      WHERE d.source IN {EVAL_SOURCES!r}
+    )
+    SELECT ev.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           {duck_round_ratio(
+               "SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)",
+               "COUNT(*)", 6)} AS contamination
+    FROM ev LEFT JOIN train_set t ON t.shingle = ev.shingle
+    GROUP BY ev.doc_id
+    """,
+    tags=("decontamination", "dedup"),
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: for every eval-split document, the
+    fraction of its shingles that also appear anywhere in the train
+    split — the benchmark-leakage check every LLM training pipeline
+    runs. One distinct-shingle build on the train side, one
+    shingle-key left join on the eval side (shuffles on the shingle,
+    O(eval shingles), never doc x doc)."""
+    sh = _spark_shingles(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    ev = sh.join(src.filter(is_eval), "doc_id")
+    train = (sh.join(src.filter(~is_eval), "doc_id")
+             .select("shingle").distinct())
+    joined = ev.join(train.withColumn("hit", F.lit(1)), "shingle", "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+                  .alias("n_overlap"),
+                 spark_round_ratio("sum(coalesce(hit, 0))", "count(1)", 6)
+                  .alias("contamination")))
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 10 ELSE 5 END AS rate
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN doc_id % rate = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN doc_id % rate = 0 THEN n_chars * rate
+                         ELSE 0 END) AS BIGINT) AS est_total_chars
+    FROM s GROUP BY lang
+    """,
+    tags=("sampling", "A4"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling with inverse-probability
+    (Horvitz-Thompson) extrapolation: different sampling rates per
+    language stratum (1-in-10 for the majority class, 1-in-5 for the
+    tails), estimates re-weighted by each stratum's rate. The
+    deterministic id-modulus filter is the oracle-checkable stand-in
+    for `sampleBy` — the plan shape (scan-side filter, one aggregate)
+    is identical."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(5)
+    s = d.select("lang", "doc_id", "n_chars", rate.alias("rate"))
+    in_sample = F.col("doc_id") % F.col("rate") == 0
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.when(in_sample, 1).otherwise(0)).cast("long")
+                  .alias("n_sampled"),
+                 F.sum(F.when(in_sample,
+                              F.col("n_chars") * F.col("rate"))
+                       .otherwise(0)).cast("long")
+                  .alias("est_total_chars")))

@@ -323,3 +323,42 @@ def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").cast("long").alias("n_events"),
                  F.round(F.sum("v"), 2).alias("sum_value"),
                  F.count(F.lit(1)).alias("active_hours")))
+
+
+@register(
+    "events_dedup_first",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, date_trunc('second', ts)
+               ORDER BY event_id) AS rk
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dupes_removed
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("dedup", "streaming", "U3"),
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-log dedup, keep-first semantics: collapse retried/
+    double-delivered events on the (user, type, second) natural key,
+    keeping the lowest event_id — the batch form of streaming
+    `dropDuplicates` on an at-least-once feed (T2's delivery model).
+    One window shuffle on the dedup key; at scale the same key is the
+    stream's partitioning so the dedup is local per partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type",
+                           F.date_trunc("second", "ts")).orderBy("event_id")
+    ranked = e.withColumn("rk", F.row_number().over(w))
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("long")
+                  .alias("n_unique"),
+                 F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("long")
+                  .alias("n_dupes_removed")))

@@ -185,3 +185,35 @@ def user_running_stats(events: "DataFrame", watermark: str = "10 minutes") -> "D
             timeoutConf="NoTimeout",
         )
     )
+
+
+def content_fingerprint(text_col: str = "text"):
+    """Portable content fingerprint (the polynomial char hash shared
+    with the dedup queries — never Spark's hash(), which other engines
+    cannot reproduce)."""
+    from transcript_analysis_spark.plans.data_pipeline import spark_char_hash
+    return F.expr(spark_char_hash(text_col))
+
+
+def foreach_batch_dedup_append(batch_df: DataFrame, batch_id: int,
+                               target_path: str,
+                               text_col: str = "text") -> None:
+    """Streaming incremental dedup sink: fingerprint each document in
+    the micro-batch, drop within-batch duplicates, anti-join against
+    every fingerprint already in the target, append only novel docs.
+
+    This is exact dedup running continuously — the streaming form of
+    `exact_dedup_groups` (the state is the target table itself, so a
+    restart needs no checkpoint replay to stay correct: re-delivered
+    documents anti-join away). At scale the target is partitioned by a
+    fingerprint prefix so the anti-join prunes to matching partitions.
+    """
+    spark = batch_df.sparkSession
+    fp = (batch_df.withColumn("fingerprint", content_fingerprint(text_col))
+          .dropDuplicates(["fingerprint"]))
+    try:
+        seen = spark.read.parquet(target_path).select("fingerprint")
+        fp = fp.join(seen, "fingerprint", "left_anti")
+    except Exception:  # first batch — nothing seen yet  # noqa: BLE001
+        pass
+    fp.write.mode("append").parquet(target_path)
