@@ -49,6 +49,21 @@ def test_upsert_by_key_update_and_nothing(spark, tmp_path):
     assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
 
 
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(40).write.mode("overwrite").parquet(path)
+    import glob
+    before = len(glob.glob(f"{path}/part-*"))
+    assert before >= 40
+    rows_before = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+    n = sinks.compact_parquet(spark, path)
+    after = len(glob.glob(f"{path}/part-*"))
+    assert after == n and after < before
+    rows_after = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
+
+
 def test_filtered_export_and_csv_roundtrip(spark, tmp_path):
     src = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     out = str(tmp_path / "dev_dump")

@@ -1319,3 +1319,92 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("n_chars") * F.col("rate"))
                        .otherwise(0)).cast("long")
                   .alias("est_total_chars")))
+
+
+_DUCK_COS = ("ROUND(list_dot_product({a}, {b}) / "
+             "(sqrt(list_dot_product({a}, {a})) * "
+             "sqrt(list_dot_product({b}, {b}))), {d})")
+
+
+def _spark_cos(a: str, b: str, digits: int) -> str:
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+           f" (acc, x) -> acc + x)")
+    na = (f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0D,"
+          f" (acc, x) -> acc + x))")
+    nb = (f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0D,"
+          f" (acc, x) -> acc + x))")
+    return f"round({dot} / ({na} * {nb}), {digits})"
+
+
+@register(
+    "ivf_topk_probe",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id % 53 = 1
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    top_cents AS (
+      SELECT cent_id
+      FROM cents CROSS JOIN q
+      ORDER BY {_DUCK_COS.format(a='cv', b='qv', d=9)} DESC, cent_id
+      LIMIT 2
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label, e.v, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DUCK_COS.format(a='e.v', b='c.cv', d=9)} DESC,
+                        c.cent_id) AS rk
+      FROM emb e CROSS JOIN cents c
+    ),
+    bucket AS (
+      SELECT vec_id, label, v FROM assign
+      WHERE rk = 1 AND vec_id <> 0
+        AND cent_id IN (SELECT cent_id FROM top_cents)
+    )
+    SELECT vec_id, label,
+           {_DUCK_COS.format(a='v', b='qv', d=6)} AS cosine
+    FROM bucket CROSS JOIN q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "X15"),
+)
+def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors, the other
+    classic ANN index besides LSH: partition the corpus into centroid
+    buckets once, then answer top-k by probing only the nprobe=2
+    buckets nearest the query — search cost drops from O(corpus) to
+    O(corpus/K * nprobe).
+
+    Deterministic stand-in for trained centroids: every 53rd vector is
+    a centroid (at scale: k-means once, same plan). Assignment is an
+    argmax over a BROADCAST centroid table (K << corpus, so this is a
+    map-side operation + one window shuffle on vec_id); cosines are
+    9dp-rounded before every argmax/ordering so both engines rank
+    identical doubles, centroid-id tie-breaks."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    cents = (e.filter(F.col("vec_id") % 53 == 1)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cv")))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    top_cents = (cents.crossJoin(F.broadcast(q))
+                 .select("cent_id",
+                         F.expr(_spark_cos("cv", "qv", 9)).alias("cos_qc"))
+                 .orderBy(F.desc("cos_qc"), F.asc("cent_id"))
+                 .limit(2).select("cent_id"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_vc"), F.asc("cent_id"))
+    assign = (e.crossJoin(F.broadcast(cents))
+              .withColumn("cos_vc", F.expr(_spark_cos("v", "cv", 9)))
+              .withColumn("rk", F.row_number().over(w))
+              .filter((F.col("rk") == 1) & (F.col("vec_id") != 0)))
+    bucket = assign.join(F.broadcast(top_cents), "cent_id")
+    return (bucket.crossJoin(F.broadcast(q))
+            .select("vec_id", "label",
+                    F.expr(_spark_cos("v", "qv", 6)).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(10))

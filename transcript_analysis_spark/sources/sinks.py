@@ -85,22 +85,50 @@ def upsert_by_key(df: DataFrame, path: str, keys: list[str],
     # stores or with concurrent readers use Delta/Iceberg MERGE, which
     # this emulation stands in for). A driver-side collect here would
     # OOM on any real table.
+    write_and_swap(merged, path)
+
+
+def write_and_swap(df: DataFrame, path: str) -> None:
+    """Write `df` to a sibling temp dir, then atomically swap it into
+    `path` via filesystem rename — the rewrite primitive every
+    read-modify-write sink (upsert, compaction) shares."""
     import uuid
+    spark = df.sparkSession
     token = uuid.uuid4().hex[:8]
-    tmp = f"{path.rstrip('/')}__upsert_tmp_{token}"
-    merged.write.mode("overwrite").parquet(tmp)
+    tmp = f"{path.rstrip('/')}__rewrite_tmp_{token}"
+    df.write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
-    old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__upsert_old_{token}")
+    old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__rewrite_old_{token}")
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     if not fs.rename(jpath, old):
-        raise IOError(f"upsert_by_key: could not stage {path} aside")
+        raise IOError(f"write_and_swap: could not stage {path} aside")
     if not fs.rename(jtmp, jpath):
         fs.rename(old, jpath)  # restore on failure
-        raise IOError(f"upsert_by_key: could not swap merged output into {path}")
+        raise IOError(f"write_and_swap: could not swap new output into {path}")
     fs.delete(old, True)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and swap it in. Streaming sinks
+    and per-batch appends accumulate tiny files; at 100 TB the
+    scheduler and the parquet footer reads become the bottleneck long
+    before the data does, so compaction to ~128 MB files is routine
+    maintenance (the OPTIMIZE of the lakehouse engines). Returns the
+    file count written."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(total) // target_file_bytes))
+    df = spark.read.parquet(path)
+    write_and_swap(df.repartition(n_files), path)
+    return n_files
 
 
 def filtered_export(source: DataFrame, path: str, predicate: str,
