@@ -1,0 +1,67 @@
+"""The TranscriptEngine facade: every reference entry point reachable
+from one object, returning live DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+
+from transcript_analysis_spark.api import TranscriptEngine
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return TranscriptEngine(spark, SF_DIR)
+
+
+def test_scoring_via_imported_model(engine, spark, tmp_path):
+    from transcript_analysis_spark.operators.scoring import NGramModel
+    from transcript_analysis_spark.sources import model_import as mi
+    texts = [r.text for r in engine._docs().limit(5).collect()]
+    model = NGramModel.train([t.split(" ") for t in texts])
+    blob = str(tmp_path / "m.pkl")
+    mi.export_model_pickle(model, blob)
+    table = engine.import_model(blob, model_id=1,
+                                out_path=str(tmp_path / "m.parquet"))
+    scored = engine.score_documents(table)
+    row = scored.limit(1).collect()[0]
+    assert isinstance(row.score, list) and row.score
+    # broadcast path agrees
+    b = engine.score_documents_broadcast(model)
+    assert {r.doc_id: r.score for r in scored.collect()} == \
+           {r.doc_id: r.score for r in b.select("doc_id", "score").collect()}
+
+
+def test_islands_and_survey_and_chunks(engine):
+    isl = engine.find_islands()
+    assert isl.count() > 0 and "average_score" in isl.columns
+    survey = engine.run_survey(n_questions=4)
+    assert survey.count() > 0 and "score_econ" in survey.columns
+    chunks = engine.chunk_and_embed()
+    assert chunks.count() > 0 and "chunk_index" in chunks.columns
+    rag = engine.chunk_and_embed(question="what is a filter?", top_k=2)
+    assert rag.groupBy("doc_id").count().agg({"count": "max"}) \
+              .first()[0] <= 2
+
+
+def test_dedup_quality_sql(engine):
+    assert engine.dedup("exact").count() > 0
+    with pytest.raises(ValueError):
+        engine.dedup("nope")
+    assert engine.quality().count() > 0
+    assert engine.decontaminate().count() >= 0
+    n = engine.sql("SELECT COUNT(*) AS n FROM documents").first().n
+    assert n == 500
+
+
+def test_dashboard_from_engine(engine):
+    svc = engine.dashboard(ttl_sec=300)
+    rows, hit = svc.run("corpus_counts")
+    assert rows and not hit
+    _, hit2 = svc.run("corpus_counts")
+    assert hit2
+
+
+def test_named_query_passthrough(engine):
+    assert engine.query("status_histogram").count() > 0

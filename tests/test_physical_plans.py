@@ -10,6 +10,7 @@ stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -103,6 +104,47 @@ def test_neardup_components_plan_depth_bounded(spark):
     # a lineage-accumulating plan here would be tens of thousands of
     # chars (one join+agg layer per iteration)
     assert len(opt) < 5000, f"plan unexpectedly deep: {len(opt)} chars"
+
+
+def test_tfidf_no_cartesian_and_jvm_side(spark):
+    plan = plan_of(_q(spark, "tfidf_top_terms"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_joins_on_shingle_key(spark):
+    # the eval x train comparison must be a shingle-key equi-join,
+    # never a doc x doc product
+    plan = plan_of(_q(spark, "contamination_overlap"))
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_centroids_broadcast(spark):
+    # centroid assignment must broadcast the (tiny) centroid table;
+    # the corpus side must never be the build side of a cartesian
+    plan = plan_of(_q(spark, "ivf_topk_probe"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_events_scan_prunes_partitions(spark, tmp_path):
+    """Hypertable-style layout: events partitioned by day on disk; a
+    day-range query must prune to matching partition directories
+    (PartitionFilters in the scan), not read the whole table."""
+    from transcript_analysis_spark.sources.tables import load_table
+    path = str(tmp_path / "events_by_day")
+    e = load_table(spark, SF_DIR, "events")
+    (e.withColumn("event_date", F.to_date("ts"))
+     .write.mode("overwrite").partitionBy("event_date").parquet(path))
+    df = (spark.read.parquet(path)
+          .filter("event_date = date'2024-01-02'")
+          .select("event_id", "value"))
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the filter must NOT degrade to a post-scan Filter on event_date
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_date" in pf.group(1)
 
 
 def test_session_config_scale_flags(spark):

@@ -93,3 +93,59 @@ def test_chunker_invariants(words, max_tokens, min_tail):
     # exceeds it; final chunk may exceed only via tail-merge
     for s, e, t, _ in chunks[:-1]:
         assert t <= max_tokens or s == e
+
+
+# --- tokenizer mode properties ------------------------------------------
+
+word_strategy = st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                        min_size=1, max_size=10)
+
+
+@settings(max_examples=50, deadline=None)
+@given(words=st.lists(word_strategy, min_size=1, max_size=30))
+def test_treebank_equals_whitespace_on_clean_words(words):
+    """On punctuation-free lowercase words, the NLTK-faithful mode
+    must be EXACTLY the whitespace contract (this is the equivalence
+    that lets every oracle keep whitespace tokenization)."""
+    from transcript_analysis_spark.functions.tokenize import (
+        treebank_tokenize, whitespace_tokenize)
+    text = " ".join(words)
+    assert treebank_tokenize(text) == whitespace_tokenize(text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(words=st.lists(word_strategy, min_size=1, max_size=15))
+def test_treebank_contraction_roundtrip(words):
+    """Appending a contraction always splits exactly one extra token
+    off the final word."""
+    from transcript_analysis_spark.functions.tokenize import \
+        treebank_tokenize
+    base = " ".join(words)
+    toks = treebank_tokenize(base + " can't")
+    assert toks[-2:] == ["ca", "n't"]
+    assert toks[:-2] == base.split(" ")
+
+
+# --- ARPA round-trip property -------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(corpus=st.lists(
+    st.lists(word_strategy, min_size=1, max_size=8),
+    min_size=1, max_size=6))
+def test_arpa_roundtrip_preserves_logprobs(corpus, tmp_path_factory):
+    """Train → ARPA text → parse: the model table must carry every
+    (ngram, logprob) bit-for-bit (float repr round-trips losslessly)."""
+    import pyarrow.parquet as pq
+
+    from transcript_analysis_spark.operators.scoring import NGramModel
+    from transcript_analysis_spark.sources import model_import as mi
+    model = NGramModel.train(corpus)
+    d = tmp_path_factory.mktemp("arpa")
+    arpa, out = str(d / "m.arpa"), str(d / "m.parquet")
+    mi.export_model_arpa(model, arpa)
+    n = mi.import_arpa_model(arpa, model_id=1, out_path=out)
+    assert n == len(model.logprobs)
+    tbl = pq.read_table(out).to_pylist()
+    got = {(r["ngram_key"], r["ngram_order"]): r["logprob"] for r in tbl}
+    exp = {(" ".join(g), len(g)): lp for g, lp in model.logprobs.items()}
+    assert got == exp

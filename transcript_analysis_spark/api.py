@@ -1,0 +1,152 @@
+"""High-level engine facade — one object exposing the reference's
+entry points as methods, so a user of the reference can switch without
+learning the registry first.
+
+Reference entry points → facade methods:
+
+- `client/async_processing_client.py` (score transcripts vs models)
+  → `score_documents` (join-based, model table) /
+    `score_documents_broadcast` (one in-memory model, optional
+    NLTK-faithful tokenization)
+- `island_worker.py` (quote-island extraction) → `find_islands`
+- `run_8values_survey.py` → `run_survey`
+- `embed_transcripts_to_vector_db.py` → `chunk_and_embed`
+- `server/dashboard.py` → `dashboard()` (TTL cache + timeouts)
+- ad-hoc SQL over the warehouse → `sql` (views registered once)
+- corpus maintenance (dedup/quality sweeps) → `dedup`, `quality`
+
+Every method returns a DataFrame (or service object) — nothing
+collects; composition and sinks stay in the caller's hands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TranscriptEngine:
+    """The engine's front door: `TranscriptEngine(spark, sf_dir)`."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    # -- scoring (async_processing_client) -------------------------------
+
+    def score_documents(self, model_table: DataFrame,
+                        n: int = 4) -> DataFrame:
+        """Join-based n-gram scoring (SURVEY §7.4 Option A): documents
+        x a `(ngram_key, ngram_order, logprob)` model table; returns
+        per-document score arrays."""
+        from transcript_analysis_spark.operators.scoring import \
+            score_with_ngram_table
+        docs = self._docs()
+        return score_with_ngram_table(docs, model_table, n=n)
+
+    def score_documents_broadcast(self, model,
+                                  tokenizer: str = "whitespace") -> DataFrame:
+        """Broadcast-model scoring (Option B); `tokenizer="treebank"`
+        reproduces NLTK `word_tokenize` pipelines."""
+        from transcript_analysis_spark.operators.scoring import \
+            score_with_broadcast_model
+        return score_with_broadcast_model(self._docs(), model,
+                                          tokenizer=tokenizer)
+
+    def import_model(self, path: str, model_id: int, out_path: str,
+                     fmt: str = "pickle") -> DataFrame:
+        """One-time legacy model conversion (pickle | arpa) to the
+        model-table parquet; returns the loaded table."""
+        from transcript_analysis_spark.sources import model_import as mi
+        if fmt == "pickle":
+            mi.import_pickled_model(path, model_id, out_path)
+        elif fmt == "arpa":
+            mi.import_arpa_model(path, model_id, out_path)
+        else:
+            raise ValueError(f"unknown model format: {fmt}")
+        return mi.load_model_table(self.spark, out_path, model_id)
+
+    # -- islands (island_worker) ------------------------------------------
+
+    def find_islands(self) -> DataFrame:
+        """Gaussian smoothing + gaps-and-islands + time mapping — the
+        flagship quote-detection flow."""
+        return self._q("islands_flagship")
+
+    # -- survey (run_8values_survey) --------------------------------------
+
+    def run_survey(self, n_questions: int = 10,
+                   modes: tuple[str, ...] = ("baseline", "transcript")) -> DataFrame:
+        from transcript_analysis_spark.operators.eightvalues import run_survey
+        return run_survey(self.spark, self.sf_dir,
+                          n_questions=n_questions, modes=list(modes))
+
+    # -- embedding (embed_transcripts_to_vector_db) -----------------------
+
+    def chunk_and_embed(self, question: str = "",
+                        top_k: int = 6) -> DataFrame:
+        """Token-bounded chunking + external-service embedding (+
+        optional RAG top-k against a question)."""
+        from transcript_analysis_spark.operators import eightvalues as ev
+        docs = self._docs()
+        if question:
+            return ev.rag_top_chunks(docs, question, top_k=top_k)
+        from transcript_analysis_spark.operators.chunking import \
+            token_bounded_chunks
+        return token_bounded_chunks(docs)
+
+    # -- corpus maintenance ----------------------------------------------
+
+    _DEDUP_QUERIES = {
+        "exact": "exact_dedup_groups",
+        "minhash": "minhash_verified_pairs",
+        "simhash": "simhash_fingerprints",
+        "components": "neardup_components",
+        "embedding": "embedding_similar_pairs",
+    }
+
+    def dedup(self, method: str = "exact") -> DataFrame:
+        try:
+            return self._q(self._DEDUP_QUERIES[method])
+        except KeyError:
+            raise ValueError(
+                f"unknown dedup method {method!r}; "
+                f"one of {sorted(self._DEDUP_QUERIES)}") from None
+
+    def quality(self) -> DataFrame:
+        return self._q("text_quality_scores")
+
+    def decontaminate(self) -> DataFrame:
+        return self._q("contamination_overlap")
+
+    # -- serving / SQL ----------------------------------------------------
+
+    def dashboard(self, ttl_sec: float = 60.0):
+        from transcript_analysis_spark.serving.dashboard import \
+            DashboardService
+        return DashboardService(self.spark, self.sf_dir, ttl_sec=ttl_sec)
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the registered table views — the reference's
+        raw-SQL surface through Catalyst."""
+        if not self._views_registered:
+            from transcript_analysis_spark.sources.tables import \
+                register_views
+            register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Any registered query by name (the full engine surface)."""
+        return self._q(name)
+
+    # -- internals --------------------------------------------------------
+
+    def _docs(self) -> DataFrame:
+        from transcript_analysis_spark.sources.tables import (fanout,
+                                                              load_table)
+        return fanout(load_table(self.spark, self.sf_dir, "documents"))
+
+    def _q(self, name: str) -> DataFrame:
+        from transcript_analysis_spark.plans import all_queries
+        return all_queries()[name].fn(self.spark, self.sf_dir)
