@@ -41,3 +41,27 @@ def test_minhash_pairs_golden(spark):
     n, d = _fingerprint(_q(spark, "minhash_lsh_candidate_pairs"))
     assert (n, d) == (40, "a7e955acde2f6c3e"), (
         f"minhash pairs drifted: ({n}, {d!r})")
+
+
+def test_tfidf_top_terms_golden(spark):
+    n, d = _fingerprint(_q(spark, "tfidf_top_terms"))
+    assert (n, d) == (1500, "7de5214f55a1e4f9"), (
+        f"tfidf drifted: ({n}, {d!r})")
+
+
+def test_contamination_overlap_golden(spark):
+    n, d = _fingerprint(_q(spark, "contamination_overlap"))
+    assert (n, d) == (50, "14f4b430282a5922"), (
+        f"contamination drifted: ({n}, {d!r})")
+
+
+def test_ivf_topk_probe_golden(spark):
+    n, d = _fingerprint(_q(spark, "ivf_topk_probe"))
+    assert (n, d) == (10, "5a6a320233f1a907"), (
+        f"ivf probe drifted: ({n}, {d!r})")
+
+
+def test_events_dedup_first_golden(spark):
+    n, d = _fingerprint(_q(spark, "events_dedup_first"))
+    assert (n, d) == (5, "5aabb1b545ae9781"), (
+        f"events dedup drifted: ({n}, {d!r})")

@@ -115,3 +115,30 @@ def test_build_succinct_probes(spark):
     r = ev.build_succinct_probes(qs).first()
     assert r.probe_for == "I strongly believe that taxes should rise"
     assert r.probe_against == "I strongly oppose the idea that taxes should rise"
+
+
+def test_skew_stats_and_salt_recommendation(spark):
+    from transcript_analysis_spark.operators.skew import (
+        key_skew_stats, recommend_salt_buckets)
+    # uniform key -> no salting recommended
+    uniform = spark.range(1000).selectExpr("id % 10 as k", "id as v")
+    s_uniform = key_skew_stats(uniform, ["k"])
+    assert s_uniform["n_keys"] == 10
+    assert recommend_salt_buckets(s_uniform) == 1
+    # one hot key holding ~90% of rows -> salting recommended
+    skewed = spark.range(1000).selectExpr(
+        "case when id < 900 then 0 else id % 10 end as k", "id as v")
+    s_skewed = key_skew_stats(skewed, ["k"])
+    assert s_skewed["skew_ratio"] > 10
+    rec = recommend_salt_buckets(s_skewed)
+    assert 1 < rec <= 64
+    # the recommendation feeds the salted aggregate and stays correct
+    from transcript_analysis_spark.operators.skew import salted_aggregate
+    got = {(r.k): (r.n, r.total) for r in salted_aggregate(
+        skewed, ["k"], {"n": "count(*)", "total": "sum(v)"},
+        salt_buckets=rec).collect()}
+    exp = {(r.k): (r.n, r.total) for r in
+           skewed.groupBy("k").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum("v").alias("total")).collect()}
+    assert got == exp
