@@ -910,3 +910,26 @@ def all_account_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("party_kind")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("acctbal"), 2).alias("total_balance")))
+
+
+@register(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A5", "cube", "olap"),
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^k grouping sets in one pass (the OLAP
+    companion to `revenue_rollup_hierarchy`'s ROLLUP): per-status,
+    per-priority, per-pair, and grand-total rows, with NULL as the
+    all-values marker in rolled-up dimensions. One shuffle; Spark
+    expands grouping sets map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))

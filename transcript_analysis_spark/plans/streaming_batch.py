@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transcript_analysis_spark.functions.rounding import duck_round_ratio
 from transcript_analysis_spark.plans.registry import register
 from transcript_analysis_spark.sources.tables import load_table
 
@@ -362,3 +363,90 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_unique"),
                  F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("long")
                   .alias("n_dupes_removed")))
+
+
+@register(
+    "time_weighted_value",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+             CAST(ROUND(value * 100, 0) AS BIGINT)               AS cents,
+             event_id
+      FROM events
+    ),
+    stepped AS (
+      SELECT event_type, cents,
+             LEAD(sec) OVER (PARTITION BY event_type
+                             ORDER BY sec, event_id) - sec AS dt
+      FROM seq
+    )
+    SELECT event_type,
+           COUNT(*)                 AS n_intervals,
+           CAST(SUM(dt) AS BIGINT)  AS total_sec,
+           {duck_round_ratio("SUM(cents * dt)", "SUM(dt) * 100", 6)}
+             AS time_weighted_avg
+    FROM stepped WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "W6"),
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type (the TimescaleDB
+    `time_weight` pattern): each reading holds until the next one, so
+    the mean weights each value by its interval. Values are scaled to
+    integer cents BEFORE the weighted sum so the big sum is exact
+    int64 arithmetic — a float weighted sum's rounding would depend on
+    engine summation order."""
+    from transcript_analysis_spark.functions.rounding import \
+        spark_round_ratio
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type", "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    stepped = seq.select(
+        "event_type", "cents",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dt"))
+    return (stepped.filter(F.col("dt").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("dt").cast("long").alias("total_sec"),
+                 spark_round_ratio("sum(cents * dt)", "sum(dt) * 100", 6)
+                  .alias("time_weighted_avg")))
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS w
+      FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    cohort AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id)
+    SELECT STRFTIME(c.cw, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(w.w) - epoch(c.cw)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM wk w JOIN cohort c USING (user_id)
+    GROUP BY c.cw, week_offset
+    """,
+    tags=("timeseries", "cohort"),
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted
+    in each subsequent week they return — the standard engagement
+    triangle. Two aggregations plus one equi-join on user_id; both
+    engines truncate weeks to ISO Mondays in UTC so the keys match
+    exactly."""
+    e = load_table(spark, sf_dir, "events")
+    wk = (e.select("user_id", F.date_trunc("week", "ts").alias("w"))
+          .distinct())
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (wk.join(cohort, "user_id")
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    ((F.unix_timestamp("w") - F.unix_timestamp("cw"))
+                     / 604800).cast("long").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
