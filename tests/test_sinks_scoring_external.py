@@ -204,3 +204,37 @@ def test_asof_join_semantics(spark):
     inner = asof_join(left, right, key="k", ts="ts",
                       payload_cols=["val"], how="inner")
     assert {r.tag for r in inner.collect()} == {"a", "b"}
+
+
+def test_asof_direction_tolerance_match_pandas(spark):
+    """Backward/forward/tolerance semantics verified against
+    pd.merge_asof on randomized (seeded) data."""
+    import numpy as np
+    import pandas as pd
+
+    from transcript_analysis_spark.operators.asof import asof_join
+    rng = np.random.default_rng(7)
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 60),
+        "t": rng.choice(np.arange(0, 500, 3), 60, replace=False).astype("int64"),
+    }).sort_values("t").reset_index(drop=True)
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 40),
+        "t": rng.choice(np.arange(1, 500, 7), 40, replace=False).astype("int64"),
+    })
+    rpdf["w"] = rpdf["t"] * 10.0
+    rpdf = rpdf.sort_values("t").reset_index(drop=True)
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        for tol in (None, 20):
+            exp = pd.merge_asof(lpdf, rpdf, on="t", by="k",
+                                direction=direction, tolerance=tol)
+            got = asof_join(left, right, key="k", ts="t",
+                            payload_cols=["w"], direction=direction,
+                            tolerance=tol).toPandas()
+            e = {(r.k, r.t): None if pd.isna(r.w) else r.w
+                 for r in exp.itertuples()}
+            g = {(r.k, r.t): None if pd.isna(r.asof_w) else r.asof_w
+                 for r in got.itertuples()}
+            assert g == e, f"direction={direction} tol={tol}"

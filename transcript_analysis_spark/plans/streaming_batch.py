@@ -450,3 +450,61 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 604800).cast("long").alias("week_offset"))
             .groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(sec) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(sec) AS t2
+          FROM e JOIN v ON v.user_id = e.user_id AND e.sec > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(sec) AS t3
+          FROM e JOIN c ON c.user_id = e.user_id AND e.sec > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after,
+           {duck_round_ratio("(SELECT COUNT(*) FROM c)",
+                             "(SELECT COUNT(*) FROM v)", 6)}
+             AS click_rate,
+           {duck_round_ratio("(SELECT COUNT(*) FROM p)",
+                             "(SELECT COUNT(*) FROM v)", 6)}
+             AS purchase_rate
+    """,
+    tags=("funnel", "timeseries"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click which
+    precedes a purchase (strictly increasing whole seconds — same-
+    second ties are excluded identically in both engines). Three
+    min-aggregates joined on user_id, each step's input bounded by the
+    previous stage's survivors; no window, no self-join over raw
+    events x events."""
+    from transcript_analysis_spark.functions.rounding import \
+        spark_round_ratio
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec"))
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("sec").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("sec") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("sec").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("sec") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("sec").alias("t3")))
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (nv.crossJoin(nc).crossJoin(np_)
+            .select("n_viewed", "n_clicked_after", "n_purchased_after",
+                    spark_round_ratio("n_clicked_after", "n_viewed", 6)
+                     .alias("click_rate"),
+                    spark_round_ratio("n_purchased_after", "n_viewed", 6)
+                     .alias("purchase_rate")))
