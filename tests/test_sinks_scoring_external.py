@@ -238,3 +238,23 @@ def test_asof_direction_tolerance_match_pandas(spark):
             g = {(r.k, r.t): None if pd.isna(r.asof_w) else r.asof_w
                  for r in got.itertuples()}
             assert g == e, f"direction={direction} tol={tol}"
+
+
+def test_read_json_source_quarantines_corrupt_records(spark, tmp_path):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    p = tmp_path / "feed.jsonl"
+    p.write_text('\n'.join([
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok"}',
+        '{"id": 3, "name": broken',          # malformed JSON
+        'not json at all',
+    ]) + '\n')
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType())])
+    good, bad = sinks.read_json_source(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in good.collect()) == \
+        [(1, "ok"), (2, "also ok")]
+    corrupt = [r._corrupt_record for r in bad.collect()]
+    assert len(corrupt) == 2
+    assert any("broken" in c for c in corrupt)

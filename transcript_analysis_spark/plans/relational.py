@@ -933,3 +933,49 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(FLOOR(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+               AS day_sec,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           revenue,
+           ROUND(SUM(revenue) OVER (
+             ORDER BY day_sec
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_7day,
+           CAST(COUNT(*) OVER (
+             ORDER BY day_sec
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS days_in_window
+    FROM daily
+    """,
+    tags=("A8", "window", "timeseries"),
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling aggregate: per-day revenue plus its
+    trailing 7-day sum — the range frame follows the TIME axis (gaps
+    in the calendar shrink the window), unlike a 7-ROW frame which
+    would silently span gaps. Two-level: daily pre-aggregate first, so
+    the window input is O(days), then one ordered range frame over
+    epoch seconds (518400 = 6 days; the frame is [day-6d, day]).
+    The inner daily revenues are pre-rounded on both sides so the
+    outer rolling sums add identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             .withColumn("day_sec", F.unix_timestamp("day")))
+    w = (Window.orderBy("day_sec")
+         .rangeBetween(-518400, Window.currentRow))
+    return (daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("rolling_7day"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window")))

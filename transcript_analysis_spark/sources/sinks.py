@@ -150,3 +150,28 @@ def read_csv_source(spark: SparkSession, path: str, schema) -> DataFrame:
     """S7 — CSV bulk source with an explicit schema (never inferred for
     the core model — SURVEY §1.3)."""
     return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json_source(spark: SparkSession, path: str, schema,
+                     corrupt_col: str = "_corrupt_record"):
+    """S7-adjacent: JSON-lines ingest with an explicit schema and
+    PERMISSIVE corrupt-record capture — malformed API payloads (the
+    reference ingests third-party transcript/API JSON) land in
+    `corrupt_col` instead of killing the job, so the pipeline can
+    quarantine them with a filter. Returns (good_rows, corrupt_rows).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+    full_schema = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType())])
+    df = (spark.read
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt_col)
+          .schema(full_schema)
+          .json(path))
+    # Spark requires caching/materializing before referencing only the
+    # corrupt column (the parser is lazy per-column)
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
