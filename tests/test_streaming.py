@@ -137,3 +137,50 @@ def test_writestream_foreach_batch_end_to_end(spark, tmp_path):
     a = sorted((r.user_id, r.event_type, r.n) for r in final.collect())
     b = sorted((r.user_id, r.event_type, r.n) for r in truth.collect())
     assert a == b
+
+
+def test_continuous_hourly_rollup_incremental(spark, tmp_path):
+    """T3 at the materialized-view level: the serving table must stay
+    equal to the full batch rollup as new files (including LATE rows
+    for already-rolled-up hours) stream in through one checkpointed
+    query, and only touched hour partitions are rewritten."""
+    import functools
+    from transcript_analysis_spark.sources.tables import load_table
+    src = str(tmp_path / "incoming")
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    all_events = (load_table(spark, SF_DIR, "events")
+                  .select("event_id", "user_id", "event_type", "ts", "value")
+                  .orderBy("event_id").limit(4000).cache())
+    first = all_events.limit(3000)
+    # second slice overlaps the first slice's hours => late updates
+    second = all_events.subtract(first)
+
+    def run_available():
+        stream = (spark.readStream
+                  .schema(all_events.schema)
+                  .parquet(src))
+        q = (sw.hourly_rollup_stream(stream)
+             .writeStream.outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(functools.partial(
+                 sw.foreach_batch_hourly_rollup, target_path=target))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def rollup_of(df):
+        return sorted(
+            (r.hour_sec, r.event_type, r.n_events, r.sum_value)
+            for r in sw.hourly_rollup_stream(df).collect())
+
+    first.write.mode("overwrite").parquet(src)
+    run_available()
+    got1 = sorted((r.hour_sec, r.event_type, r.n_events, r.sum_value)
+                  for r in spark.read.parquet(target).collect())
+    assert got1 == rollup_of(first)
+    # append the late slice; the SAME checkpoint processes only it
+    second.write.mode("append").parquet(src)
+    run_available()
+    got2 = sorted((r.hour_sec, r.event_type, r.n_events, r.sum_value)
+                  for r in spark.read.parquet(target).collect())
+    assert got2 == rollup_of(all_events)

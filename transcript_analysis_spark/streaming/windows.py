@@ -217,3 +217,31 @@ def foreach_batch_dedup_append(batch_df: DataFrame, batch_id: int,
     except Exception:  # first batch — nothing seen yet  # noqa: BLE001
         pass
     fp.write.mode("append").parquet(target_path)
+
+
+def foreach_batch_hourly_rollup(batch_df: DataFrame, batch_id: int,
+                                target_path: str) -> None:
+    """Continuous-aggregate maintenance (the hypertable materialized
+    rollup, T3): each micro-batch carries the UPDATED cumulative
+    totals for the hours it touched (update-mode streaming aggregation
+    keeps per-window state across batches); dynamic partition
+    overwrite replaces exactly those hour partitions in the serving
+    table — untouched hours keep their files. Late data simply
+    re-emits its window's row and the partition is rewritten.
+
+    Expects batch rows (hour_sec, event_type, n_events, sum_value);
+    partitioned by hour_sec (epoch seconds — filesystem-safe and
+    range-prunable)."""
+    from transcript_analysis_spark.sources.sinks import replace_partitions
+    replace_partitions(batch_df, target_path, partition_by=["hour_sec"])
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """The update-mode aggregation feeding the continuous rollup: no
+    watermark, so every hour's state stays live and late rows update
+    their window (the serving table is always cumulative-correct)."""
+    return (events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_sec"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
