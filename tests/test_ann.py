@@ -42,3 +42,18 @@ def test_ann_pairs_subset_of_true_pairs(spark):
                           zip(vecs[r.vec_a], vecs[r.vec_b])))
         assert abs(d - r.euclidean_dist) < 1e-4
         assert d <= 3.5 + 1e-9
+
+
+def test_ivf_probe_recall_vs_brute_force(spark):
+    """IVF probe (nprobe=2 of ~10 buckets) must recover a meaningful
+    share of the true cosine top-10 — the recall/cost trade the
+    operator exists to make. Deterministic: both queries are exact
+    arithmetic, so this pins a constant."""
+    from transcript_analysis_spark.plans import all_queries
+    exact = {r.vec_id for r in
+             all_queries()["embedding_cosine_topk"].fn(spark, SF_DIR)
+             .collect()}
+    ivf = {r.vec_id for r in
+           all_queries()["ivf_topk_probe"].fn(spark, SF_DIR).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall} ({ivf} vs {exact})"

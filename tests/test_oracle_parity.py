@@ -56,3 +56,25 @@ def test_query_matches_oracle(spark, duck, name):
     rows = res.fetchall()
     ok, msg = compare(name, df, rows, cols)
     assert ok, msg
+
+
+def test_approx_sketches_within_tolerance_of_exact(spark):
+    """approx_order_stats has no SQL oracle (sketches are
+    implementation-defined); its accuracy contract is pinned here:
+    HLL++ distinct within 5% of exact, approx median within 5% of the
+    exact interpolated median."""
+    from pyspark.sql import functions as F
+    from transcript_analysis_spark.plans import all_queries
+    got = {r.o_orderpriority: r for r in
+           all_queries()["approx_order_stats"].fn(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = {r.o_orderpriority: r for r in
+             (o.groupBy("o_orderpriority")
+              .agg(F.countDistinct("o_custkey").alias("n_custs"),
+                   F.expr("percentile(o_totalprice, 0.5)").alias("median"))
+              .collect())}
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert abs(g.approx_custs - e.n_custs) / e.n_custs <= 0.05, k
+        assert abs(g.approx_median - e.median) / e.median <= 0.05, k

@@ -979,3 +979,24 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("rolling_7day"),
         F.count(F.lit(1)).over(w).cast("long").alias("days_in_window")))
+
+
+@register(
+    "approx_order_stats",
+    tags=("A3", "sketch"),
+)
+def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family that replaces exact DISTINCT/percentile at
+    100 TB: HyperLogLog++ distinct counts (rsd 2%) and approximate
+    percentiles — single-pass, mergeable, bounded-memory aggregates
+    (exact forms need a full shuffle of the key space). Rows-only
+    check by design: sketch outputs are implementation-defined, so no
+    cross-engine oracle exists; accuracy is instead pinned against the
+    exact aggregates in tests/test_oracle_parity.py (±5%)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.approx_count_distinct("o_custkey", rsd=0.02)
+                  .alias("approx_custs"),
+                 F.percentile_approx("o_totalprice", 0.5, 10000)
+                  .alias("approx_median"),
+                 F.count(F.lit(1)).alias("n")))
