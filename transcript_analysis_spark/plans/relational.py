@@ -1000,3 +1000,41 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.percentile_approx("o_totalprice", 0.5, 10000)
                   .alias("approx_median"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "customer_name_neardups",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND b.c_custkey > a.c_custkey
+     AND b.c_custkey <= a.c_custkey + 10
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("dedup", "entity-resolution"),
+)
+def customer_name_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: near-identical names inside
+    a (nation, key-window) block — the blocked-pairs pattern again,
+    with `levenshtein` (built-in, JVM-side, identical semantics in
+    DuckDB) as the comparator. At scale the block is the standard ER
+    move: candidate pairs come from a cheap blocking key, the
+    expensive comparator runs only inside blocks."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name",
+                                             "c_nationkey")
+    a = c.select(F.col("c_custkey").alias("key_a"),
+                 F.col("c_name").alias("name_a"),
+                 F.col("c_nationkey").alias("nk"))
+    b = c.select(F.col("c_custkey").alias("key_b"),
+                 F.col("c_name").alias("name_b"),
+                 F.col("c_nationkey").alias("nk"))
+    return (a.join(b, ["nk"])
+            .filter((F.col("key_b") > F.col("key_a"))
+                    & (F.col("key_b") <= F.col("key_a") + 10))
+            .withColumn("edit_dist",
+                        F.levenshtein("name_a", "name_b").cast("long"))
+            .filter(F.col("edit_dist") <= 1)
+            .select("key_a", "key_b", "edit_dist"))

@@ -508,3 +508,57 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("click_rate"),
                     spark_round_ratio("n_purchased_after", "n_viewed", 6)
                      .alias("purchase_rate")))
+
+
+@register(
+    "hourly_anomaly_flags",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)      AS n,
+             CAST(SUM(x) AS BIGINT)        AS s,
+             CAST(SUM(x * x) AS BIGINT)    AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           st.n AS n_hours,
+           CAST(SUM(CASE WHEN st.n > 1
+                          AND (st.n * h.x - st.s) * (st.n * h.x - st.s)
+                              * (st.n - 1)
+                              > 4 * st.n * (st.n * st.ss - st.s * st.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+    FROM hourly h JOIN stats st ON st.event_type = h.event_type
+    GROUP BY h.event_type, st.n
+    """,
+    tags=("anomaly", "timeseries"),
+)
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-hour detection: hours whose event count sits more
+    than 2 sample standard deviations from that type's mean. The
+    |z| > 2 test is algebraically rearranged into PURE INTEGER
+    arithmetic — (n*x - s)^2 * (n-1) > 4 * n * (n*ss - s^2) — so both
+    engines evaluate the exact same predicate with no float
+    variance-formula drift (Welford vs two-pass would differ in the
+    last ulp right at the boundary)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("s"),
+                  F.sum(F.col("x") * F.col("x")).cast("long").alias("ss")))
+    j = hourly.join(stats, "event_type")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    anomalous = ((F.col("n") > 1)
+                 & (dev * dev * (F.col("n") - 1)
+                    > 4 * F.col("n")
+                    * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))))
+    return (j.groupBy("event_type", F.col("n").alias("n_hours"))
+            .agg(F.sum(F.when(anomalous, 1).otherwise(0)).cast("long")
+                  .alias("n_anomalous")))
