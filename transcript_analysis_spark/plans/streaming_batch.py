@@ -518,22 +518,28 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS x
       FROM events GROUP BY 1, 2
     ),
+    base AS (SELECT event_type, CAST(MIN(x) AS BIGINT) AS m
+             FROM hourly GROUP BY event_type),
+    cent AS (
+      SELECT h.event_type, h.x - b.m AS x
+      FROM hourly h JOIN base b ON b.event_type = h.event_type
+    ),
     stats AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT)      AS n,
              CAST(SUM(x) AS BIGINT)        AS s,
              CAST(SUM(x * x) AS BIGINT)    AS ss
-      FROM hourly GROUP BY event_type
+      FROM cent GROUP BY event_type
     )
-    SELECT h.event_type,
+    SELECT c.event_type,
            st.n AS n_hours,
            CAST(SUM(CASE WHEN st.n > 1
-                          AND (st.n * h.x - st.s) * (st.n * h.x - st.s)
+                          AND (st.n * c.x - st.s) * (st.n * c.x - st.s)
                               * (st.n - 1)
                               > 4 * st.n * (st.n * st.ss - st.s * st.s)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
-    FROM hourly h JOIN stats st ON st.event_type = h.event_type
-    GROUP BY h.event_type, st.n
+    FROM cent c JOIN stats st ON st.event_type = c.event_type
+    GROUP BY c.event_type, st.n
     """,
     tags=("anomaly", "timeseries"),
 )
@@ -544,16 +550,26 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — (n*x - s)^2 * (n-1) > 4 * n * (n*ss - s^2) — so both
     engines evaluate the exact same predicate with no float
     variance-formula drift (Welford vs two-pass would differ in the
-    last ulp right at the boundary)."""
+    last ulp right at the boundary).
+
+    Counts are CENTERED on the per-type minimum first (variance and
+    deviations are shift-invariant): with raw counts, s^2 overflows
+    int64 once a type exceeds ~3e9 events — a 100 TB stream does.
+    After centering, magnitudes are bounded by deviations, not
+    totals."""
     e = load_table(spark, sf_dir, "events")
     hourly = (e.groupBy("event_type",
                         F.date_trunc("hour", "ts").alias("h"))
               .agg(F.count(F.lit(1)).cast("long").alias("x")))
-    stats = (hourly.groupBy("event_type")
+    base = hourly.groupBy("event_type").agg(
+        F.min("x").cast("long").alias("m"))
+    cent = (hourly.join(base, "event_type")
+            .select("event_type", (F.col("x") - F.col("m")).alias("x")))
+    stats = (cent.groupBy("event_type")
              .agg(F.count(F.lit(1)).cast("long").alias("n"),
                   F.sum("x").cast("long").alias("s"),
                   F.sum(F.col("x") * F.col("x")).cast("long").alias("ss")))
-    j = hourly.join(stats, "event_type")
+    j = cent.join(stats, "event_type")
     dev = F.col("n") * F.col("x") - F.col("s")
     anomalous = ((F.col("n") > 1)
                  & (dev * dev * (F.col("n") - 1)

@@ -66,11 +66,16 @@ def upsert_by_key(df: DataFrame, path: str, keys: list[str],
     rewrite. With Delta/Iceberg on the cluster this is a MERGE — the
     emulation keeps the same contract for the parquet-only test env."""
     spark = df.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first write — nothing to merge  # noqa: BLE001
+    # Explicit existence check, not except-Exception around the read:
+    # a CORRUPT existing table must fail loudly — treating it as
+    # "first write" would overwrite it with only the incoming rows.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         df.dropDuplicates(keys).write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     incoming = df.dropDuplicates(keys)
     if do_update:
         keep = existing.join(incoming, keys, "left_anti")

@@ -211,11 +211,15 @@ def foreach_batch_dedup_append(batch_df: DataFrame, batch_id: int,
     spark = batch_df.sparkSession
     fp = (batch_df.withColumn("fingerprint", content_fingerprint(text_col))
           .dropDuplicates(["fingerprint"]))
-    try:
+    # Existence is checked explicitly (not except-Exception around the
+    # read): a CORRUPT target must fail loudly here — swallowing it
+    # would silently re-append every delivered document.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         seen = spark.read.parquet(target_path).select("fingerprint")
         fp = fp.join(seen, "fingerprint", "left_anti")
-    except Exception:  # first batch — nothing seen yet  # noqa: BLE001
-        pass
     fp.write.mode("append").parquet(target_path)
 
 
