@@ -184,3 +184,18 @@ def test_continuous_hourly_rollup_incremental(spark, tmp_path):
     got2 = sorted((r.hour_sec, r.event_type, r.n_events, r.sum_value)
                   for r in spark.read.parquet(target).collect())
     assert got2 == rollup_of(all_events)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    """Stream-stream interval join (purchase <- preceding clicks) must
+    converge to the batch inner-join under the same predicate."""
+    from transcript_analysis_spark.sources.tables import load_table
+    got = sw.run_stream_to_memory(
+        sw.purchase_click_interval_join(events_stream), "t_ssjoin")
+    batch_events = load_table(spark, SF_DIR, "events")
+    exp = sw.purchase_click_interval_join(batch_events)
+    cols = ["p_user", "purchase_id", "click_id", "purchase_value"]
+    got_rows = _rows(got, cols)
+    exp_rows = _rows(exp, cols)
+    assert got_rows, "interval join emitted nothing"
+    assert got_rows == exp_rows

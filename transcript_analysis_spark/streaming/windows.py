@@ -249,3 +249,34 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
         "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def purchase_click_interval_join(events: DataFrame,
+                                 watermark: str = "1 hour",
+                                 max_gap_min: int = 30) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding `max_gap_min` minutes — attribution
+    over two live streams. Both sides carry watermarks plus a bounded
+    time condition, so Spark can size the join state and expire rows;
+    an unbounded stream-stream join would grow state forever.
+
+    Batch-equivalence is tested: draining the streams must produce
+    exactly the batch inner-join under the same interval predicate."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {max_gap_min} MINUTES")))
+    return (purchases.join(clicks, cond)
+            .select("p_user", "purchase_id", "click_id",
+                    "purchase_ts", "click_ts", "purchase_value"))
