@@ -199,3 +199,19 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     exp_rows = _rows(exp, cols)
     assert got_rows, "interval join emitted nothing"
     assert got_rows == exp_rows
+
+
+def test_native_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops re-delivered rows: a source
+    with every event duplicated must emit each event_id once."""
+    src = str(tmp_path / "dups")
+    from transcript_analysis_spark.sources.tables import load_table
+    base = (load_table(spark, SF_DIR, "events")
+            .select("event_id", "user_id", "event_type", "ts", "value")
+            .limit(2000))
+    base.unionByName(base).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    got = sw.run_stream_to_memory(
+        sw.deduped_event_stream(stream), "t_native_dedup")
+    ids = [r.event_id for r in got.collect()]
+    assert len(ids) == len(set(ids)) == base.count()

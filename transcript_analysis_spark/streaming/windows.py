@@ -280,3 +280,16 @@ def purchase_click_interval_join(events: DataFrame,
     return (purchases.join(clicks, cond)
             .select("p_user", "purchase_id", "click_id",
                     "purchase_ts", "click_ts", "purchase_value"))
+
+
+def deduped_event_stream(events: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Native streaming dedup: dropDuplicatesWithinWatermark on the
+    event id — duplicates arriving within the watermark horizon are
+    dropped by Spark's own dedup state store (state expires with the
+    watermark, so memory is bounded). This is the built-in complement
+    to `foreach_batch_dedup_append`: use this for bounded-lateness
+    dup-delivery (at-least-once sources), the foreachBatch form when
+    dup detection must span the full table history."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
