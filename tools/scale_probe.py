@@ -47,8 +47,10 @@ def build_scaled_dir(spark, base_dir: str, k: int) -> str:
 
 def main() -> None:
     multiples = [int(x) for x in sys.argv[1:]] or [1, 2, 4]
-    queries = ["islands_flagship", "ngram_model_score",
-               "minhash_lsh_candidate_pairs", "tumbling_hourly_event_stats"]
+    queries = os.environ.get(
+        "SPARK_GRAFT_PROBE_QUERIES",
+        "islands_flagship,ngram_model_score,"
+        "minhash_lsh_candidate_pairs,tumbling_hourly_event_stats").split(",")
 
     from transcript_analysis_spark.plans import all_queries
     from transcript_analysis_spark.session import get_spark
