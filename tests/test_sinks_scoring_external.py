@@ -223,6 +223,10 @@ def test_asof_direction_tolerance_match_pandas(spark):
         "t": rng.choice(np.arange(1, 500, 7), 40, replace=False).astype("int64"),
     })
     rpdf["w"] = rpdf["t"] * 10.0
+    # every 5th payload NULL: the nearest right ROW must be picked
+    # atomically (a null payload stays null — merge_asof never skips
+    # to an older row the way per-column last(ignorenulls) would)
+    rpdf.loc[rpdf.index % 5 == 0, "w"] = float("nan")
     rpdf = rpdf.sort_values("t").reset_index(drop=True)
     left = spark.createDataFrame(lpdf)
     right = spark.createDataFrame(rpdf)

@@ -40,6 +40,19 @@ def test_modes_agree_on_punctuation_free_text(spark):
     assert checked > 0, "corpus sample had no punctuation-free docs"
 
 
+def test_tokenize_udf_column_matches_python(spark):
+    """The standalone tokenizer column (corpus-prep surface) must
+    produce exactly what the pure-Python tokenizer produces."""
+    from transcript_analysis_spark.functions.tokenize import tokenize_udf
+    texts = ["don't stop.", "plain words only", 'say "hi" now!']
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "text"])
+    got = {r.i: r.toks for r in
+           df.select("i", tokenize_udf("treebank")("text").alias("toks"))
+           .collect()}
+    assert got == {i: treebank_tokenize(t) for i, t in enumerate(texts)}
+
+
 def test_scoring_equivalent_on_clean_text_divergent_on_punctuated(spark):
     from transcript_analysis_spark.operators.scoring import (
         NGramModel, score_with_broadcast_model)

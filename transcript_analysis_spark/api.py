@@ -86,14 +86,31 @@ class TranscriptEngine:
     def chunk_and_embed(self, question: str = "",
                         top_k: int = 6) -> DataFrame:
         """Token-bounded chunking + external-service embedding (+
-        optional RAG top-k against a question)."""
+        optional RAG top-k against a question). Without a question,
+        returns every chunk WITH its embedding — the vector-store
+        build (the name is a contract: rows always carry vectors)."""
         from transcript_analysis_spark.operators import eightvalues as ev
         docs = self._docs()
         if question:
             return ev.rag_top_chunks(docs, question, top_k=top_k)
+        from pyspark.sql import functions as F
+
         from transcript_analysis_spark.operators.chunking import \
             token_bounded_chunks
-        return token_bounded_chunks(docs)
+        from transcript_analysis_spark.operators.external import (
+            DeterministicFakeTransport, embed_documents)
+        chunks = token_bounded_chunks(docs)
+        embedded = embed_documents(
+            chunks.select(
+                F.concat_ws(":", "doc_id", "chunk_index").alias("doc_id"),
+                "text"),
+            hosts=["fake-host"],
+            transport_factory=lambda: DeterministicFakeTransport())
+        return embedded.select(
+            F.split("doc_id", ":").getItem(0).cast("long").alias("doc_id"),
+            F.split("doc_id", ":").getItem(1).cast("int")
+             .alias("chunk_index"),
+            "embedding")
 
     # -- corpus maintenance ----------------------------------------------
 
@@ -106,12 +123,14 @@ class TranscriptEngine:
     }
 
     def dedup(self, method: str = "exact") -> DataFrame:
-        try:
-            return self._q(self._DEDUP_QUERIES[method])
-        except KeyError:
+        # resolve the method FIRST: a KeyError from the registry
+        # lookup inside _q must surface as the broken mapping it is,
+        # not get misreported as a bad user argument
+        if method not in self._DEDUP_QUERIES:
             raise ValueError(
                 f"unknown dedup method {method!r}; "
-                f"one of {sorted(self._DEDUP_QUERIES)}") from None
+                f"one of {sorted(self._DEDUP_QUERIES)}")
+        return self._q(self._DEDUP_QUERIES[method])
 
     def quality(self) -> DataFrame:
         return self._q("text_quality_scores")

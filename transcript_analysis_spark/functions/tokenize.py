@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 # Rule order follows the published PTB sed script: quotes, then
 # punctuation, then contractions. Each entry is (compiled pattern,
 # replacement) applied in sequence with spaces as the separator.
@@ -99,8 +101,8 @@ TOKENIZERS = {
 
 def tokenize_udf(mode: str = "whitespace"):
     """Arrow-batched tokenizer column: text -> array<string>.
-    `mode` is resolved per EXECUTOR at first batch, never per row."""
-    import pandas as pd
+    `mode` is resolved once at definition; the tokenizer callable
+    ships to executors inside the UDF closure."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 

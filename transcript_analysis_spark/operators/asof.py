@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampType
 
-_RTS = "__p___rts"  # right-side timestamp carried as an extra payload
-
 
 def asof_join(left: DataFrame, right: DataFrame,
               key: str, ts: str,
@@ -43,25 +41,28 @@ def asof_join(left: DataFrame, right: DataFrame,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     carry = [*payload_cols]
-    lhs = left.withColumn("__side", F.lit(1 if direction == "backward" else 0))
-    for c in carry:
-        lhs = lhs.withColumn(f"__p_{c}",
-                             F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn(_RTS, F.lit(None).cast(right.schema[ts].dataType))
-    rhs = (right.select(
-        key, ts,
-        *[F.col(c).alias(f"__p_{c}") for c in carry])
-        .withColumn(_RTS, F.col(ts))
-        .withColumn("__side", F.lit(0 if direction == "backward" else 1)))
+    # The right row travels as ONE struct so the window picks it
+    # ATOMICALLY: per-column last/first(ignorenulls) would skip a NULL
+    # payload cell and splice in an older row's value — wrong both for
+    # tolerance (value from row A validated against row B's ts) and
+    # for row integrity (columns mixed across right rows).
+    row_struct = F.struct(F.col(ts).alias("rts"),
+                          *[F.col(c).alias(c) for c in carry])
+    lhs = (left
+           .withColumn("__side", F.lit(1 if direction == "backward" else 0))
+           .withColumn("__p_row", F.lit(None).cast(
+               right.select(row_struct.alias("s")).schema["s"].dataType)))
+    rhs = (right.select(key, ts, row_struct.alias("__p_row"))
+           .withColumn("__side", F.lit(0 if direction == "backward" else 1)))
     left_cols = [c for c in left.columns]
     unioned = lhs.select(
-        *left_cols, "__side", _RTS, *[f"__p_{c}" for c in carry]
+        *left_cols, "__side", "__p_row"
     ).unionByName(
         rhs.select(
             *[F.col(c) if c in (key, ts)
               else F.lit(None).cast(left.schema[c].dataType).alias(c)
               for c in left_cols],
-            "__side", _RTS, *[f"__p_{c}" for c in carry]),
+            "__side", "__p_row"),
         allowMissingColumns=False)
     # Sort-position contract: the qualifying right row at an EQUAL ts
     # must fall inside the left row's window in both directions —
@@ -70,31 +71,28 @@ def asof_join(left: DataFrame, right: DataFrame,
     if direction == "backward":
         w = (Window.partitionBy(key).orderBy(ts, "__side")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.last("__p_row", ignorenulls=True).over(w)
         left_tag = 1
     else:
         w = (Window.partitionBy(key).orderBy(ts, "__side")
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.first("__p_row", ignorenulls=True).over(w)
         left_tag = 0
-    filled = unioned.select(
-        *left_cols, "__side",
-        pick(_RTS).alias("__f_rts"),
-        *[pick(f"__p_{c}").alias(f"__f_{c}") for c in carry])
+    filled = unioned.select(*left_cols, "__side", picked.alias("__f_row"))
     out = filled.filter(F.col("__side") == left_tag).drop("__side")
     if tolerance is not None:
+        # fractional-second deltas for timestamps (unix_timestamp
+        # truncates to whole seconds and misjudges sub-second gaps)
         if isinstance(right.schema[ts].dataType, TimestampType):
-            delta = F.abs(F.unix_timestamp(ts)
-                          - F.unix_timestamp("__f_rts"))
+            delta = F.abs(F.col(ts).cast("double")
+                          - F.col("__f_row.rts").cast("double"))
         else:
-            delta = F.abs(F.col(ts) - F.col("__f_rts"))
-        within = delta <= F.lit(tolerance)
-        for c in carry:
-            out = out.withColumn(f"__f_{c}",
-                                 F.when(within, F.col(f"__f_{c}")))
-    out = out.drop("__f_rts")
+            delta = F.abs(F.col(ts) - F.col("__f_row.rts"))
+        out = out.withColumn(
+            "__f_row", F.when(delta <= F.lit(tolerance), F.col("__f_row")))
     for c in carry:
-        out = out.withColumnRenamed(f"__f_{c}", f"asof_{c}")
+        out = out.withColumn(f"asof_{c}", F.col(f"__f_row.{c}"))
+    out = out.drop("__f_row")
     if how == "inner":
         out = out.dropna(subset=[f"asof_{payload_cols[0]}"])
     return out

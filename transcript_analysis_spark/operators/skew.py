@@ -82,6 +82,9 @@ def key_skew_stats(df: DataFrame, keys: list[str]) -> dict:
         F.max("n").alias("max_n"),
         F.expr("percentile(n, 0.5)").alias("median_n"),
         F.avg("n").alias("mean_n")).first()
+    if row.n_keys == 0:  # empty input: a diagnostic, not a crash
+        return {"n_keys": 0, "max_n": 0, "median_n": 0.0,
+                "mean_n": 0.0, "skew_ratio": 1.0}
     ratio = float(row.max_n) / max(1.0, float(row.median_n))
     return {"n_keys": row.n_keys, "max_n": row.max_n,
             "median_n": float(row.median_n), "mean_n": float(row.mean_n),

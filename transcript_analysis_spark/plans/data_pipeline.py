@@ -1081,6 +1081,11 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = (new_labels.alias("a")
                    .join(labels.alias("b"), "n")
                    .filter(F.col("a.label") != F.col("b.label")).count())
+        # Drop the superseded generation's reference immediately: the
+        # checkpoint blocks are reclaimed by Spark's ContextCleaner
+        # once unreferenced, so live storage stays ~2 generations
+        # instead of accumulating one per iteration.
+        del labels
         labels = new_labels
         if changed == 0:
             converged = True

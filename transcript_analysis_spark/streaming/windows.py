@@ -200,17 +200,22 @@ def foreach_batch_dedup_append(batch_df: DataFrame, batch_id: int,
                                text_col: str = "text") -> None:
     """Streaming incremental dedup sink: fingerprint each document in
     the micro-batch, drop within-batch duplicates, anti-join against
-    every fingerprint already in the target, append only novel docs.
+    the target, append only novel docs.
 
-    This is exact dedup running continuously — the streaming form of
+    This is EXACT dedup running continuously — the streaming form of
     `exact_dedup_groups` (the state is the target table itself, so a
     restart needs no checkpoint replay to stay correct: re-delivered
-    documents anti-join away). At scale the target is partitioned by a
-    fingerprint prefix so the anti-join prunes to matching partitions.
+    documents anti-join away). Exactness: the anti-join key is
+    (fingerprint, full text) — the fingerprint alone would silently
+    DROP a distinct document on a hash collision (~n²/2e9 expected at
+    the 1e9+7 modulus); including the text makes the key injective
+    while the hash half keeps the shuffle key effectively uniform. At
+    scale the target is partitioned by a fingerprint prefix so the
+    anti-join prunes to matching partitions.
     """
     spark = batch_df.sparkSession
     fp = (batch_df.withColumn("fingerprint", content_fingerprint(text_col))
-          .dropDuplicates(["fingerprint"]))
+          .dropDuplicates([text_col]))
     # Existence is checked explicitly (not except-Exception around the
     # read): a CORRUPT target must fail loudly here — swallowing it
     # would silently re-append every delivered document.
@@ -218,8 +223,9 @@ def foreach_batch_dedup_append(batch_df: DataFrame, batch_id: int,
     jpath = jvm.org.apache.hadoop.fs.Path(target_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jpath):
-        seen = spark.read.parquet(target_path).select("fingerprint")
-        fp = fp.join(seen, "fingerprint", "left_anti")
+        seen = spark.read.parquet(target_path).select("fingerprint",
+                                                      text_col)
+        fp = fp.join(seen, ["fingerprint", text_col], "left_anti")
     fp.write.mode("append").parquet(target_path)
 
 
@@ -233,11 +239,14 @@ def foreach_batch_hourly_rollup(batch_df: DataFrame, batch_id: int,
     table — untouched hours keep their files. Late data simply
     re-emits its window's row and the partition is rewritten.
 
-    Expects batch rows (hour_sec, event_type, n_events, sum_value);
-    partitioned by hour_sec (epoch seconds — filesystem-safe and
-    range-prunable)."""
+    Expects batch rows (hour_sec, event_type, n_events, sum_value).
+    Partition granularity MUST equal the aggregation key
+    (hour_sec, event_type): an update-mode batch may emit only SOME
+    event types for an hour, and replacing whole hour_sec partitions
+    would silently delete the hour's other types' rows."""
     from transcript_analysis_spark.sources.sinks import replace_partitions
-    replace_partitions(batch_df, target_path, partition_by=["hour_sec"])
+    replace_partitions(batch_df, target_path,
+                       partition_by=["hour_sec", "event_type"])
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
