@@ -1038,3 +1038,38 @@ def customer_name_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.levenshtein("name_a", "name_b").cast("long"))
             .filter(F.col("edit_dist") <= 1)
             .select("key_a", "key_b", "edit_dist"))
+
+
+@register(
+    "sql_frontend_correlated_subqueries",
+    oracle="""
+    SELECT n.n_name,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+              AND c.c_acctbal > 9000)                 AS n_rich,
+           EXISTS (SELECT 1 FROM customer c
+                   WHERE c.c_nationkey = n.n_nationkey
+                     AND c.c_mktsegment = 'BUILDING') AS has_building
+    FROM nation n
+    """,
+    tags=("sql", "subquery", "J3"),
+)
+def sql_frontend_correlated_subqueries(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL frontend: a scalar
+    COUNT subquery and an EXISTS predicate per outer row. Catalyst
+    DECORRELATES both into joins (a left-outer aggregate join and an
+    existence join) — the surface a reference user writing raw SQL
+    exercises constantly, planned without per-row re-execution."""
+    from transcript_analysis_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name,
+               (SELECT COUNT(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey
+                  AND c.c_acctbal > 9000)                 AS n_rich,
+               EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey
+                         AND c.c_mktsegment = 'BUILDING') AS has_building
+        FROM nation n
+    """)
