@@ -1073,3 +1073,49 @@ def sql_frontend_correlated_subqueries(spark: SparkSession,
                          AND c.c_mktsegment = 'BUILDING') AS has_building
         FROM nation n
     """)
+
+
+@register(
+    "nations_with_both_parties",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("U2", "set-op"),
+)
+def nations_with_both_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — the remaining set operation (EXCEPT is
+    `customer_only_nations`, UNION ALL is `all_account_parties`):
+    nation keys present on BOTH sides, planned as a left-semi join
+    over distincts."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("A5", "grouping-sets", "olap"),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+    exactly the per-status, per-priority, and grand-total groupings —
+    no cross pairs — in one pass. Spark reaches it through the SQL
+    GROUPING SETS clause over a registered view."""
+    from transcript_analysis_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
