@@ -256,9 +256,15 @@ def test_read_json_source_quarantines_corrupt_records(spark, tmp_path):
     ]) + '\n')
     schema = StructType([StructField("id", LongType()),
                          StructField("name", StringType())])
-    good, bad = sinks.read_json_source(spark, str(p), schema)
+    ingest = sinks.read_json_source(spark, str(p), schema)
+    good, bad = ingest  # tuple-unpack contract preserved
     assert sorted((r.id, r.name) for r in good.collect()) == \
         [(1, "ok"), (2, "also ok")]
     corrupt = [r._corrupt_record for r in bad.collect()]
     assert len(corrupt) == 2
     assert any("broken" in c for c in corrupt)
+    # the shared parse is persisted (DISK_ONLY) and release() frees it
+    assert ingest._parsed.storageLevel.useDisk
+    assert not ingest._parsed.storageLevel.useMemory
+    ingest.release()
+    assert not ingest._parsed.storageLevel.useDisk

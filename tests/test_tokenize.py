@@ -28,6 +28,25 @@ def test_treebank_keeps_internal_periods():
         ["pi", "is", "3.14", "today", "."]
 
 
+def test_treebank_splits_sentence_internal_final_periods():
+    """nltk.word_tokenize Punkt-splits sentences before the PTB rules,
+    so a period ending a sentence MID-string detaches too — the normal
+    case for multi-sentence transcripts."""
+    assert treebank_tokenize("hello. world") == ["hello", ".", "world"]
+    assert treebank_tokenize("First sentence! Second one? Third.") == \
+        ["First", "sentence", "!", "Second", "one", "?", "Third", "."]
+
+
+def test_treebank_sentence_split_spares_abbreviations():
+    # fixed abbreviation list + single initials + dotted acronyms are
+    # NOT sentence boundaries (documented residual gap vs Punkt: the
+    # list is fixed, not corpus-learned)
+    assert treebank_tokenize("Mr. Smith went home. Then he slept.") == \
+        ["Mr.", "Smith", "went", "home", ".", "Then", "he", "slept", "."]
+    assert treebank_tokenize("the U.S. team won. great") == \
+        ["the", "U.S.", "team", "won", ".", "great"]
+
+
 def test_modes_agree_on_punctuation_free_text(spark):
     docs = [r.text for r in spark.read.parquet(
         f"{SF_DIR}/documents.parquet").limit(50).collect()]

@@ -69,11 +69,42 @@ _CONTRACTIONS = [
 ]
 
 
-def treebank_tokenize(text: str) -> list[str]:
-    """Penn-Treebank word tokenization of one sentence/segment.
-    Matches the published PTB rule set on transcript-style text:
-    punctuation split off, contractions split (don't -> do n't),
-    quotes converted to ``/'' pairs."""
+# Sentence-boundary splitter. The reference runs nltk.word_tokenize,
+# which Punkt-splits sentences BEFORE applying the Treebank rules, so
+# a sentence-INTERNAL final period must detach ("hello. world" ->
+# ["hello", ".", "world"]). A boundary is a .!? terminator (optionally
+# followed by closing quotes/brackets) followed by whitespace, unless
+# the word before the terminator is a known abbreviation or a single
+# letter (initials, "U.S."-style splits). Residual gap vs Punkt:
+# Punkt LEARNS its abbreviation list and collocation statistics from
+# the corpus unsupervised; this splitter uses a fixed common-English
+# list, so a domain-specific abbreviation ("approx. two") over-splits
+# here where a Punkt model trained on matching text might not.
+_SENT_BOUNDARY = re.compile(
+    r"(?:(?<=[.!?])|(?<=[.!?][\"'\)\]\}]))\s+")
+_PRECEDING_WORD = re.compile(r"([\w.]+)[.!?][\"'\)\]\}]*$")
+_ABBREVIATIONS = frozenset(
+    "mr mrs ms dr prof rev sr jr st vs etc al inc ltd co corp fig "
+    "no vol dept est approx min max sec hr".split())
+
+
+def _split_sentences(text: str) -> list[str]:
+    parts, last = [], 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        head = _PRECEDING_WORD.search(text, 0, m.start())
+        if head:
+            w = head.group(1).rstrip(".").lower()
+            if (w in _ABBREVIATIONS or (len(w) == 1 and w.isalpha())
+                    or "." in w):  # dotted acronyms: U.S., i.e., Ph.D.
+                continue
+        parts.append(text[last:m.start()])
+        last = m.end()
+    parts.append(text[last:])
+    return [p for p in parts if p]
+
+
+def _ptb_tokenize_segment(text: str) -> list[str]:
+    """The published PTB rule set applied to ONE sentence."""
     for pattern, sub in _STARTING_QUOTES:
         text = pattern.sub(sub, text)
     for pattern, sub in _PUNCTUATION:
@@ -86,6 +117,16 @@ def treebank_tokenize(text: str) -> list[str]:
     for pattern in _CONTRACTIONS:
         text = pattern.sub(r" \1 \2 ", text)
     return text.split()
+
+
+def treebank_tokenize(text: str) -> list[str]:
+    """NLTK-word_tokenize-faithful tokenization: sentence-split first
+    (so sentence-internal final periods detach, as Punkt+Treebank
+    does), then the Penn Treebank rules per sentence — punctuation
+    split off, contractions split (don't -> do n't), quotes converted
+    to ``/'' pairs."""
+    return [t for seg in _split_sentences(text)
+            for t in _ptb_tokenize_segment(seg)]
 
 
 def whitespace_tokenize(text: str) -> list[str]:

@@ -90,9 +90,12 @@ def asof_join(left: DataFrame, right: DataFrame,
             delta = F.abs(F.col(ts) - F.col("__f_row.rts"))
         out = out.withColumn(
             "__f_row", F.when(delta <= F.lit(tolerance), F.col("__f_row")))
+    if how == "inner":
+        # Matched-ness is the struct itself, NOT any payload column: a
+        # qualifying right row whose first payload cell is legitimately
+        # NULL is still a match (consistent with the atomic-row
+        # semantics above).
+        out = out.filter(F.col("__f_row").isNotNull())
     for c in carry:
         out = out.withColumn(f"asof_{c}", F.col(f"__f_row.{c}"))
-    out = out.drop("__f_row")
-    if how == "inner":
-        out = out.dropna(subset=[f"asof_{payload_cols[0]}"])
-    return out
+    return out.drop("__f_row")

@@ -97,7 +97,11 @@ def recommend_salt_buckets(stats: dict, target_ratio: float = 4.0,
     buckets to bring the hot key's per-reducer share down to
     `target_ratio` x median, capped (each bucket multiplies phase-2
     input). 1 means no salting needed — AQE alone will cope."""
+    import math
     ratio = stats["skew_ratio"]
     if ratio <= target_ratio:
         return 1
-    return min(max_buckets, -(-int(ratio) // int(target_ratio)))
+    # ceil on the float ratio (int() truncation underestimates), and
+    # never 1 once the guard has decided salting IS needed: ratio just
+    # above target must still split the hot key at least in half.
+    return min(max_buckets, max(2, math.ceil(ratio / target_ratio)))

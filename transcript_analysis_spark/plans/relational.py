@@ -972,13 +972,27 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
              .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
              .withColumn("day_sec", F.unix_timestamp("day")))
-    w = (Window.orderBy("day_sec")
+    # An unpartitioned ordered window would serialize all days through
+    # ONE task. Partition by year instead, with boundary overlap: each
+    # year's last 6 days are ALSO copied into the next year's
+    # partition (pad rows), so the first week of January sees its
+    # late-December lookback; pad rows are dropped after the frame.
+    # Exact at any calendar size, and the window shuffle now spreads
+    # across years instead of one reducer.
+    yr = daily.withColumn("yr", F.year("day"))
+    pad = (yr.filter((F.month("day") == 12) & (F.dayofmonth("day") >= 26))
+             .withColumn("yr", F.col("yr") + 1)
+             .withColumn("__pad", F.lit(True)))
+    both = yr.withColumn("__pad", F.lit(False)).unionByName(pad)
+    w = (Window.partitionBy("yr").orderBy("day_sec")
          .rangeBetween(-518400, Window.currentRow))
-    return (daily.select(
+    return (both.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("rolling_7day"),
-        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window")))
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window"),
+        "__pad")
+        .filter(~F.col("__pad")).drop("__pad"))
 
 
 @register(

@@ -73,8 +73,23 @@ def upsert_by_key(df: DataFrame, path: str, keys: list[str],
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
-        df.dropDuplicates(keys).write.mode("overwrite").parquet(path)
-        return
+        # A missing table dir + an orphaned __rewrite_old_* sibling
+        # means a previous swap crashed BETWEEN its two renames: the
+        # real table is the staged-aside dir. Recover it rather than
+        # treating this as a first write (which would silently discard
+        # every pre-crash row).
+        orphans = _swap_orphans(fs, jvm, path, "old")
+        if orphans:
+            if len(orphans) > 1:
+                raise IOError(
+                    f"upsert_by_key: {len(orphans)} orphaned swap dirs at "
+                    f"{path} ({orphans}); cannot pick one — recover manually")
+            if not fs.rename(jvm.org.apache.hadoop.fs.Path(orphans[0]), jpath):
+                raise IOError(
+                    f"upsert_by_key: failed to recover {orphans[0]} -> {path}")
+        else:
+            df.dropDuplicates(keys).write.mode("overwrite").parquet(path)
+            return
     existing = spark.read.parquet(path)
     incoming = df.dropDuplicates(keys)
     if do_update:
@@ -93,27 +108,79 @@ def upsert_by_key(df: DataFrame, path: str, keys: list[str],
     write_and_swap(merged, path)
 
 
+def _swap_orphans(fs, jvm, path: str, kind: str) -> list[str]:
+    """Sibling dirs left by a crashed swap: `{path}__rewrite_{kind}_*`."""
+    base = path.rstrip("/")
+    parent = jvm.org.apache.hadoop.fs.Path(base).getParent()
+    if parent is None or not fs.exists(parent):
+        return []
+    prefix = f"{base}__rewrite_{kind}_"
+    out = []
+    for st in fs.listStatus(parent):
+        p = st.getPath().toUri().getPath()
+        if p.startswith(prefix):
+            out.append(p)
+    return sorted(out)
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer hit the table's swap lock."""
+
+
+def _acquire_swap_lock(fs, jvm, path: str):
+    """Enforced single-writer guard (not just a docstring contract):
+    an atomically-created lock file serializes swaps. `createNewFile`
+    is atomic on local/HDFS; a held lock raises loudly instead of
+    letting two writers interleave their renames. Object stores lack
+    atomic create — there, use a real lakehouse MERGE instead (the
+    docstring of `upsert_by_key` says so)."""
+    lock = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__rewrite_lock")
+    if not fs.createNewFile(lock):
+        raise ConcurrentWriterError(
+            f"write_and_swap: lock already held at {lock}. Another writer "
+            f"is mid-swap (or crashed without cleanup — delete the lock "
+            f"file after verifying no writer is alive).")
+    return lock
+
+
 def write_and_swap(df: DataFrame, path: str) -> None:
     """Write `df` to a sibling temp dir, then atomically swap it into
     `path` via filesystem rename — the rewrite primitive every
-    read-modify-write sink (upsert, compaction) shares."""
+    read-modify-write sink (upsert, compaction) shares. A lock file
+    enforces single-writer; the temp dir is cleaned up if any step
+    after the write raises; a crash between the two renames leaves a
+    `__rewrite_old_*` dir that `upsert_by_key` detects and recovers.
+    For SNAPSHOT-ISOLATED concurrent readers use
+    `sources/versioned.py` (immutable version dirs + pointer)."""
     import uuid
     spark = df.sparkSession
     token = uuid.uuid4().hex[:8]
     tmp = f"{path.rstrip('/')}__rewrite_tmp_{token}"
-    df.write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
-    old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__rewrite_old_{token}")
+    lock = _acquire_swap_lock(fs, jvm, path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    if not fs.rename(jpath, old):
-        raise IOError(f"write_and_swap: could not stage {path} aside")
-    if not fs.rename(jtmp, jpath):
-        fs.rename(old, jpath)  # restore on failure
-        raise IOError(f"write_and_swap: could not swap new output into {path}")
-    fs.delete(old, True)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__rewrite_old_{token}")
+    try:
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            # exists() first: some Hadoop FS impls THROW on a missing
+            # rename source instead of returning false
+            if not fs.exists(jpath) or not fs.rename(jpath, old):
+                raise IOError(f"write_and_swap: could not stage {path} aside")
+        except BaseException:
+            fs.delete(jtmp, True)  # never leak the staged output
+            raise
+        if not fs.rename(jtmp, jpath):
+            fs.rename(old, jpath)  # restore on failure
+            fs.delete(jtmp, True)
+            raise IOError(
+                f"write_and_swap: could not swap new output into {path}")
+        fs.delete(old, True)
+    finally:
+        fs.delete(lock, False)
 
 
 def compact_parquet(spark: SparkSession, path: str,
@@ -157,14 +224,35 @@ def read_csv_source(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.csv(path, header=True, schema=schema)
 
 
+class JsonIngest:
+    """Result of `read_json_source`: unpacks as `(good, bad)` for the
+    common case; call `release()` once both splits are consumed to
+    free the shared persisted parse (the two frames are filters over
+    ONE persisted DataFrame — unpersisting either derived frame would
+    not release it)."""
+
+    def __init__(self, parsed: DataFrame, good: DataFrame, bad: DataFrame):
+        self._parsed = parsed
+        self.good = good
+        self.bad = bad
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+    def release(self) -> None:
+        self._parsed.unpersist()
+
+
 def read_json_source(spark: SparkSession, path: str, schema,
-                     corrupt_col: str = "_corrupt_record"):
+                     corrupt_col: str = "_corrupt_record") -> JsonIngest:
     """S7-adjacent: JSON-lines ingest with an explicit schema and
     PERMISSIVE corrupt-record capture — malformed API payloads (the
     reference ingests third-party transcript/API JSON) land in
     `corrupt_col` instead of killing the job, so the pipeline can
-    quarantine them with a filter. Returns (good_rows, corrupt_rows).
+    quarantine them with a filter. Returns a `JsonIngest`
+    (tuple-unpacks to (good_rows, corrupt_rows)).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
     full_schema = StructType(
@@ -174,9 +262,13 @@ def read_json_source(spark: SparkSession, path: str, schema,
           .option("columnNameOfCorruptRecord", corrupt_col)
           .schema(full_schema)
           .json(path))
-    # Spark requires caching/materializing before referencing only the
-    # corrupt column (the parser is lazy per-column)
-    df = df.cache()
+    # Spark requires persisting/materializing before referencing only
+    # the corrupt column (the parser is lazy per-column). DISK_ONLY,
+    # not MEMORY: a 100-TB JSON ingest must not pin executor storage
+    # memory for the quarantine split — spilled blocks on local disk
+    # are the scale-honest staging area (the alternative with the same
+    # I/O shape is write-once-then-filter to a staging path).
+    df = df.persist(StorageLevel.DISK_ONLY)
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return good, bad
+    return JsonIngest(df, good, bad)

@@ -1,0 +1,166 @@
+"""Versioned parquet tables — snapshot isolation for concurrent
+readers without a lakehouse dependency (SURVEY §2.1 S4; reference
+semantics `island_worker.py:114-127` `INSERT ... ON CONFLICT`, where
+Postgres MVCC gives readers a stable snapshot for free).
+
+`sinks.write_and_swap` is correct for a single writer but RENAMES the
+live directory, so a reader that resolved its file listing before the
+swap can hit FileNotFound mid-scan. This module removes that window
+the way Delta/Iceberg do — immutable version directories plus a
+commit marker — with plain parquet:
+
+    table/
+      v_00000001/ part-*.parquet  _COMMITTED
+      v_00000002/ part-*.parquet  _COMMITTED   <- latest
+      v_00000003/ part-*.parquet               <- in-flight (invisible)
+
+- A version is visible IFF its `_COMMITTED` marker exists; the marker
+  is created atomically AFTER the data lands, so readers never see a
+  half-written version (same contract as Spark's `_SUCCESS`).
+- Data files are never renamed or deleted by a write — a reader
+  holding version N keeps scanning N while the writer commits N+1.
+  This is also object-store-honest: commit is one small PUT, no
+  directory rename.
+- Old versions are reclaimed explicitly via `vacuum_versions`
+  (the OPTIMIZE/VACUUM split of the lakehouse engines).
+- Writers serialize on an atomically-created `_WRITE_LOCK` file —
+  enforced single-writer, not a docstring promise.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^v_(\d{8})$")
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _list_versions(jvm, fs, root: str) -> dict[int, bool]:
+    """{version: committed} for every v_* child of `root`."""
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jroot):
+        return {}
+    out: dict[int, bool] = {}
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        m = _VERSION_RE.match(name)
+        if m and st.isDirectory():
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{root.rstrip('/')}/{name}/_COMMITTED")
+            out[int(m.group(1))] = bool(fs.exists(marker))
+    return out
+
+
+def _version_dir(root: str, v: int) -> str:
+    return f"{root.rstrip('/')}/v_{v:08d}"
+
+
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    """Highest COMMITTED version, or None for an empty table."""
+    jvm, fs, _ = _fs(spark, root)
+    committed = [v for v, ok in _list_versions(jvm, fs, root).items() if ok]
+    return max(committed) if committed else None
+
+
+def read_snapshot(spark: SparkSession, root: str,
+                  version: int | None = None) -> DataFrame:
+    """Read a committed snapshot (latest by default). The returned
+    DataFrame stays valid across later commits — its files are
+    immutable until an explicit vacuum."""
+    v = latest_version(spark, root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"versioned table has no commits: {root}")
+    jvm, fs, _ = _fs(spark, root)
+    versions = _list_versions(jvm, fs, root)
+    if not versions.get(v, False):
+        raise FileNotFoundError(
+            f"version {v} of {root} is missing or uncommitted")
+    return spark.read.parquet(_version_dir(root, v))
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer hit the table's write lock."""
+
+
+def _with_write_lock(spark: SparkSession, root: str):
+    jvm, fs, jroot = _fs(spark, root)
+    fs.mkdirs(jroot)
+    lock = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/_WRITE_LOCK")
+    if not fs.createNewFile(lock):
+        raise ConcurrentWriterError(
+            f"versioned table writer lock held: {lock}. Another writer is "
+            f"committing (or crashed — delete the lock after verifying).")
+    return jvm, fs, lock
+
+
+def commit_version(df: DataFrame, root: str) -> int:
+    """Write `df` as the table's next version and make it visible.
+    Returns the committed version number. Crash before the marker
+    leaves an invisible orphan dir (reclaimed by vacuum), never a
+    half-visible table."""
+    spark = df.sparkSession
+    jvm, fs, lock = _with_write_lock(spark, root)
+    try:
+        versions = _list_versions(jvm, fs, root)
+        v = max(versions, default=0) + 1
+        vdir = _version_dir(root, v)
+        df.write.mode("error").parquet(vdir)
+        marker = jvm.org.apache.hadoop.fs.Path(f"{vdir}/_COMMITTED")
+        if not fs.createNewFile(marker):
+            raise IOError(f"could not commit version marker {marker}")
+        return v
+    finally:
+        fs.delete(lock, False)
+
+
+def upsert_by_key_versioned(df: DataFrame, root: str, keys: list[str],
+                            do_update: bool = True) -> int:
+    """S4 idempotent upsert with snapshot isolation: merge against the
+    latest committed version, commit the result as a NEW version.
+    Readers holding any committed snapshot are undisturbed (their
+    files are immutable); `ON CONFLICT DO UPDATE` when `do_update`,
+    `DO NOTHING` otherwise. Same merge plan as `sinks.upsert_by_key`
+    — two distributed writes, zero driver materialization."""
+    spark = df.sparkSession
+    incoming = df.dropDuplicates(keys)
+    v = latest_version(spark, root)
+    if v is None:
+        return commit_version(incoming, root)
+    existing = read_snapshot(spark, root, v)
+    if do_update:
+        merged = existing.join(incoming, keys, "left_anti").unionByName(incoming)
+    else:
+        merged = existing.unionByName(
+            incoming.join(existing, keys, "left_anti"))
+    return commit_version(merged, root)
+
+
+def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
+    """Delete committed versions older than the newest `keep`, plus
+    any uncommitted orphan dirs BELOW the latest committed version
+    (an orphan above it may be a writer mid-commit — left alone).
+    Returns the versions removed. Run only when no reader still holds
+    a to-be-vacuumed snapshot — same operational contract as Delta's
+    VACUUM retention window."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    jvm, fs, _ = _fs(spark, root)
+    versions = _list_versions(jvm, fs, root)
+    committed = sorted([v for v, ok in versions.items() if ok])
+    if not committed:
+        return []
+    latest = committed[-1]
+    survivors = set(committed[-keep:])
+    doomed = [v for v, ok in sorted(versions.items())
+              if v not in survivors and (ok or v < latest)]
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_version_dir(root, v)), True)
+    return doomed
