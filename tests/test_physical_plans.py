@@ -147,6 +147,37 @@ def test_partitioned_events_scan_prunes_partitions(spark, tmp_path):
     assert pf and "event_date" in pf.group(1)
 
 
+def test_rolling_window_is_partitioned_not_single_task(spark):
+    """rolling_7day_revenue's range frame must run under a PARTITIONED
+    window (per-year, with boundary-pad rows) — an unpartitioned
+    ordered window serializes every day through one task."""
+    plan = plan_of(_q(spark, "rolling_7day_revenue"))
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # spec args: [partition cols...], [sort cols ASC...], frame;
+        # an unpartitioned spec starts directly with the sort column
+        assert "yr#" in args.split(",")[0], f"unpartitioned window: {args}"
+
+
+def test_no_unpartitioned_window_specs_in_source():
+    """Grep gate (VERDICT r2 #9): every Window spec in the plan/
+    operator source must declare partitionBy — a bare Window.orderBy
+    serializes its whole input through one task at scale. Genuinely
+    global orderings go through TakeOrderedAndProject (ORDER BY +
+    LIMIT) or a partitioned two-level scheme instead."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1] / \
+        "transcript_analysis_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "Window.orderBy" in line or "Window().orderBy" in line:
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, \
+        "unpartitioned window specs found:\n" + "\n".join(offenders)
+
+
 def test_session_config_scale_flags(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

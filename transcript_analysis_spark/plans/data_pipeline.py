@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transcript_analysis_spark.operators.components import connected_components
 from transcript_analysis_spark.plans.registry import register
 from transcript_analysis_spark.functions.rounding import spark_round_ratio
 from transcript_analysis_spark.sources.tables import fanout, load_table
@@ -1049,54 +1050,15 @@ def multimodal_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash
-    LSH candidate graph via iterative min-label propagation — the
-    representative iterative algorithm (large-scale dedup keeps one
-    doc per component, not per pair). Each iteration is one join +
-    aggregate; converges in O(log(diameter)) rounds; the driver loop
-    only checks the convergence counter, never touches row data."""
+    LSH candidate graph (large-scale dedup keeps one doc per
+    component, not per pair). Uses alternating large-star/small-star
+    contraction (`operators/components.py`) — O(log n) rounds
+    INDEPENDENT of graph diameter, so a chain-shaped duplicate
+    cluster (incremental edits: A~B~C~...) cannot blow the round
+    budget the way min-label propagation's O(diameter) loop could."""
     pairs = minhash_lsh_candidate_pairs(spark, sf_dir)
-    edges = (pairs.selectExpr("doc_a as u", "doc_b as v")
-             .unionByName(pairs.selectExpr("doc_b as u", "doc_a as v"))
-             .distinct())
-    labels = edges.select(F.col("u").alias("n")).distinct() \
-                  .withColumn("label", F.col("n"))
-    # localCheckpoint truncates lineage: .cache() alone keeps the full
-    # logical plan, which deepens every iteration and stalls Catalyst
-    # on large graphs. Eager-checkpointing the loop-carried DF every
-    # iteration keeps plan depth O(1) across rounds.
-    edges = edges.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
-    max_iters = 30
-    converged = False
-    for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges["v"] == labels["n"])
-                        .groupBy("u").agg(F.min("label").alias("nl")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["n"] == neighbor_min["u"], "left")
-                      .select(F.col("n"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nl"), F.col("label")))
-                               .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("a")
-                   .join(labels.alias("b"), "n")
-                   .filter(F.col("a.label") != F.col("b.label")).count())
-        # Drop the superseded generation's reference immediately: the
-        # checkpoint blocks are reclaimed by Spark's ContextCleaner
-        # once unreferenced, so live storage stays ~2 generations
-        # instead of accumulating one per iteration.
-        del labels
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Loud, not silent: an unconverged labeling is a WRONG answer
-        # (labels diverge from true components), never return it.
-        raise RuntimeError(
-            f"neardup_components: min-label propagation did not converge "
-            f"within {max_iters} iterations (graph diameter too large); "
-            f"raise max_iters or switch to large-star/small-star")
+    edges = pairs.selectExpr("doc_a as u", "doc_b as v")
+    labels = connected_components(edges)
     return (labels.groupBy(F.col("label").alias("component_id"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("n").cast("long").alias("canonical_doc_id")))
