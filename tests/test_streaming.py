@@ -139,6 +139,61 @@ def test_writestream_foreach_batch_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_checkpoint_restart_recovery_exactly_once(spark, tmp_path):
+    """T2 done-criterion (VERDICT r2 #5): kill a checkpointed query,
+    RESTART it from the same checkpoint in a fresh SparkSession, and
+    prove exactly-once output through the idempotent upsert sink —
+    including a forced REPLAY of the last micro-batch (its commit
+    marker is deleted, simulating a crash after the sink ran but
+    before the checkpoint committed: the at-least-once window the
+    reference's task queue closes with ON CONFLICT,
+    `island_worker.py:72-99`)."""
+    import functools
+    import os
+    src = str(tmp_path / "incoming")
+    target = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_query(session):
+        stream = session.readStream.schema("k LONG, v STRING").parquet(src)
+        q = (stream.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(functools.partial(
+                 sw.foreach_batch_upsert, target_path=target, keys=["k"]))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    batch1 = [(k, f"b1-{k}") for k in range(50)]
+    spark.createDataFrame(batch1, ["k", "v"]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_query(spark)
+    got1 = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got1 == dict(batch1)
+
+    # crash window: sink output landed, checkpoint commit did not.
+    commits = [f for f in os.listdir(f"{ckpt}/commits")
+               if not f.startswith(".")]
+    latest = max(commits, key=int)
+    os.remove(f"{ckpt}/commits/{latest}")
+    crc = f"{ckpt}/commits/.{latest}.crc"  # local-FS checksum sibling
+    if os.path.exists(crc):
+        os.remove(crc)
+    # new data arrives while "down": keys 40-49 updated, 50-59 new
+    batch2 = [(k, f"b2-{k}") for k in range(40, 60)]
+    spark.createDataFrame(batch2, ["k", "v"]).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    restarted = spark.newSession()  # fresh session, same checkpoint dir
+    run_query(restarted)
+    out = spark.read.parquet(target).collect()
+    got2 = {r.k: r.v for r in out}
+    want = dict(batch1) | dict(batch2)
+    assert len(out) == len(want), "batch replay duplicated rows"
+    assert got2 == want  # replayed batch 1 rewrote identical values;
+    #                      batch 2's updates won for overlapping keys
+
+
 def test_continuous_hourly_rollup_incremental(spark, tmp_path):
     """T3 at the materialized-view level: the serving table must stay
     equal to the full batch rollup as new files (including LATE rows

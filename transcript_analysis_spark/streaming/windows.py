@@ -128,12 +128,18 @@ def incremental_pending(candidates: DataFrame, done: DataFrame,
 def foreach_batch_upsert(batch_df: DataFrame, batch_id: int,
                          target_path: str, keys: list[str]) -> None:
     """Idempotent micro-batch sink: dropDuplicates-on-key then
-    dynamic-partition-overwrite append — the parquet-only emulation of
-    Delta MERGE (reference `ON CONFLICT DO NOTHING`,
-    `island_worker.py:114-127`). Exactly-once under retries because a
-    replayed batch rewrites the same keys to the same values."""
-    (batch_df.dropDuplicates(keys)
-     .write.mode("append").parquet(target_path))
+    dynamic-partition-overwrite on the key columns — the parquet-only
+    emulation of Delta MERGE (reference `ON CONFLICT DO UPDATE`,
+    `island_worker.py:114-127`). Exactly-once under retries/restarts
+    because a replayed batch REWRITES the same key partitions to the
+    same values (a bare append would duplicate them — the r2 docstring
+    claimed this overwrite but the code appended). For keys too
+    high-cardinality to partition by directly, partition by
+    `pmod(xxhash64(keys), n)` buckets and merge within the rewritten
+    buckets instead."""
+    from transcript_analysis_spark.sources.sinks import replace_partitions
+    replace_partitions(batch_df.dropDuplicates(keys), target_path,
+                       partition_by=keys)
 
 
 # ---------------------------------------------------------------------------
