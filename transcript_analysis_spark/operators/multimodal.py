@@ -5,11 +5,13 @@ operators.
 Design (per the build brief): image/audio/video payloads are
 `BinaryType` columns with a `kind` discriminator and a typed metadata
 struct. The heavy steps run as `mapInPandas` — per-partition Arrow
-batches, so codec libraries initialize once per partition, never per
-row. The actual codecs (PIL/librosa/ffmpeg) are NOT in this
-container, so decode is stubbed behind an import-try with a
-deterministic byte-statistics fake; everything Spark-side — schema,
-partitioning, batch shape, UDF signatures — is real and tested.
+batches, so codec state initializes once per partition, never per
+row. Decode is REAL for images (PNG) and audio (RIFF/WAV PCM16) via
+the pure-stdlib codecs in `operators/codecs.py`; video container
+decode requires ffmpeg (absent here) and stays a loud stub. The
+deterministic byte-statistics fake remains the default for the
+oracle-checked registered queries (DuckDB can reproduce byte sums,
+not PNG decode).
 """
 
 from __future__ import annotations
@@ -71,11 +73,48 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_real(payload: bytes, kind: str) -> list[float]:
-    """Real decode path — requires codec libs absent from this
-    container. Kept so the wiring is visible and testable."""
+    """Real decode path: PNG for images and RIFF/WAV PCM16 for audio
+    via the pure-stdlib codecs in `operators/codecs.py` (no PIL/
+    librosa needed). Features are FEATURE_DIM pixel/sample statistics,
+    each normalized to ~[0, 1]. Video container decode genuinely
+    requires ffmpeg, which this environment lacks — that one kind
+    stays a loud stub."""
+    import numpy as np
+
+    from transcript_analysis_spark.operators.codecs import (decode_png,
+                                                            decode_wav)
+    if kind == "image":
+        px = decode_png(payload).astype(np.float64) / 255.0
+        h, w, ch = px.shape
+        chan_means = [float(px[:, :, c % ch].mean()) for c in range(3)]
+        grad = float(np.abs(np.diff(px, axis=1)).mean()) if w > 1 else 0.0
+        return [
+            *chan_means,                       # per-channel brightness
+            float(px.std()),                   # contrast
+            grad,                              # horizontal edge energy
+            min(1.0, w / 4096.0),              # normalized width
+            min(1.0, h / 4096.0),              # normalized height
+            w / (w + h),                       # aspect balance
+        ][:FEATURE_DIM]
+    if kind == "audio":
+        samples, rate = decode_wav(payload)
+        x = samples.astype(np.float64) / 32768.0
+        mono = x.mean(axis=1)
+        zc = (float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+              if mono.size > 1 else 0.0)
+        return [
+            float(np.abs(mono).mean()),        # mean amplitude
+            float(np.sqrt((mono ** 2).mean())),  # RMS energy
+            float(mono.std()),
+            float(np.abs(mono).max(initial=0.0)),  # peak
+            zc,                                # zero-crossing rate
+            min(1.0, rate / 48000.0),          # normalized sample rate
+            min(1.0, x.shape[1] / 8.0),        # normalized channel count
+            min(1.0, mono.size / (rate * 60.0)),  # normalized duration
+        ][:FEATURE_DIM]
     raise NotImplementedError(
-        "codec libraries (PIL/librosa/av) are not available in this "
-        "environment; use the deterministic fake decode")
+        "video container decode requires ffmpeg, which is not in this "
+        "environment; image (PNG) and audio (WAV) decode are real")
 
 
 def scaled_feature(s: int, n: int) -> int:
