@@ -38,8 +38,10 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache OS pages)
         best = None
-        for _ in range(2):  # min-of-2 steady-state runs (shields the
-            t0 = time.time()  # metric from one-off system contention)
+        for _ in range(3):  # min-of-3 steady-state runs (shields the
+            t0 = time.time()  # metric from one-off system contention;
+            # r2->r3 analysis showed single-query wall time swinging
+            # 3.1-9.1s under ambient load on an unchanged plan)
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
