@@ -147,6 +147,41 @@ def test_partitioned_events_scan_prunes_partitions(spark, tmp_path):
     assert pf and "event_date" in pf.group(1)
 
 
+def test_registered_queries_compose_with_partitioned_layout(spark, tmp_path):
+    """SCALE.md's claim, demonstrated (VERDICT r2 #8): re-lay the
+    corpus out hive-partitioned and the REGISTERED plans run
+    unchanged, produce identical results, AND prune partitions — the
+    event_type filters inside the funnel/as-of queries must reach the
+    scan as PartitionFilters, not post-scan Filters."""
+    import os
+    import re
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.sources.tables import TABLES, load_table
+    part_dir = str(tmp_path / "partitioned_sf")
+    os.makedirs(part_dir)
+    for name in TABLES:
+        dst = f"{part_dir}/{name}.parquet"
+        if name == "events":
+            # same table, hive layout: events.parquet/event_type=*/...
+            (load_table(spark, SF_DIR, "events")
+             .write.partitionBy("event_type").parquet(dst))
+        else:
+            os.symlink(f"{SF_DIR}/{name}.parquet", dst)
+    registry = all_queries()
+    for qname in ("funnel_view_click_purchase", "asof_purchase_context",
+                  "tumbling_hourly_event_stats"):
+        fn = registry[qname].fn
+        flat = sorted(map(str, fn(spark, SF_DIR).collect()))
+        part = sorted(map(str, fn(spark, part_dir).collect()))
+        assert flat == part, f"{qname}: results differ across layouts"
+    # pruning: every event_type equality filter becomes a PartitionFilter
+    for qname in ("funnel_view_click_purchase", "asof_purchase_context"):
+        plan = plan_of(registry[qname].fn(spark, part_dir))
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        pruned = [p for p in pfs if "event_type" in p]
+        assert pruned, f"{qname}: no PartitionFilters on event_type:\n{plan[:2000]}"
+
+
 def test_rolling_window_is_partitioned_not_single_task(spark):
     """rolling_7day_revenue's range frame must run under a PARTITIONED
     window (per-year, with boundary-pad rows) — an unpartitioned

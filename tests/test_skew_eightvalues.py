@@ -50,6 +50,43 @@ def test_salted_aggregate_rejects_non_algebraic(spark):
         salted_aggregate(_skewed_df(spark), ["k"], {"a": "avg(v)"})
 
 
+def test_auto_salted_aggregate_dispatch_and_equivalence(spark):
+    """Stats-driven dispatch: skewed input takes the two-phase salted
+    path, flat input the plain path — both exact."""
+    from transcript_analysis_spark.operators.skew import (
+        auto_salted_aggregate, key_skew_stats, recommend_salt_buckets)
+    aggs = {"n": "count(*)", "total": "sum(v)"}
+
+    skewed = _skewed_df(spark)
+    assert recommend_salt_buckets(key_skew_stats(skewed, ["k"])) >= 2
+    plain = {r.k: (r.n, r.total) for r in
+             skewed.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                     F.sum("v").alias("total")).collect()}
+    auto = {r.k: (r.n, r.total) for r in
+            auto_salted_aggregate(skewed, ["k"], aggs).collect()}
+    assert auto == plain
+
+    flat = spark.range(5000).select((F.col("id") % 100).alias("k"),
+                                    F.col("id").alias("v"))
+    assert recommend_salt_buckets(key_skew_stats(flat, ["k"])) == 1
+    flat_plain = {r.k: (r.n, r.total) for r in
+                  flat.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                        F.sum("v").alias("total")).collect()}
+    flat_auto = {r.k: (r.n, r.total) for r in
+                 auto_salted_aggregate(flat, ["k"], aggs).collect()}
+    assert flat_auto == flat_plain
+
+
+def test_recommend_salt_buckets_ceils_and_floors_at_two():
+    from transcript_analysis_spark.operators.skew import (
+        recommend_salt_buckets)
+    assert recommend_salt_buckets({"skew_ratio": 4.0}) == 1   # at target
+    assert recommend_salt_buckets({"skew_ratio": 4.5}) == 2   # just past
+    assert recommend_salt_buckets({"skew_ratio": 7.9}) == 2
+    assert recommend_salt_buckets({"skew_ratio": 9.0}) == 3   # ceil(2.25)
+    assert recommend_salt_buckets({"skew_ratio": 1000.0}) == 64  # capped
+
+
 # --- 8values composite --------------------------------------------------
 
 def test_seed_runs_anti_join(spark):

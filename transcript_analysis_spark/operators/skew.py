@@ -105,3 +105,29 @@ def recommend_salt_buckets(stats: dict, target_ratio: float = 4.0,
     # never 1 once the guard has decided salting IS needed: ratio just
     # above target must still split the hot key at least in half.
     return min(max_buckets, max(2, math.ceil(ratio / target_ratio)))
+
+
+def auto_salted_aggregate(df: DataFrame, keys: list[str],
+                          aggs: dict[str, str],
+                          sample_fraction: float | None = None,
+                          target_ratio: float = 4.0,
+                          max_buckets: int = 64) -> DataFrame:
+    """Stats-driven aggregation: measure key skew, then dispatch —
+    plain one-phase groupBy when the key histogram is flat, two-phase
+    salted aggregation sized by `recommend_salt_buckets` when it is
+    hot. Closes the manual-opt-in gap for AGGREGATION skew (AQE only
+    rebalances JOIN shuffles).
+
+    The diagnostic pass is one distributed aggregation; at 100 TB pass
+    `sample_fraction` (e.g. 0.01) — key-count RATIOS are stable under
+    uniform sampling, so the decision is the same at 1% of the scan
+    cost. The result is always exact: sampling only informs the
+    DISPATCH, never the aggregation input."""
+    probe = df.sample(sample_fraction) if sample_fraction else df
+    stats = key_skew_stats(probe, keys)
+    buckets = recommend_salt_buckets(stats, target_ratio=target_ratio,
+                                     max_buckets=max_buckets)
+    if buckets <= 1:
+        exprs = [F.expr(spec).alias(out) for out, spec in aggs.items()]
+        return df.groupBy(*keys).agg(*exprs)
+    return salted_aggregate(df, keys, aggs, salt_buckets=buckets)
