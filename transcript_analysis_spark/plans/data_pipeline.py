@@ -1375,3 +1375,103 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(_spark_cos("v", "qv", 6)).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(10))
+
+
+@register(
+    "training_data_prep",
+    oracle=f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    d AS (
+      SELECT doc.doc_id, doc.source, doc.n_chars,
+             string_split(doc.text, ' ') AS words
+      FROM documents doc JOIN canon c ON c.doc_id = doc.doc_id
+    ),
+    m AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_filter(words, w -> list_contains(
+               {[*_STOPWORDS]}, w))) AS BIGINT) AS n_stop,
+             CAST(len(list_filter(words, w -> list_contains(
+               ['the','and','of','is','with'], w))) AS BIGINT) AS en_hits,
+             CAST(len(list_filter(words, w -> list_contains(
+               ['le','la','et','les','des'], w))) AS BIGINT)   AS fr_hits,
+             CAST(len(list_filter(words, w -> list_contains(
+               ['der','und','die','das','mit'], w))) AS BIGINT) AS de_hits,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(words, w -> CAST(CEIL(length(w) / 4.0) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS n_tokens_est
+      FROM d
+    ),
+    scored AS (
+      SELECT *,
+             CAST((2 * (32 * n_words * LEAST(CAST(100 AS BIGINT), n_words)
+                        + 2400 * (n_words - n_stop)
+                        + 300 * LEAST(8 * n_words, CAST(n_chars AS BIGINT)))
+                     * 1000000 + 8000 * n_words)
+                  // (2 * 8000 * n_words) AS DOUBLE) / 1000000 AS quality
+      FROM m
+    )
+    SELECT doc_id, source, n_words, n_tokens_est, quality
+    FROM scored
+    WHERE quality >= CAST(0.62 AS DOUBLE)
+      AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0
+      AND doc_id % 10 < 8
+    """,
+    tags=("pipeline", "dedup", "quality", "langid", "tokens", "sample"),
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data preparation — the composite a corpus
+    team actually runs, as ONE declarative plan: exact dedup (keep the
+    min-doc_id copy per distinct text) -> quality filter (the exact
+    integer-arithmetic score of `text_quality_scores`, >= 0.62) ->
+    language gate (`language_id_heuristic`'s stopword-profile vote,
+    keep predicted-English) -> token budgeting (`token_counts`'
+    BPE-ish estimate) -> deterministic 80% sample (doc_id mod 10 < 8,
+    reproducible across runs/engines).
+
+    Plan shape at 100 TB: one hash shuffle for the dedup group-by,
+    then everything else is per-row JVM array math on the surviving
+    docs — filters fused into one stage, no Python, no second
+    shuffle. Each stage is independently oracle-checked by its
+    standalone query; this registers the composition so the
+    interaction (filter ordering, shared columns) is verified too."""
+    d = _t(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(canon.select("doc_id"), "doc_id", "left_semi")
+    m = kept.select(
+        "doc_id", "source", "n_chars",
+        F.split("text", " ").alias("words"))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+    def hits(words_list: list[str]) -> Column:
+        arr = "array(" + ", ".join(f"'{w}'" for w in words_list) + ")"
+        return (F.size(F.expr(f"filter(words, w -> array_contains({arr}, w))"))
+                .cast("long"))
+
+    feat = m.select(
+        "doc_id", "source", "n_chars",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.expr(f"filter(words, w -> array_contains({stop_arr}, w))"))
+         .cast("long").alias("n_stop"),
+        hits(["the", "and", "of", "is", "with"]).alias("en_hits"),
+        hits(["le", "la", "et", "les", "des"]).alias("fr_hits"),
+        hits(["der", "und", "die", "das", "mit"]).alias("de_hits"),
+        F.expr("aggregate(transform(words,"
+               " w -> cast(ceil(length(w) / 4.0) as bigint)),"
+               " cast(0 as bigint), (a, b) -> a + b)").alias("n_tokens_est"))
+    scored = feat.withColumn(
+        "quality",
+        F.expr("(2 * (32 * n_words * least(cast(100 as bigint), n_words)"
+               " + 2400 * (n_words - n_stop)"
+               " + 300 * least(8 * n_words, cast(n_chars as bigint)))"
+               " * 1000000 + 8000 * n_words)"
+               " div (2 * 8000 * n_words)").cast("double") / 1000000)
+    return (scored
+            .filter((F.col("quality") >= 0.62)
+                    & (F.col("en_hits") >= F.col("fr_hits"))
+                    & (F.col("en_hits") >= F.col("de_hits"))
+                    & (F.col("en_hits") > 0)
+                    & (F.col("doc_id") % 10 < 8))
+            .select("doc_id", "source", "n_words", "n_tokens_est", "quality"))

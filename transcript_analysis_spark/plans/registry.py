@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weekly_cohort_retention",
     "funnel_view_click_purchase",
     "hourly_anomaly_flags",
+    # new in round 3 (no harness row yet)
+    "training_data_prep",
     # checked in round 1 only (rotated out of round 2's window)
     "embedding_similar_pairs",
     "embedding_rp_lsh_buckets",
