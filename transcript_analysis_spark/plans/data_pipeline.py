@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.operators.components import connected_components
 from transcript_analysis_spark.plans.registry import register
-from transcript_analysis_spark.functions.rounding import spark_round_ratio
+from transcript_analysis_spark.functions.rounding import (
+    duck_round_ratio,
+    spark_round_ratio,
+)
 from transcript_analysis_spark.sources.tables import fanout, load_table
 
 MOD = 1_000_000_007
@@ -1138,7 +1141,6 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus analytics: relevance, decontamination, stratified sampling
 # ---------------------------------------------------------------------------
 
-from transcript_analysis_spark.functions.rounding import duck_round_ratio  # noqa: E402
 
 
 @register(
@@ -1475,3 +1477,246 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("en_hits") > 0)
                     & (F.col("doc_id") % 10 < 8))
             .select("doc_id", "source", "n_words", "n_tokens_est", "quality"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition & classifier-based quality signals (Gopher / CCNet style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    ud AS (
+      SELECT doc_id, MAX(c) AS top_word_n,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct
+      FROM uc GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 1)),
+               i -> array_to_string(words[i:i+1], ' '))) AS b
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+    bd AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ud.doc_id, n_words, n_distinct,
+           COALESCE(top_bigram_n, 0) AS top_bigram_n,
+           {duck_round_ratio('top_word_n', 'n_words', 6)} AS top_word_frac,
+           {duck_round_ratio('n_distinct', 'n_words', 6)} AS distinct_ratio,
+           {duck_round_ratio('COALESCE(top_bigram_n, 0)',
+                             'GREATEST(COALESCE(n_bigrams, 0), 1)', 6)}
+             AS top_bigram_frac,
+           CAST(top_word_n * 5 > n_words
+                OR COALESCE(top_bigram_n, 0) * 5
+                   > GREATEST(COALESCE(n_bigrams, 0), 1) AS INT) AS repetitive
+    FROM ud LEFT JOIN bd ON ud.doc_id = bd.doc_id
+    """,
+    tags=("quality", "repetition"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), adapted
+    to newline-free corpora: per-document top-unigram fraction,
+    top-bigram fraction, and distinct-word ratio, plus a `repetitive`
+    flag when the most frequent unigram or bigram exceeds 20% of the
+    document (the flag is computed in integer arithmetic so both
+    engines agree bit-for-bit; the fractions use the shared integer
+    half-up rounding).
+
+    Plan shape at 100 TB: explode to (doc, term) then two hash
+    aggregations keyed on (doc_id, term) -> (doc_id) — map-side
+    partial aggregation collapses repeats before either exchange, and
+    both shuffles carry counts, not text. No Python, no window over
+    the corpus."""
+    d = fanout(_t(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("words"))
+    uc = (words.select("doc_id", F.explode("words").alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    ud = uc.groupBy("doc_id").agg(
+        F.max("c").alias("top_word_n"),
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"))
+    bc = (words.select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(words) >= 2 THEN"
+            " transform(sequence(1, size(words) - 1),"
+            " i -> concat_ws(' ', slice(words, i, 2)))"
+            " ELSE array() END")).alias("b"))
+          .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c")))
+    bd = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("n_bigrams"))
+    j = (ud.join(bd, "doc_id", "left")
+         .withColumn("top_bigram_n", F.coalesce("top_bigram_n", F.lit(0)))
+         .withColumn("n_bigrams",
+                     F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1))))
+    return j.select(
+        "doc_id", "n_words", "n_distinct", "top_bigram_n",
+        spark_round_ratio("top_word_n", "n_words", 6).alias("top_word_frac"),
+        spark_round_ratio("n_distinct", "n_words", 6).alias("distinct_ratio"),
+        spark_round_ratio("top_bigram_n", "n_bigrams", 6)
+            .alias("top_bigram_frac"),
+        ((F.col("top_word_n") * 5 > F.col("n_words"))
+         | (F.col("top_bigram_n") * 5 > F.col("n_bigrams")))
+        .cast("int").alias("repetitive"))
+
+
+# Hashed linear classifier: weight(term) = (char_hash(term) % 1001) - 500.
+# Stand-in for a fastText-style quality model: the exact weights are a
+# deterministic function both engines reproduce, the PLAN (per-row
+# hashed-bag-of-words dot product, zero shuffle) is the real thing.
+
+def _spark_word_weight_sum() -> str:
+    h = spark_char_hash("w")
+    return (f"aggregate(transform(split(text, ' '),"
+            f" w -> ({h}) % 1001 - 500),"
+            f" cast(0 as bigint), (s, x) -> s + x)")
+
+
+def _duck_word_weight_sum() -> str:
+    h = duck_char_hash("w")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(string_split(text, ' '),"
+            f" w -> ({h}) % 1001 - 500)),"
+            f" (s, x) -> s + x)")
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             {_duck_word_weight_sum()} AS w_sum
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, w_sum,
+           {duck_round_ratio('w_sum', '500 * n_words', 6)} AS quality_score,
+           CAST(w_sum > 0 AS INT) AS keep
+    FROM m
+    """,
+    tags=("quality", "classifier"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier (the fastText /
+    CCNet-style keep/drop model): each term hashes to a bucket whose
+    weight is a deterministic function of the hash; the document score
+    is the normalized weight sum and `keep` is its sign.
+
+    Plan shape at 100 TB: the entire model application is ONE per-row
+    JVM higher-order expression (transform + aggregate inside
+    whole-stage codegen) — zero shuffle, zero Python, no model-side
+    join. A learned model swaps in as a broadcast map lookup without
+    changing the plan shape."""
+    d = fanout(_t(spark, sf_dir, "documents"))
+    m = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.expr(_spark_word_weight_sum()).alias("w_sum"))
+    return m.select(
+        "doc_id", "lang", "n_words", "w_sum",
+        spark_round_ratio("w_sum", "500 * n_words", 6).alias("quality_score"),
+        (F.col("w_sum") > 0).cast("int").alias("keep"))
+
+
+@register(
+    "ccnet_quality_buckets",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             {_duck_word_weight_sum()} AS w_sum
+      FROM documents
+    ),
+    t AS (
+      SELECT lang, w_sum,
+             NTILE(3) OVER (
+               PARTITION BY lang
+               ORDER BY CAST(w_sum AS DOUBLE) / n_words DESC, doc_id
+             ) AS bucket
+      FROM m
+    )
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           MIN(w_sum) AS lo_w_sum, MAX(w_sum) AS hi_w_sum
+    FROM t GROUP BY lang, bucket
+    """,
+    tags=("quality", "classifier", "sample"),
+)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    per language, rank documents by the per-word classifier score and
+    cut into score terciles (bucket 1 = head = best third), reporting
+    the bucket sizes and raw-score ranges. Ties break on doc_id so the
+    split is deterministic and engine-portable.
+
+    Plan shape at 100 TB: scoring is per-row JVM math; the tercile is
+    one window shuffle PARTITIONED BY lang (bounded parallelism =
+    languages — CCNet's own sharding; for a single giant language,
+    swap NTILE for approx-percentile cutoffs learned on a sample, same
+    downstream schema), then a hash aggregation on (lang, bucket)."""
+    from pyspark.sql.window import Window
+    d = fanout(_t(spark, sf_dir, "documents"))
+    m = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.expr(_spark_word_weight_sum()).alias("w_sum"))
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("w_sum").cast("double") / F.col("n_words")).desc(),
+        F.col("doc_id"))
+    t = m.withColumn("bucket", F.ntile(3).over(w))
+    return (t.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("w_sum").alias("lo_w_sum"),
+                 F.max("w_sum").alias("hi_w_sum")))
+
+
+@register(
+    "crossdoc_shingle_dup_rate",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    freq AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM shingles GROUP BY shingle
+    ),
+    per AS (
+      SELECT s.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM shingles s JOIN freq f ON s.shingle = f.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           {duck_round_ratio('n_shared', 'n_shingles', 6)} AS dup_rate
+    FROM per
+    """,
+    tags=("dedup", "quality"),
+)
+def crossdoc_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplication rate: the fraction of a
+    document's distinct 3-word shingles that also appear in at least
+    one OTHER document. The corpus-level cousin of pairwise near-dup —
+    a cheap one-number signal for 'how much of this doc is boilerplate
+    shared with the rest of the corpus' (the duplicate-text measure
+    used to clean C4/MassiveText-class corpora).
+
+    Plan shape at 100 TB: shingle -> doc-frequency is one hash
+    aggregation on the shingle key; the join back is an equi-join on
+    that same key (co-partitioned with the aggregation's exchange, so
+    AQE reuses the shuffle); the per-doc rollup shuffles only
+    (doc_id, counts). Never doc x doc."""
+    sh = _spark_shingles(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (sh.join(freq, "shingle")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared")))
+    return per.select(
+        "doc_id", "n_shingles", "n_shared",
+        spark_round_ratio("n_shared", "n_shingles", 6).alias("dup_rate"))

@@ -104,6 +104,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hourly_anomaly_flags",
     # new in round 3 (no harness row yet)
     "training_data_prep",
+    "repetition_signals",
+    "quality_classifier_scores",
+    "ccnet_quality_buckets",
+    "crossdoc_shingle_dup_rate",
     # checked in round 1 only (rotated out of round 2's window)
     "embedding_similar_pairs",
     "embedding_rp_lsh_buckets",
