@@ -217,3 +217,44 @@ def test_session_config_scale_flags(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_quality_classifier_is_zero_shuffle_jvm_math(spark):
+    """The hashed-bag-of-words classifier must stay pure per-row JVM
+    math: no Python eval, no join, and no hash-partition exchange —
+    the only allowed exchange is fanout()'s explicit round-robin."""
+    import re
+    plan = plan_of(_q(spark, "quality_classifier_scores"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    shuffles = re.findall(r"Exchange (\w+)", plan)
+    assert all(s == "RoundRobinPartitioning" for s in shuffles), shuffles
+
+
+def test_repetition_signals_partial_agg_no_python(spark):
+    """Repetition stats must hash-aggregate with map-side partials
+    (the explode's repeats collapse before the exchange) and keep the
+    term math JVM-side."""
+    plan = plan_of(_q(spark, "repetition_signals"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine before shuffle
+
+
+def test_crossdoc_dup_rate_is_equi_join(spark):
+    """doc-frequency join-back must be a shingle-key equi-join — never
+    doc x doc, never a nested loop."""
+    plan = plan_of(_q(spark, "crossdoc_shingle_dup_rate"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccnet_tercile_window_partitioned_by_lang(spark):
+    """NTILE must run under PARTITION BY lang — an unpartitioned
+    tercile would rank the whole corpus through one task."""
+    import re
+    plan = plan_of(_q(spark, "ccnet_quality_buckets"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for args in specs:
+        assert "lang#" in args.split(",")[0], f"unpartitioned ntile: {args}"
