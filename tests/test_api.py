@@ -65,3 +65,32 @@ def test_dashboard_from_engine(engine):
 
 def test_named_query_passthrough(engine):
     assert engine.query("status_histogram").count() > 0
+
+
+def test_quality_signal_facade(engine):
+    sig = engine.quality_signals()
+    assert sig.count() > 0 and "repetitive" in sig.columns
+    cls = engine.classify_quality()
+    assert cls.count() > 0 and "keep" in cls.columns
+    buckets = engine.corpus_buckets()
+    assert {r.bucket for r in buckets.collect()} == {1, 2, 3}
+    prep = engine.prepare_training_data()
+    assert prep.count() > 0 and "n_tokens_est" in prep.columns
+
+
+def test_ingest_channel_facade(engine):
+    from transcript_analysis_spark.sources.ingest import FakeTubeTransport
+    t = FakeTubeTransport(videos_per_channel=6, lines_per_video=3)
+    first = engine.ingest_channel(
+        t, "UCfacade",
+        transport_factory=lambda: FakeTubeTransport(
+            videos_per_channel=6, lines_per_video=3))
+    assert first.count() == 18
+    # re-crawl against what was already ingested -> nothing new
+    again = engine.ingest_channel(
+        FakeTubeTransport(videos_per_channel=6, lines_per_video=3),
+        "UCfacade",
+        transport_factory=lambda: FakeTubeTransport(
+            videos_per_channel=6, lines_per_video=3),
+        existing_segments=first.select("vid_id", "start"))
+    assert again.count() == 0

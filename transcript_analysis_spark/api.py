@@ -135,8 +135,44 @@ class TranscriptEngine:
     def quality(self) -> DataFrame:
         return self._q("text_quality_scores")
 
+    def quality_signals(self) -> DataFrame:
+        """Gopher-style repetition fractions + repetitive flag."""
+        return self._q("repetition_signals")
+
+    def classify_quality(self) -> DataFrame:
+        """Hashed-bag-of-words linear keep/drop scores."""
+        return self._q("quality_classifier_scores")
+
+    def corpus_buckets(self) -> DataFrame:
+        """CCNet head/middle/tail terciles per language."""
+        return self._q("ccnet_quality_buckets")
+
     def decontaminate(self) -> DataFrame:
         return self._q("contamination_overlap")
+
+    def prepare_training_data(self) -> DataFrame:
+        """End-to-end dedup -> quality -> lang-gate -> sample plan."""
+        return self._q("training_data_prep")
+
+    # -- ingestion (S5/S6) ------------------------------------------------
+
+    def ingest_channel(self, transport, channel_id: str,
+                       transport_factory=None,
+                       existing_segments: DataFrame | None = None
+                       ) -> DataFrame:
+        """Channel -> new transcript segments: list videos
+        (driver-side pagination), fetch transcripts distributed, and
+        — when existing segments are supplied — keep only rows whose
+        (vid_id, start) is new (idempotent re-crawl). The reference's
+        maintain_database main loop as one declarative pipeline."""
+        from transcript_analysis_spark.sources.ingest import (
+            fetch_transcripts, list_channel_videos, new_segments_only)
+        vids = list_channel_videos(self.spark, transport, channel_id)
+        segs = fetch_transcripts(
+            vids, transport_factory or (lambda: transport))
+        if existing_segments is not None:
+            segs = new_segments_only(segs, existing_segments)
+        return segs
 
     # -- serving / SQL ----------------------------------------------------
 
