@@ -65,3 +65,18 @@ def test_events_dedup_first_golden(spark):
     n, d = _fingerprint(_q(spark, "events_dedup_first"))
     assert (n, d) == (5, "5aabb1b545ae9781"), (
         f"events dedup drifted: ({n}, {d!r})")
+
+
+def test_quality_signal_family_golden(spark):
+    expected = {
+        "repetition_signals": (500, "392fb50835144343"),
+        "quality_classifier_scores": (500, "03144e73d79ee9f0"),
+        "ccnet_quality_buckets": (15, "f66f38778d140038"),
+        "crossdoc_shingle_dup_rate": (500, "26f5d30756ff8b6f"),
+        "training_data_prep": (258, "a546b026825c971b"),
+    }
+    for name, want in expected.items():
+        n, d = _fingerprint(_q(spark, name))
+        assert (n, d) == want, (
+            f"{name} drifted: ({n}, {d!r}) — if intentional, update "
+            f"via tests/test_golden_outputs.py::_fingerprint")

@@ -149,3 +149,61 @@ def test_arpa_roundtrip_preserves_logprobs(corpus, tmp_path_factory):
     got = {(r["ngram_key"], r["ngram_order"]): r["logprob"] for r in tbl}
     exp = {(" ".join(g), len(g)): lp for g, lp in model.logprobs.items()}
     assert got == exp
+
+
+# --- ingest primitives (pure Python, no Spark needed) -------------------
+
+cue_text_strategy = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                           whitelist_characters=" ,.!?'"),
+    min_size=1, max_size=60).filter(
+        lambda s: s.strip() and "-->" not in s
+        and not s.strip().isdigit()
+        and not s.strip().startswith(("WEBVTT", "Kind:")))
+
+
+@settings(max_examples=50, deadline=None)
+@given(cues=st.lists(
+    st.tuples(cue_text_strategy,
+              st.integers(min_value=0, max_value=9_000_000),   # start ms
+              st.integers(min_value=1, max_value=600_000)),    # duration ms
+    min_size=1, max_size=20))
+def test_vtt_render_parse_roundtrip(cues):
+    """Any cue list survives render -> parse with text exact and
+    timings to the millisecond (the parser is the reference's own
+    fallback grammar — a lossy parse would silently corrupt every
+    fallback transcript)."""
+    from transcript_analysis_spark.sources.ingest import parse_vtt_text
+
+    def ts(ms: int) -> str:
+        h, rem = divmod(ms, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        return f"{h:02d}:{m:02d}:{rem / 1000:06.3f}"
+
+    lines = ["WEBVTT", "Kind: captions", ""]
+    expected = []
+    for n, (text, start_ms, dur_ms) in enumerate(cues, 1):
+        lines += [str(n), f"{ts(start_ms)} --> {ts(start_ms + dur_ms)}",
+                  text, ""]
+        expected.append((" ".join(text.split()),
+                         start_ms / 1000, dur_ms / 1000))
+    parsed = parse_vtt_text("\n".join(lines))
+    assert len(parsed) == len(expected)
+    for (pt, ps, pdur), (et, es, ed) in zip(parsed, expected):
+        # parser joins multi-line cue text with single spaces
+        assert pt == " ".join(et.split())
+        assert abs(ps - es) < 1e-6
+        assert abs(pdur - ed) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_format_segment_text_contracts(s):
+    """Normalization invariants on arbitrary input: idempotent,
+    lowercase, never leaves punctuation, word_count consistent."""
+    from transcript_analysis_spark.sources.ingest import format_segment_text
+    t, wc = format_segment_text(s)
+    t2, wc2 = format_segment_text(t)
+    assert (t2, wc2) == (t, wc)            # idempotent
+    assert t == t.lower()
+    assert wc == len(t.split())

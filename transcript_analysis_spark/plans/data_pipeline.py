@@ -1421,6 +1421,7 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0
       AND doc_id % 10 < 8
     """,
+    headline=True,
     tags=("pipeline", "dedup", "quality", "langid", "tokens", "sample"),
 )
 def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1603,6 +1604,7 @@ def _duck_word_weight_sum() -> str:
            CAST(w_sum > 0 AS INT) AS keep
     FROM m
     """,
+    headline=True,
     tags=("quality", "classifier"),
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
