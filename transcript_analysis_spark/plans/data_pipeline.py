@@ -1722,3 +1722,145 @@ def crossdoc_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "doc_id", "n_shingles", "n_shared",
         spark_round_ratio("n_shared", "n_shingles", 6).alias("dup_rate"))
+
+
+
+
+@register(
+    "pq_topk_adc",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    seeds AS (
+      SELECT vec_id AS code, v AS sv FROM emb ORDER BY vec_id LIMIT 4
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    cb AS (
+      SELECT s, code, sv[8*s+1 : 8*s+8] AS c
+      FROM seeds CROSS JOIN subs
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    dqt AS (
+      SELECT s, code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 8),
+                 t -> (qv[8*s+t] - c[t]) * (qv[8*s+t] - c[t]))),
+               (acc, x) -> acc + x) AS dq
+      FROM cb CROSS JOIN q
+    ),
+    a AS (
+      SELECT e.vec_id, e.label, cb.s, cb.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 8),
+                 t -> (e.v[8*cb.s+t] - cb.c[t]) * (e.v[8*cb.s+t] - cb.c[t]))),
+               (acc, x) -> acc + x) AS dv
+      FROM emb e CROSS JOIN cb WHERE e.vec_id <> 0
+    ),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, s ORDER BY dv, code) AS rn
+      FROM a
+    ),
+    j AS (
+      SELECT w.vec_id, w.label, w.s, d.dq
+      FROM win w JOIN dqt d ON w.s = d.s AND w.code = d.code
+      WHERE w.rn = 1
+    ),
+    per AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN s = 0 THEN dq END) AS d0,
+             MAX(CASE WHEN s = 1 THEN dq END) AS d1,
+             MAX(CASE WHEN s = 2 THEN dq END) AS d2,
+             MAX(CASE WHEN s = 3 THEN dq END) AS d3,
+             MAX(CASE WHEN s = 4 THEN dq END) AS d4,
+             MAX(CASE WHEN s = 5 THEN dq END) AS d5,
+             MAX(CASE WHEN s = 6 THEN dq END) AS d6,
+             MAX(CASE WHEN s = 7 THEN dq END) AS d7
+      FROM j GROUP BY vec_id, label
+    ),
+    shortlist AS (
+      SELECT vec_id, label,
+             ROUND(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6) AS approx_dist
+      FROM per
+      ORDER BY ROUND(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6), vec_id
+      LIMIT 100
+    )
+    SELECT s.vec_id, s.label, s.approx_dist,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, CAST(len(e.v) AS BIGINT)),
+               d -> (e.v[d] - q.qv[d]) * (e.v[d] - q.qv[d]))),
+             (acc, x) -> acc + x), 6) AS exact_dist
+    FROM shortlist s
+    JOIN emb e ON e.vec_id = s.vec_id
+    CROSS JOIN q
+    ORDER BY exact_dist, s.vec_id LIMIT 10
+    """,
+    tags=("similarity", "pq", "X15"),
+)
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with re-ranking (Jegou et al. 2011):
+    split the 64-dim vector into 8 subspaces of 8 dims, assign each
+    sub-vector to its nearest codebook centroid, shortlist the top-100
+    by ASYMMETRIC DISTANCE (query-to-centroid lookup table summed over
+    the data vector's codes), then re-rank the shortlist by exact L2 —
+    the production PQ pipeline, and the third classic ANN family next
+    to IVF (`ivf_topk_probe`) and LSH (`embedding_rp_lsh_buckets`,
+    MLlib). The codebook is a deterministic seed (sub-vectors of the 4
+    lowest-id vectors) so both engines derive identical codes — a
+    trained k-means codebook is an offline swap that changes no plan
+    shape. Recall@10 vs brute force is pinned in tests/test_ann.py
+    (0.7 on this corpus; raw un-reranked ADC order is ~0.1 on these
+    near-uniform vectors, which is exactly why production PQ re-ranks
+    a shortlist). Argmin ties break on code id; every distance is a
+    left-fold in dimension index order and the total is an explicit
+    d0+..+d7 chain, so the doubles match DuckDB bit-for-bit.
+
+    Plan shape at 100 TB: the 32-row codebook and 32-entry
+    query-distance table broadcast; encoding is a bounded x32 row
+    blow-up collapsed by a per-(vector, subspace) argmin (window
+    partitioned on the vector — embarrassingly parallel); the ADC
+    shortlist is TakeOrderedAndProject over code-table lookups (at
+    real scale: over stored 8-byte codes — a 32x-compressed scan that
+    never touches the vectors); only the 100-row shortlist pays full
+    vector reads for the exact re-rank."""
+    from pyspark.sql.window import Window
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    seeds = (e.orderBy("vec_id").limit(4)
+             .select(F.col("vec_id").alias("code"), F.col("v").alias("sv")))
+    subs = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    cb = (seeds.crossJoin(F.broadcast(subs))
+          .select("s", "code", F.expr("slice(sv, 8*s+1, 8)").alias("c")))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def subdist(vec: str) -> str:
+        return (f"aggregate(zip_with(slice({vec}, 8*s+1, 8), c,"
+                f" (x, y) -> (x - y) * (x - y)),"
+                f" 0D, (acc, t) -> acc + t)")
+
+    dqt = (cb.crossJoin(F.broadcast(q))
+           .select("s", "code", F.expr(subdist("qv")).alias("dq")))
+    a = (e.filter(F.col("vec_id") != 0)
+         .crossJoin(F.broadcast(cb))
+         .select("vec_id", "label", "s", "code",
+                 F.expr(subdist("v")).alias("dv")))
+    w = Window.partitionBy("vec_id", "s").orderBy("dv", "code")
+    win = (a.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1))
+    j = win.join(F.broadcast(dqt), ["s", "code"])
+    per = j.groupBy("vec_id", "label").agg(
+        *[F.max(F.when(F.col("s") == i, F.col("dq"))).alias(f"d{i}")
+          for i in range(8)])
+    total = (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
+             + F.col("d4") + F.col("d5") + F.col("d6") + F.col("d7"))
+    shortlist = (per.select("vec_id", "label",
+                            F.round(total, 6).alias("approx_dist"))
+                 .orderBy("approx_dist", "vec_id").limit(100))
+    exact = ("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+             " 0D, (acc, t) -> acc + t)")
+    return (shortlist
+            .join(e.select("vec_id", "v"), "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "label", "approx_dist",
+                    F.round(F.expr(exact), 6).alias("exact_dist"))
+            .orderBy("exact_dist", "vec_id").limit(10))
