@@ -44,7 +44,7 @@ def normalize_cell(v):
     return v
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def compare(name, spark_df, duck_rows, duck_cols, duck_pdf=None):
     spark_cols = sorted(spark_df.columns)
     dcols = sorted(duck_cols)
     if spark_cols != dcols:
@@ -69,6 +69,24 @@ def compare(name, spark_df, duck_rows, duck_cols):
     drows = [tuple(normalize_cell(r[i]) for i in d_idx) for r in duck_rows]
     if len(srows) != len(drows):
         return False, f"row counts differ: spark={len(srows)} duck={len(drows)}"
+
+    # Driver-harness fidelity: it canonicalizes both sides through
+    # pandas and hashes the values, so a numerically-equal column that
+    # differs in pandas *dtype kind* (e.g. DuckDB windowed SUM(INT) ->
+    # HUGEINT -> float64 vs Spark BIGINT -> int64) hash-mismatches even
+    # though 3 == 3.0 in the fetchall() compare below. fetchall() hides
+    # this (HUGEINT comes back as python int), so compare the pandas
+    # frames' dtype kinds directly.
+    if duck_pdf is not None:
+        s_pdf = spark_df.toPandas()
+        num = {"i": "int", "u": "int", "f": "float"}
+        for c in spark_cols:
+            ks = s_pdf[c].dtype.kind
+            kd = duck_pdf[c].dtype.kind
+            if num.get(ks, ks) != num.get(kd, kd) and {ks, kd} <= set("iuf"):
+                return False, (f"column {c} pandas dtype skew: "
+                               f"spark={s_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+                               f" (driver pandas-hash would mismatch)")
 
     key = lambda row: tuple((x is None, str(type(x)), str(x)) for x in row)
     srows.sort(key=key)
@@ -122,12 +140,13 @@ def main():
             res = con.execute(q.oracle)
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            duck_pdf = con.execute(q.oracle).df()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         try:
-            ok, msg = compare(name, df, duck_rows, duck_cols)
+            ok, msg = compare(name, df, duck_rows, duck_cols, duck_pdf)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"compare error: {e}"
         status = "PASS" if ok else "FAIL"

@@ -105,9 +105,13 @@ def sliding_10min_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, value, sec,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             -- CAST: DuckDB SUM(INTEGER) yields HUGEINT, which pandas
+             -- canonicalizes to float64; Spark's sum is BIGINT. The
+             -- driver hashes through pandas, so dtypes must agree.
+             CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY sec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
