@@ -1,0 +1,150 @@
+"""Scale-path operators (plans/scale_ops.py): invariants and plan
+gates for the bloom prefilter, sequence packing, winsorization, and
+Z-order locality. Value-level correctness is oracle-checked by
+tools/check_correctness.py; these tests pin the properties the oracle
+comparison cannot see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(spark, name):
+    from transcript_analysis_spark.plans import all_queries
+    return all_queries()[name].fn(spark, SF_DIR)
+
+
+# --- bloom prefilter -----------------------------------------------------
+
+def test_bloom_never_misses_a_true_positive(spark):
+    """A bloom filter has false positives but NO false negatives: the
+    exact overlap must be identical to the unfiltered contamination
+    query's, and candidates must cover every overlap."""
+    bloom = _q(spark, "bloom_prefilter_contamination").collect()
+    exact = {r["doc_id"]: r["n_overlap"]
+             for r in _q(spark, "contamination_overlap").collect()}
+    assert len(bloom) > 0
+    for r in bloom:
+        assert r["n_overlap"] == exact[r["doc_id"]]
+        assert r["n_candidates"] >= r["n_overlap"]
+        assert r["n_false_positives"] == r["n_candidates"] - r["n_overlap"]
+        assert 0 <= r["n_candidates"] <= r["n_shingles"]
+
+
+def test_bloom_prefilter_is_selective(spark):
+    """The point of the prefilter: at the filter's design load the FP
+    rate is tiny, so candidates ~= true overlaps, not ~= shingles."""
+    agg = (_q(spark, "bloom_prefilter_contamination")
+           .agg(F.sum("n_shingles").alias("s"),
+                F.sum("n_candidates").alias("c"),
+                F.sum("n_false_positives").alias("fp")).collect()[0])
+    # false positives must be a small fraction of probed shingles
+    assert agg["fp"] <= max(2, agg["s"] // 100)
+
+
+def test_bloom_plan_broadcasts_bitmap_no_cartesian(spark):
+    plan = plan_of(_q(spark, "bloom_prefilter_contamination"))
+    assert "CartesianProduct" not in plan
+    # the single-row bitmap joins via broadcast nested loop (1 row)
+    assert "BroadcastNestedLoopJoin" in plan
+    # probe-side bit math is JVM expression work, not Python
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+# --- sequence packing ----------------------------------------------------
+
+def test_sequence_packing_budget_and_contiguity(spark):
+    from transcript_analysis_spark.plans.scale_ops import PACK_BUDGET_TOKENS
+    rows = _q(spark, "sequence_packing").collect()
+    assert len(rows) > 0
+    by_seq: dict[tuple, list] = {}
+    for r in rows:
+        by_seq.setdefault((r["lang"], r["seq_no"]), []).append(r)
+    for (_lang, _seq), docs in by_seq.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        total = sum(r["n_tokens"] for r in docs)
+        # a sequence holds >1 doc only within budget; an oversized
+        # single doc may exceed it alone
+        if len(docs) > 1:
+            assert total <= PACK_BUDGET_TOKENS
+        # offsets are the running sum of earlier docs in the sequence
+        run = 0
+        for r in docs:
+            assert r["seq_offset"] == run
+            run += r["n_tokens"]
+
+
+def test_sequence_packing_is_greedy_next_fit(spark):
+    """First doc that would overflow the budget must START the next
+    sequence — no doc is skipped or reordered (doc_id order within
+    lang is the packing order)."""
+    from transcript_analysis_spark.plans.scale_ops import PACK_BUDGET_TOKENS
+    rows = sorted(_q(spark, "sequence_packing").collect(),
+                  key=lambda r: (r["lang"], r["doc_id"]))
+    prev = {}
+    for r in rows:
+        if r["lang"] in prev:
+            p = prev[r["lang"]]
+            assert r["seq_no"] in (p["seq_no"], p["seq_no"] + 1)
+            if r["seq_no"] == p["seq_no"]:
+                fill = p["seq_offset"] + p["n_tokens"]
+                assert fill == 0 or fill + r["n_tokens"] <= PACK_BUDGET_TOKENS
+            else:
+                assert r["seq_offset"] == 0
+        else:
+            assert r["seq_no"] == 0 and r["seq_offset"] == 0
+        prev[r["lang"]] = r
+
+
+# --- winsorized stats ----------------------------------------------------
+
+def test_winsorized_mean_is_clipped_toward_center(spark):
+    rows = _q(spark, "winsorized_order_stats").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["p05"] <= r["p99"]
+        # the winsorized mean lives inside the clip interval
+        assert r["p05"] <= r["mean_winsorized"] <= r["p99"]
+
+
+def test_winsorize_percentiles_broadcast(spark):
+    plan = plan_of(_q(spark, "winsorized_order_stats"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# --- z-order -------------------------------------------------------------
+
+def test_zvalue_round_trips_bit_interleave(spark):
+    """De-interleaving the Morton code recovers both inputs exactly."""
+    from transcript_analysis_spark.plans.scale_ops import spark_zvalue
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 65536).alias("a"),
+        (F.col("id") * 101 % 65536).alias("b"))
+    z = df.withColumn("z", F.expr(spark_zvalue("a", "b")))
+    back = z.select("a", "b", F.expr(
+        "aggregate(sequence(0, 15), cast(0 as bigint),"
+        " (acc, i) -> acc + shiftleft(shiftright(z, 2 * i) & 1, i))").alias("a2"),
+        F.expr(
+        "aggregate(sequence(0, 15), cast(0 as bigint),"
+        " (acc, i) -> acc + shiftleft(shiftright(z, 2 * i + 1) & 1, i))").alias("b2"))
+    bad = back.filter("a != a2 OR b != b2").count()
+    assert bad == 0
+
+
+def test_zcell_spans_bounded(spark):
+    """Every coarse Z-cell covers < 2^8 of each dimension — the
+    property file-level min/max pruning relies on."""
+    rows = _q(spark, "zorder_locality_stats").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["custkey_span"] < 256
+        assert r["day_span"] < 256

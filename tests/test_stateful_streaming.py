@@ -23,12 +23,15 @@ def two_batch_dir(spark, tmp_path_factory):
     late half — the file source delivers them as two micro-batches."""
     d = str(tmp_path_factory.mktemp("two_batches"))
     e = load_table(spark, SF_DIR, "events")
-    cut = e.agg(F.expr("percentile_approx(cast(ts as long), 0.5)")).first()[0]
-    early = e.filter(F.col("ts").cast("long") <= cut)
-    late = e.filter(F.col("ts").cast("long") > cut)
+    # unix_timestamp, not cast(ts as long): events.ts surfaces as
+    # TIMESTAMP_NTZ (parquet nanos), which Spark refuses to cast to a
+    # number; unix_timestamp reads it in the UTC session timezone.
+    cut = e.agg(F.expr("percentile_approx(unix_timestamp(ts), 0.5)")).first()[0]
+    early = e.filter(F.unix_timestamp("ts") <= cut)
+    late = e.filter(F.unix_timestamp("ts") > cut)
     # raw long-nanos form so EVENTS_RAW_SCHEMA matches
     for i, part in enumerate([early, late]):
-        (part.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+        (part.withColumn("ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
          .coalesce(1).write.parquet(f"{d}/stage{i}"))
         f = [x for x in os.listdir(f"{d}/stage{i}") if x.endswith(".parquet")][0]
         os.rename(f"{d}/stage{i}/{f}", f"{d}/batch{i}.parquet")
@@ -67,13 +70,14 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     d = str(tmp_path / "late")
     os.makedirs(d)
     e = load_table(spark, SF_DIR, "events")
-    # cast(ts as long) = epoch SECONDS in Spark
-    mx = e.agg(F.max(F.col("ts").cast("long"))).first()[0]
-    recent = e.filter(F.col("ts").cast("long") >= mx - 3600 * 2)
-    old = e.filter(F.col("ts").cast("long") < mx - 3600 * 24)
+    # unix_timestamp = epoch seconds (ts is TIMESTAMP_NTZ, which a
+    # numeric cast rejects; UTC session tz makes this exact)
+    mx = e.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    recent = e.filter(F.unix_timestamp("ts") >= mx - 3600 * 2)
+    old = e.filter(F.unix_timestamp("ts") < mx - 3600 * 24)
     assert recent.count() > 0 and old.count() > 0
     for i, part in enumerate([recent, old]):  # NEW data first, OLD second
-        (part.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+        (part.withColumn("ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
          .coalesce(1).write.parquet(f"{d}/s{i}"))
         f = [x for x in os.listdir(f"{d}/s{i}") if x.endswith(".parquet")][0]
         os.rename(f"{d}/s{i}/{f}", f"{d}/b{i}.parquet")

@@ -65,7 +65,7 @@ def build_scaled_dir(spark, base_dir: str, k: int) -> str:
         for p in parts[1:]:
             union = union.unionByName(p)
         if name == "events":
-            union = union.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+            union = union.withColumn("ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
         union.write.mode("overwrite").parquet(dst)
     return out
 

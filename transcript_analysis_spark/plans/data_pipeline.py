@@ -84,11 +84,12 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("text"))
 
 
-def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per document."""
-    d = fanout(_t(spark, sf_dir, "documents"))
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles of a (doc_id, text) frame — shared by
+    the batch dedup queries and the incremental streaming form
+    (streaming/neardup.py)."""
     return (
-        d.select("doc_id", F.split("text", " ").alias("words"))
+        docs.select("doc_id", F.split("text", " ").alias("words"))
         # Guard: sequence(1, 0) yields DESCENDING [1, 0] in Spark, and
         # slice(words, 0, 3) then throws — docs under 3 words must
         # short-circuit to an empty shingle set (the DuckDB oracle's
@@ -100,6 +101,30 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE array() END")).alias("shingle"))
         .distinct()
     )
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per corpus document."""
+    return shingles_of(fanout(_t(spark, sf_dir, "documents")))
+
+
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band table of a (doc_id, text) frame:
+    shingle -> portable char hash -> 8 permutation-mins -> 4 bands x 2
+    rows. One hash-aggregate then a per-row band explode — the exact
+    banding of `minhash_lsh_candidate_pairs`, factored out so the
+    streaming incremental form appends to the same band space."""
+    hashed = shingles_of(docs).select(
+        "doc_id", F.expr(spark_char_hash("shingle")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(*_minhash_cols())
+    band_structs = ", ".join(
+        f"struct({j} as band, concat(cast(mh{2*j} as string), '_',"
+        f" cast(mh{2*j+1} as string)) as key)"
+        for j in range(4))
+    return (sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key")))
 
 
 _DUCK_SHINGLES = """
@@ -182,17 +207,7 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: 4 bands x 2 rows; docs sharing any band
     signature become candidate near-dup pairs. The band-key self-join
     is the scale path: candidates ~ O(collisions), never O(n^2)."""
-    sh = _spark_shingles(spark, sf_dir)
-    hashed = sh.select("doc_id",
-                       F.expr(spark_char_hash("shingle")).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(*_minhash_cols())
-    band_structs = ", ".join(
-        f"struct({j} as band, concat(cast(mh{2*j} as string), '_',"
-        f" cast(mh{2*j+1} as string)) as key)"
-        for j in range(4))
-    bands = sig.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = minhash_band_keys(fanout(_t(spark, sf_dir, "documents")))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

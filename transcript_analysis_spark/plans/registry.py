@@ -64,6 +64,7 @@ def _load_all() -> None:
         domain,
         data_pipeline,
         streaming_batch,
+        scale_ops,
     )
 
 
@@ -76,6 +77,11 @@ def _load_all() -> None:
 # rotate to the back. Within each tier, registration (file) order is
 # kept for determinism.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # new in round 5 (no harness row yet)
+    "bloom_prefilter_contamination",
+    "sequence_packing",
+    "winsorized_order_stats",
+    "zorder_locality_stats",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -1,0 +1,374 @@
+"""Scale-path operators: bloom-prefiltered decontamination, training
+sequence packing, winsorized robust statistics, and Z-order locality.
+
+These are the operations that change shape at 100 TB. Each one keeps
+the portable-hash discipline of plans/data_pipeline.py — every hash or
+bit trick is exact int64 arithmetic that Spark and DuckDB reproduce
+bit-for-bit, so even the bloom filter's FALSE POSITIVES are
+deterministic and oracle-checked.
+
+Scale notes, per operator:
+
+- ``bloom_prefilter_contamination``: the 100 TB decontamination
+  pattern. The train-side shingle set is distilled into a 256 KB bit
+  array (one aggregation), broadcast to every probe task, and the
+  expensive shingle equi-join runs ONLY on bloom-positive shingles —
+  the big eval side is never shuffled for shingles the filter rejects.
+  A real cluster sizes m to the train-set cardinality; the FP rate
+  here is plan-visible output (`n_false_positives`), not a hidden
+  approximation.
+- ``sequence_packing``: pretraining batch assembly (greedy next-fit
+  document packing into fixed token-budget sequences). Sequential per
+  stratum by construction — parallel ACROSS strata via grouped-map
+  pandas; at 100 TB you sub-shard each language by doc_id range and
+  pack shards independently (the budget invariant is shard-local).
+- ``winsorized_order_stats``: robust aggregation via exact per-group
+  percentile clipping. Exact percentile implies a per-group sort; the
+  documented swap at scale is `approx_percentile` (t-digest), same
+  plan shape, no sort.
+- ``zorder_locality_stats``: the bit math behind Z-ordered (Morton
+  curve) data layout. `sources/layout.py:zorder_write` uses the same
+  expression to range-partition writes so file min/max stats prune on
+  BOTH dimensions; this query makes the locality measurable (per
+  Z-cell dimension spans are bounded by the cell size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.plans.data_pipeline import (
+    EVAL_SOURCES,
+    MOD,
+    _DUCK_SHINGLES,
+    _spark_shingles,
+    _t,
+    duck_char_hash,
+    spark_char_hash,
+)
+from transcript_analysis_spark.plans.registry import register
+
+# --- deterministic bloom filter parameters -------------------------------
+# m = 2^21 bits stored as 65,536 32-bit words (in BIGINT lanes: no sign
+# games, both engines agree on every shift). k = 4 hash functions
+# derived from one polynomial char hash h: ((a*h + b) % MOD) % m.
+# a*h < 11 * (1e9+7) — comfortably inside int64.
+BLOOM_M_BITS = 1 << 21
+BLOOM_WORD_BITS = 32
+BLOOM_K_AB = ((3, 1), (5, 2), (7, 3), (11, 5))
+
+
+def _spark_bloom_positions(h_col: str) -> list[str]:
+    return [f"(({a} * {h_col} + {b}) % {MOD}) % {BLOOM_M_BITS}"
+            for a, b in BLOOM_K_AB]
+
+
+@register(
+    "bloom_prefilter_contamination",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    split AS (SELECT doc_id, source FROM documents),
+    train_set AS (
+      SELECT DISTINCT s.shingle
+      FROM shingles s JOIN split d ON d.doc_id = s.doc_id
+      WHERE d.source NOT IN {EVAL_SOURCES!r}
+    ),
+    trh AS (SELECT {duck_char_hash('shingle')} AS h FROM train_set),
+    tpos AS (
+      SELECT ((p.a * trh.h + p.b) % {MOD}) % {BLOOM_M_BITS} AS pos
+      FROM trh CROSS JOIN (VALUES {", ".join(f"({a}, {b})" for a, b in BLOOM_K_AB)}) p(a, b)
+    ),
+    bwords AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS w,
+             bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+      FROM tpos GROUP BY 1
+    ),
+    ev AS (
+      SELECT s.doc_id, s.shingle, {duck_char_hash('s.shingle')} AS h
+      FROM shingles s JOIN split d ON d.doc_id = s.doc_id
+      WHERE d.source IN {EVAL_SOURCES!r}
+    ),
+    evpos AS (
+      SELECT doc_id, shingle,
+             {", ".join(f"(({a} * h + {b}) % {MOD}) % {BLOOM_M_BITS} AS p{i}"
+                        for i, (a, b) in enumerate(BLOOM_K_AB))}
+      FROM ev
+    ),
+    probe AS (
+      SELECT e.doc_id, e.shingle,
+             ({" AND ".join(
+                 f"(COALESCE(w{i}.bits, 0) &"
+                 f" (1::BIGINT << CAST(e.p{i} % {BLOOM_WORD_BITS} AS INT))) != 0"
+                 for i in range(len(BLOOM_K_AB)))}) AS bloom_hit
+      FROM evpos e
+      {" ".join(f"LEFT JOIN bwords w{i} ON w{i}.w = e.p{i} // {BLOOM_WORD_BITS}"
+                for i in range(len(BLOOM_K_AB)))}
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN p.bloom_hit AND t.shingle IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN p.bloom_hit AND t.shingle IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+    FROM probe p LEFT JOIN train_set t ON t.shingle = p.shingle
+    GROUP BY p.doc_id
+    """,
+    headline=True,
+    tags=("decontamination", "bloom", "scale"),
+)
+def bloom_prefilter_contamination(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Decontamination with a broadcast bloom prefilter — the shape
+    that survives 100 TB. Builds a 2^21-bit bloom filter over the
+    train split's distinct shingles (ONE aggregation into 65,536
+    32-bit words, materialized as a single-row map and broadcast),
+    probes every eval shingle with per-row JVM bit math (zero shuffle
+    on the probe side), and runs the exact shingle equi-join ONLY on
+    bloom-positive shingles. Because the filter's hash functions are
+    the same exact int64 polynomial math in both engines, the oracle
+    reproduces the identical bit array — `n_false_positives` is
+    checked exactly, not bounded.
+
+    Contrast with `contamination_overlap` (plans/data_pipeline.py),
+    which joins ALL eval shingles against the train set: same
+    `n_overlap`, but the join input here is ~`n_candidates` instead of
+    `n_shingles` — at real scale that's the difference between
+    shuffling the corpus and shuffling a rounding error of it."""
+    sh = _spark_shingles(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+
+    train = (sh.join(src.filter(~is_eval), "doc_id")
+             .select("shingle").distinct())
+    trh = train.select(F.expr(spark_char_hash("shingle")).alias("h"))
+    pos = trh.select(F.explode(F.array(
+        *[F.expr(p) for p in _spark_bloom_positions("h")])).alias("pos"))
+    bwords = (pos.groupBy(F.expr(f"pos div {BLOOM_WORD_BITS}").alias("w"))
+              .agg(F.expr(
+                  f"bit_or(shiftleft(cast(1 as bigint),"
+                  f" cast(pos % {BLOOM_WORD_BITS} as int)))").alias("bits")))
+    bitmap = bwords.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("bm"))
+
+    ev = (sh.join(src.filter(is_eval), "doc_id")
+          .withColumn("h", F.expr(spark_char_hash("shingle"))))
+    probe = ev.join(F.broadcast(bitmap))
+    hit = None
+    for p in _spark_bloom_positions("h"):
+        one = F.expr(
+            f"(coalesce(element_at(bm, ({p}) div {BLOOM_WORD_BITS}), 0)"
+            f" & shiftleft(cast(1 as bigint),"
+            f" cast(({p}) % {BLOOM_WORD_BITS} as int))) != 0")
+        hit = one if hit is None else (hit & one)
+    probe = probe.select("doc_id", "shingle", hit.alias("bloom_hit"))
+
+    verified = (probe.filter("bloom_hit")
+                .join(train.withColumn("in_train", F.lit(1)),
+                      "shingle", "left"))
+    counts_all = (probe.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_shingles"),
+                       F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                        .cast("long").alias("n_candidates")))
+    counts_hit = (verified.groupBy("doc_id")
+                  .agg(F.sum(F.coalesce(F.col("in_train"), F.lit(0)))
+                        .cast("long").alias("n_overlap")))
+    return (counts_all.join(counts_hit, "doc_id", "left")
+            .select("doc_id", "n_shingles", "n_candidates",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    (F.col("n_candidates")
+                     - F.coalesce("n_overlap", F.lit(0))).cast("long")
+                     .alias("n_false_positives")))
+
+
+# --- sequence packing ----------------------------------------------------
+
+PACK_BUDGET_TOKENS = 120
+
+_PACK_SCHEMA = ("lang string, doc_id long, n_tokens long, "
+                "seq_no long, seq_offset long")
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT lang, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_no,
+             CAST(0 AS BIGINT) AS seq_offset,
+             n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET_TOKENS}
+                  THEN w.seq_no + 1 ELSE w.seq_no END,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET_TOKENS}
+                  THEN CAST(0 AS BIGINT) ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET_TOKENS}
+                  THEN d.n_tokens ELSE w.fill + d.n_tokens END
+      FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, seq_no, seq_offset FROM walk
+    """,
+    tags=("packing", "training-prep", "scale"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing: walk each language stratum in
+    doc_id order, appending documents to the current training sequence
+    until the {PACK_BUDGET_TOKENS}-token budget would overflow, then
+    start a new sequence (an oversized document gets a sequence of its
+    own). Emits per-document (seq_no, seq_offset) — the assembly step
+    that turns a filtered corpus into fixed-length pretraining rows.
+
+    Packing is inherently sequential WITHIN a stream, so it runs as
+    grouped-map pandas per stratum — the same legitimate-sequential
+    pattern as the token chunker (operators/chunking.py). Strata pack
+    in parallel; at 100 TB, sub-shard each language by doc_id range
+    and pack shards independently (the budget invariant is local to a
+    shard; only seq_no numbering is shard-relative). The DuckDB oracle
+    is a recursive CTE replaying the identical walk."""
+    import pandas as pd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("lang", "doc_id",
+                    F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens")))
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > PACK_BUDGET_TOKENS:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += t
+        pdf["seq_no"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[["lang", "doc_id", "n_tokens", "seq_no", "seq_offset"]]
+
+    return docs.groupBy("lang").applyInPandas(pack, _PACK_SCHEMA)
+
+
+# --- winsorized robust statistics ----------------------------------------
+
+@register(
+    "winsorized_order_stats",
+    oracle="""
+    WITH pct AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(MIN(p.p05), 2) AS p05,
+           ROUND(MIN(p.p99), 2) AS p99,
+           ROUND(AVG(o.o_totalprice), 2) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, p.p05), p.p99)), 2)
+             AS mean_winsorized
+    FROM orders o JOIN pct p ON p.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("robust-stats", "A10"),
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) group statistics: exact p05/p99
+    per priority, values clipped into [p05, p99], then the robust mean
+    next to the raw mean — outlier-resistant aggregates for score
+    columns whose tails are garbage. Two passes: a per-group exact
+    percentile (Spark `percentile`, linear interpolation — the same
+    contract as DuckDB `quantile_cont`), broadcast back, clip, and
+    re-aggregate. At 100 TB swap `percentile` for `approx_percentile`
+    (t-digest sketch, no per-group sort) — the plan shape is
+    unchanged."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    pcts = (o.groupBy("o_orderpriority")
+            .agg(F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+                 F.expr("percentile(o_totalprice, 0.99)").alias("p99")))
+    clipped = F.expr("least(greatest(o_totalprice, p05), p99)")
+    return (o.join(F.broadcast(pcts), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.min("p05"), 2).alias("p05"),
+                 F.round(F.min("p99"), 2).alias("p99"),
+                 F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+                 F.round(F.avg(clipped), 2).alias("mean_winsorized")))
+
+
+# --- Z-order (Morton) locality -------------------------------------------
+
+Z_EPOCH = "1995-01-01"
+Z_CELL_SHIFT = 16   # bucket = z >> 16: bounds each dim span at 2^8
+
+
+def spark_zvalue(a: str, b: str) -> str:
+    """Interleave the low 16 bits of two non-negative int expressions
+    into a 32-bit Morton code (a -> even bits, b -> odd bits). Exact
+    int64 arithmetic, reproduced verbatim by :func:`duck_zvalue`."""
+    return (f"aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> "
+            f"acc + shiftleft(shiftright(cast(({a}) as bigint), i) & 1, 2 * i)"
+            f" + shiftleft(shiftright(cast(({b}) as bigint), i) & 1, 2 * i + 1))")
+
+
+def duck_zvalue(a: str, b: str) -> str:
+    # Fully parenthesized: DuckDB (like Postgres) gives <<, >>, &, |
+    # one shared left-associative precedence tier, so an unbracketed
+    # `x << i | y << j` chains as `((x << i) | y) << j`.
+    return (f"CAST(list_sum(list_transform(range(0, 16), i -> "
+            f"((((CAST(({a}) AS BIGINT) >> i) & 1) << (2 * i))"
+            f" | ((((CAST(({b}) AS BIGINT) >> i) & 1)) << (2 * i + 1)))))"
+            f" AS BIGINT)")
+
+
+_Z_A = "o_custkey % 65536"
+_Z_B_SPARK = f"datediff(o_orderdate, '{Z_EPOCH}') % 65536"
+_Z_B_DUCK = f"datediff('day', TIMESTAMP '{Z_EPOCH}', o_orderdate) % 65536"
+
+
+@register(
+    "zorder_locality_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST({_Z_A} AS BIGINT) AS ck,
+             CAST({_Z_B_DUCK} AS BIGINT) AS dd,
+             {duck_zvalue(_Z_A, _Z_B_DUCK)} AS zval
+      FROM orders
+    )
+    SELECT zval >> {Z_CELL_SHIFT} AS z_cell,
+           COUNT(*) AS n_orders,
+           MAX(ck) - MIN(ck) AS custkey_span,
+           MAX(dd) - MIN(dd) AS day_span
+    FROM z GROUP BY 1
+    """,
+    tags=("layout", "zorder", "scale"),
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality, made measurable: Morton-interleave
+    (customer key, order day) into a 32-bit Z-value and aggregate per
+    coarse Z-cell. Every cell's span in BOTH dimensions is bounded by
+    the cell's bit budget (< 2^11 here) — the property that makes
+    Z-ordered parquet files prunable by min/max stats on either
+    dimension. `sources/layout.py:zorder_write` uses this same
+    expression to range-partition writes; tests/test_layout.py proves
+    the per-file span shrinkage against a round-robin layout."""
+    o = _t(spark, sf_dir, "orders")
+    z = o.select(
+        F.expr(_Z_A).cast("long").alias("ck"),
+        F.expr(_Z_B_SPARK).cast("long").alias("dd"),
+        F.expr(spark_zvalue(_Z_A, _Z_B_SPARK)).alias("zval"))
+    return (z.groupBy(F.expr(f"zval >> {Z_CELL_SHIFT}").alias("z_cell"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.max("ck") - F.min("ck")).alias("custkey_span"),
+                 (F.max("dd") - F.min("dd")).alias("day_span")))

@@ -26,9 +26,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     the driver's verify harness may run queries under its own
     SparkSession (not session.py's):
 
-    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which
-      Spark cannot read natively — without this flag the scan throws
-      PARQUET_TYPE_ILLEGAL.
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS). Spark
+      <= 4.0 cannot read that natively (the scan throws
+      PARQUET_TYPE_ILLEGAL without this flag, and with it surfaces
+      LongType nanos, converted below). Spark 4.1+ ignores the flag
+      and reads nanos directly as TIMESTAMP_NTZ (truncated to micros)
+      — callers must treat ts as NTZ: `unix_timestamp(ts)` works,
+      numeric casts like `cast(ts as long)` do NOT.
     - UTC session timezone: date_format/unix_timestamp outputs must
       match the DuckDB oracle's UTC-naive timestamps.
 

@@ -1,0 +1,105 @@
+"""Incremental near-duplicate detection over a document stream.
+
+The batch query (`minhash_lsh_candidate_pairs`) builds the LSH band
+table from the whole corpus; at 100 TB you never rebuild it. New
+documents only need to (1) join their bands against the ACCUMULATED
+band store and (2) append their own bands — every near-dup pair is
+still discovered exactly once, when its LATER document arrives.
+
+foreachBatch carries the accumulation: the band store is plain
+parquet (no driver state, no unbounded state store), the probe join
+is a band-key equi-join bounded by O(collisions), and both writes are
+replay-idempotent —
+
+- candidate pairs land in a ``batch_id=N`` partition via dynamic
+  partition overwrite, so a replayed micro-batch overwrites its own
+  output instead of appending duplicates (the same recovery contract
+  as `windows.foreach_batch_upsert`);
+- band appends are guarded by an anti-join on doc_id, so a replayed
+  batch adds no rows.
+
+Equivalence contract (tested): after streaming a corpus in any batch
+split, the union of emitted pairs equals the batch LSH query's pair
+set on the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from transcript_analysis_spark.plans.data_pipeline import minhash_band_keys
+
+
+def _try_read(spark, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None   # first batch: store not created yet
+
+
+def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
+                          bands_dir: str, pairs_dir: str) -> None:
+    """Process one micro-batch of (doc_id, text) documents: emit new
+    near-dup candidate pairs (earlier doc_id first) and grow the band
+    store. Safe to replay with the same batch_id."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    new_bands = minhash_band_keys(batch_df)
+    store = _try_read(spark, bands_dir)
+    if store is not None:
+        # replay guard: docs already banded contribute nothing new
+        new_bands = new_bands.join(
+            store.select("doc_id").distinct(), "doc_id", "left_anti")
+    new_bands = new_bands.localCheckpoint(eager=True)   # cut the lineage
+    # two pair sources, one contract: emit (min_id, max_id) once.
+    # new-vs-history — the incremental probe...
+    pairs = None
+    if store is not None:
+        pairs = (new_bands.alias("n")
+                 .join(store.alias("s"),
+                       (F.col("n.band") == F.col("s.band"))
+                       & (F.col("n.key") == F.col("s.key")))
+                 .select(F.least("n.doc_id", "s.doc_id").alias("doc_a"),
+                         F.greatest("n.doc_id", "s.doc_id").alias("doc_b")))
+    # ...plus new-vs-new inside this batch
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    selfp = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    pairs = selfp if pairs is None else pairs.unionByName(selfp)
+    out = (pairs.distinct()
+           .withColumn("batch_id", F.lit(int(batch_id))))
+    # dynamic overwrite of THIS batch's partition -> replay-idempotent
+    (out.write.mode("overwrite").partitionBy("batch_id")
+     .parquet(pairs_dir))
+    # bands last: if we crash before this append, the replay recomputes
+    # the same pairs into the same partition (no dup, no loss)
+    new_bands.write.mode("append").parquet(bands_dir)
+
+
+def read_pairs(spark, pairs_dir: str) -> DataFrame:
+    """The emitted candidate-pair store. A batch with zero pairs
+    writes no parquet files (only the partition dir markers), so an
+    early read must degrade to an empty typed frame instead of
+    UNABLE_TO_INFER_SCHEMA."""
+    df = _try_read(spark, pairs_dir)
+    if df is None:
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, batch_id long")
+    return df
+
+
+def neardup_stream(docs_stream: DataFrame, bands_dir: str,
+                   pairs_dir: str, checkpoint_dir: str):
+    """Wire a streaming (doc_id, text) frame into the incremental
+    near-dup maintainer. Returns the started StreamingQuery."""
+    return (docs_stream.writeStream
+            .foreachBatch(lambda df, bid: foreach_batch_neardup(
+                df, bid, bands_dir, pairs_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS) which Spark surfaces as
-# long under spark.sql.legacy.parquet.nanosAsLong (see sources/tables).
+# Raw schema with ts as long nanos — what test fixtures write, and
+# what Spark <= 4.0 surfaced for the corpus's TIMESTAMP(NANOS) column
+# under the legacy nanosAsLong flag. Spark 4.1+ reads that parquet
+# type as TIMESTAMP_NTZ instead, so `events_stream` probes the actual
+# file schema rather than assuming this one.
 EVENTS_RAW_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", LongType()),
@@ -48,18 +51,36 @@ def events_stream(spark: SparkSession, sf_dir: str,
         link = os.path.join(stream_dir, "events.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # A file stream needs a declared schema, and it must match what the
+    # files actually contain: long nanos (fixtures; Spark <= 4.0 corpus
+    # reads) vs TIMESTAMP_NTZ (Spark 4.1+ corpus reads). Probe with a
+    # one-off batch read of the footer, then normalize ts to a proper
+    # event-time timestamp either way.
+    probed = spark.read.parquet(stream_dir).schema
+    stream = (spark.readStream.schema(probed)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stream_dir))
+    if isinstance(probed["ts"].dataType, LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
+
+
+def ensure_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet nanos surface as
+    TIMESTAMP_NTZ on Spark 4.1+ (see sources/tables.py). Normalize the
+    event-time column once at every watermark entry point — a no-op
+    when the caller already holds a proper timestamp."""
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(events.schema[col].dataType, TimestampNTZType):
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
 
 def tumbling_hourly(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming form of plans/streaming_batch.tumbling_hourly_event_stats."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("sum_value"),
@@ -72,7 +93,7 @@ def tumbling_hourly(events: DataFrame, watermark: str = "10 minutes") -> DataFra
 def sliding_10min(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming form of plans/streaming_batch.sliding_10min_event_stats."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("sum_value"))
@@ -87,7 +108,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     stateful operator form of
     plans/streaming_batch.session_windows_per_user."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("sum_value"))
@@ -181,7 +202,7 @@ def user_running_stats(events: "DataFrame", watermark: str = "10 minutes") -> "D
         })
 
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -306,5 +327,5 @@ def deduped_event_stream(events: DataFrame,
     to `foreach_batch_dedup_append`: use this for bounded-lateness
     dup-delivery (at-least-once sources), the foreachBatch form when
     dup detection must span the full table history."""
-    return (events.withWatermark("ts", watermark)
+    return (ensure_event_time(events).withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["event_id"]))
