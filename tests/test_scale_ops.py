@@ -121,6 +121,57 @@ def test_winsorize_percentiles_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# --- vocabulary / encoding -----------------------------------------------
+
+def test_vocab_ids_are_contiguous_by_frequency(spark):
+    rows = sorted(_q(spark, "vocab_token_ids").collect(),
+                  key=lambda r: r["token_id"])
+    assert [r["token_id"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["n_occurrences"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_vocab_ranking_window_is_partitioned(spark):
+    """The ranking window must be partitioned by the count (two-level
+    rank + offset scheme) — never a global single-task ORDER BY."""
+    import re
+    df = _q(spark, "vocab_token_ids")
+    plan = plan_of(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for args in specs:
+        assert "n_occurrences#" in args.split(",")[0], \
+            f"unpartitioned vocab rank: {args}"
+
+
+def test_encoding_never_explodes_the_corpus(spark):
+    """document_token_ids encodes via a broadcast word->id map and a
+    per-row JVM transform: the vocabulary counts are checkpointed (one
+    corpus pass), so the final plan carries NO explode at all — the
+    corpus is split per-row, never exploded/shuffled/regrouped — and
+    no pandas stage exists anywhere."""
+    plan = plan_of(_q(spark, "document_token_ids"))
+    assert "Generate explode" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_encoding_round_trips_through_vocab(spark):
+    """Decoding the id sequence through the vocabulary recovers the
+    original text exactly."""
+    vocab = {r["token_id"]: r["word"]
+             for r in _q(spark, "vocab_token_ids").collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    enc = _q(spark, "document_token_ids").collect()
+    assert len(enc) == len(docs)
+    for r in enc[:50]:
+        decoded = " ".join(vocab[int(t)] for t in r["token_ids"].split(" "))
+        assert decoded == docs[r["doc_id"]]
+
+
 # --- z-order -------------------------------------------------------------
 
 def test_zvalue_round_trips_bit_interleave(spark):

@@ -82,6 +82,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sequence_packing",
     "winsorized_order_stats",
     "zorder_locality_stats",
+    "vocab_token_ids",
+    "document_token_ids",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

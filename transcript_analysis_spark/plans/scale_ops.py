@@ -47,6 +47,7 @@ from transcript_analysis_spark.plans.data_pipeline import (
     duck_char_hash,
     spark_char_hash,
 )
+from transcript_analysis_spark.sources.tables import fanout
 from transcript_analysis_spark.plans.registry import register
 
 # --- deterministic bloom filter parameters -------------------------------
@@ -165,23 +166,28 @@ def bloom_prefilter_contamination(spark: SparkSession,
         hit = one if hit is None else (hit & one)
     probe = probe.select("doc_id", "shingle", hit.alias("bloom_hit"))
 
-    verified = (probe.filter("bloom_hit")
-                .join(train.withColumn("in_train", F.lit(1)),
-                      "shingle", "left"))
-    counts_all = (probe.groupBy("doc_id")
-                  .agg(F.count(F.lit(1)).alias("n_shingles"),
-                       F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
-                        .cast("long").alias("n_candidates")))
-    counts_hit = (verified.groupBy("doc_id")
-                  .agg(F.sum(F.coalesce(F.col("in_train"), F.lit(0)))
-                        .cast("long").alias("n_overlap")))
-    return (counts_all.join(counts_hit, "doc_id", "left")
-            .select("doc_id", "n_shingles", "n_candidates",
-                    F.coalesce("n_overlap", F.lit(0)).cast("long")
-                     .alias("n_overlap"),
-                    (F.col("n_candidates")
-                     - F.coalesce("n_overlap", F.lit(0))).cast("long")
-                     .alias("n_false_positives")))
+    # Single left join + single aggregate (the oracle's own shape):
+    # the equi-key is the shingle, and `bloom_hit` rides along as a
+    # join-side predicate so bloom-negative shingles never match (and
+    # at scale never ship a probe row to the train side). One shuffle
+    # for the join, one for the per-doc rollup — the probe pipeline
+    # runs once, not once per output branch.
+    t = train.withColumn("in_train", F.lit(1)).alias("t")
+    p = probe.alias("p")
+    joined = p.join(
+        t, (F.col("p.shingle") == F.col("t.shingle")) & F.col("p.bloom_hit"),
+        "left")
+    return (joined.groupBy("p.doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("p.bloom_hit"), 1).otherwise(0))
+                  .cast("long").alias("n_candidates"),
+                 F.sum(F.when(F.col("p.bloom_hit")
+                              & F.col("t.in_train").isNotNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_overlap"),
+                 F.sum(F.when(F.col("p.bloom_hit")
+                              & F.col("t.in_train").isNull(), 1)
+                       .otherwise(0)).cast("long")
+                  .alias("n_false_positives")))
 
 
 # --- sequence packing ----------------------------------------------------
@@ -305,6 +311,119 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("p99"), 2).alias("p99"),
                  F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
                  F.round(F.avg(clipped), 2).alias("mean_winsorized")))
+
+
+# --- tokenizer vocabulary + corpus encoding ------------------------------
+
+_DUCK_VOCAB = """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' '))                 AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n_occurrences FROM tok GROUP BY word),
+    vocab AS (
+      SELECT word, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, word)
+               AS token_id
+      FROM counts
+    )
+"""
+
+
+def _spark_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with contiguous token ids, ranked
+    WITHOUT a global single-task window: row_number runs partitioned
+    by the occurrence count (ties ranked by word within a count), and
+    each count-group's global offset (= how many words have a strictly
+    higher count) comes from a non-equi join of the count HISTOGRAM
+    against itself — a frame of O(distinct counts) rows, far smaller
+    than the vocabulary. token_id = offset + rank-within-count equals
+    the oracle's ROW_NUMBER() OVER (ORDER BY n DESC, word) exactly."""
+    from pyspark.sql import Window
+
+    d = fanout(_t(spark, sf_dir, "documents"))
+    counts = (d.select(F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    # Materialize the vocabulary once: three downstream branches
+    # (histogram, offsets, ranking) would otherwise each re-scan and
+    # re-explode the corpus. The checkpoint is vocabulary-sized, so
+    # this trades O(vocab) storage for corpus passes.
+    counts = counts.localCheckpoint(eager=True)
+    hist = (counts.groupBy("n_occurrences")
+            .agg(F.count(F.lit(1)).alias("n_words")))
+    h2 = hist.select(F.col("n_occurrences").alias("n2"),
+                     F.col("n_words").alias("w2"))
+    offsets = (hist.join(F.broadcast(h2), F.col("n2") > F.col("n_occurrences"),
+                         "left")
+               .groupBy("n_occurrences")
+               .agg(F.coalesce(F.sum("w2"), F.lit(0)).alias("offset")))
+    w = Window.partitionBy("n_occurrences").orderBy("word")
+    ranked = counts.withColumn("rank_in", F.row_number().over(w))
+    return (ranked.join(F.broadcast(offsets), "n_occurrences")
+            .select("word", "n_occurrences",
+                    (F.col("offset") + F.col("rank_in")).cast("long")
+                     .alias("token_id")))
+
+
+@register(
+    "vocab_token_ids",
+    oracle=f"""
+    WITH {_DUCK_VOCAB}
+    SELECT word, n_occurrences, token_id FROM vocab
+    """,
+    tags=("tokenization", "training-prep"),
+)
+def vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: every corpus word gets a
+    contiguous id by descending frequency (ties alphabetical) — the
+    id-assignment step of tokenizer training. One hash-aggregate over
+    the corpus; the ranking itself never sees more than the vocabulary
+    (and its single-task exposure is only O(distinct counts) — see
+    `_spark_vocab`)."""
+    return _spark_vocab(spark, sf_dir)
+
+
+@register(
+    "document_token_ids",
+    oracle=f"""
+    WITH {_DUCK_VOCAB},
+    enc AS (
+      SELECT t.doc_id, t.pos, v.token_id
+      FROM tok t JOIN vocab v ON v.word = t.word
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           array_to_string(list(CAST(token_id AS VARCHAR) ORDER BY pos), ' ')
+             AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("tokenization", "training-prep", "scale"),
+)
+def document_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding: each document's text becomes its token-id
+    sequence (space-joined string — the driver harness hashes scalars
+    only). The scale path is the point: the vocabulary is collapsed to
+    a single-row word->id map and broadcast, so encoding is a per-row
+    JVM `transform` over the split words — the corpus is never
+    exploded, shuffled, or regrouped. (A vocabulary too big for one
+    broadcast map falls back to explode + equi-join + ordered regroup,
+    which is what the DuckDB oracle expresses.)"""
+    vm = _spark_vocab(spark, sf_dir).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "token_id")))
+         .alias("vm"))
+    d = fanout(_t(spark, sf_dir, "documents"))
+    enc = d.join(F.broadcast(vm)).select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), w -> element_at(vm, w))")
+         .alias("ids"))
+    return enc.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.expr("concat_ws(' ', transform(ids, i -> cast(i as string)))")
+         .alias("token_ids"))
 
 
 # --- Z-order (Morton) locality -------------------------------------------
