@@ -104,6 +104,61 @@ def test_sequence_packing_is_greedy_next_fit(spark):
         prev[r["lang"]] = r
 
 
+def test_sharded_packing_keeps_budget_and_contiguous_ids(spark):
+    from transcript_analysis_spark.plans.scale_ops import PACK_BUDGET_TOKENS
+    rows = _q(spark, "sequence_packing_sharded").collect()
+    assert len(rows) > 0
+    by_seq: dict[tuple, list] = {}
+    langs: dict[str, set] = {}
+    for r in rows:
+        by_seq.setdefault((r["lang"], r["seq_no"]), []).append(r)
+        langs.setdefault(r["lang"], set()).add(r["seq_no"])
+    for (_l, _s), docs in by_seq.items():
+        if len(docs) > 1:
+            assert sum(r["n_tokens"] for r in docs) <= PACK_BUDGET_TOKENS
+        docs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in docs:
+            assert r["seq_offset"] == run
+            run += r["n_tokens"]
+    # global seq ids are contiguous 0..max per lang (shard offsets add
+    # up exactly)
+    for _l, ids in langs.items():
+        assert ids == set(range(len(ids)))
+
+
+def test_sharded_packing_matches_unsharded_doc_set(spark):
+    """Sharding changes sequence numbering, never membership or token
+    accounting: same docs, same per-doc token counts."""
+    a = {(r["lang"], r["doc_id"]): r["n_tokens"]
+         for r in _q(spark, "sequence_packing").collect()}
+    b = {(r["lang"], r["doc_id"]): r["n_tokens"]
+         for r in _q(spark, "sequence_packing_sharded").collect()}
+    assert a == b
+
+
+# --- BM25 ----------------------------------------------------------------
+
+def test_bm25_scores_are_positive_and_bounded(spark):
+    from transcript_analysis_spark.plans.scale_ops import BM25_TERMS
+    rows = _q(spark, "bm25_scores").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["n_matched"] <= len(BM25_TERMS)
+        assert r["bm25"] > 0
+
+
+def test_bm25_more_matched_terms_scores_higher_on_average(spark):
+    import statistics
+    rows = _q(spark, "bm25_scores").collect()
+    by_matched: dict[int, list] = {}
+    for r in rows:
+        by_matched.setdefault(r["n_matched"], []).append(r["bm25"])
+    means = {k: statistics.mean(v) for k, v in by_matched.items()}
+    ks = sorted(means)
+    assert all(means[a] < means[b] for a, b in zip(ks, ks[1:]))
+
+
 # --- winsorized stats ----------------------------------------------------
 
 def test_winsorized_mean_is_clipped_toward_center(spark):

@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_locality_stats",
     "vocab_token_ids",
     "document_token_ids",
+    "bm25_scores",
+    "sequence_packing_sharded",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -268,6 +268,111 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(pack, _PACK_SCHEMA)
 
 
+PACK_SHARD_SPAN = 256   # doc_id span per packing shard
+
+
+@register(
+    "sequence_packing_sharded",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT lang, doc_id, doc_id // {PACK_SHARD_SPAN} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang, doc_id // {PACK_SHARD_SPAN}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT lang, shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_local,
+             CAST(0 AS BIGINT) AS seq_offset,
+             n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET_TOKENS}
+                  THEN w.seq_local + 1 ELSE w.seq_local END,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET_TOKENS}
+                  THEN CAST(0 AS BIGINT) ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET_TOKENS}
+                  THEN d.n_tokens ELSE w.fill + d.n_tokens END
+      FROM walk w JOIN d ON d.lang = w.lang AND d.shard = w.shard
+                        AND d.rn = w.rn + 1
+    ),
+    pershard AS (
+      SELECT lang, shard, MAX(seq_local) + 1 AS n_seqs
+      FROM walk GROUP BY lang, shard
+    ),
+    off AS (
+      SELECT lang, shard,
+             CAST(COALESCE(SUM(n_seqs) OVER (
+                    PARTITION BY lang ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS shard_offset
+      FROM pershard
+    )
+    SELECT w.lang, w.doc_id, w.n_tokens,
+           CAST(o.shard_offset + w.seq_local AS BIGINT) AS seq_no,
+           w.seq_offset
+    FROM walk w JOIN off o ON o.lang = w.lang AND o.shard = w.shard
+    """,
+    tags=("packing", "training-prep", "scale"),
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `sequence_packing`: each language stratum is
+    sub-sharded by doc_id range ({PACK_SHARD_SPAN} ids per shard) and
+    every (lang, shard) packs independently — parallelism scales with
+    the corpus instead of the language count, and the sequential walk
+    is bounded by the shard size. Global sequence numbers come from a
+    second tiny pass: sequences-per-shard, prefix-summed per language
+    (a PARTITIONED window over O(shards) rows), added to each shard's
+    local numbers. Packing never crosses a shard boundary, so the
+    budget invariant is preserved; only sequence numbering differs
+    from the single-walk form."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("lang", "doc_id",
+                    (F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
+                     .alias("shard"),
+                    F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens")))
+
+    def pack_local(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > PACK_BUDGET_TOKENS:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += t
+        pdf["seq_local"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[["lang", "shard", "doc_id", "n_tokens",
+                    "seq_local", "seq_offset"]]
+
+    packed = docs.groupBy("lang", "shard").applyInPandas(
+        pack_local, "lang string, shard long, doc_id long, "
+                    "n_tokens long, seq_local long, seq_offset long")
+    pershard = (packed.groupBy("lang", "shard")
+                .agg((F.max("seq_local") + 1).alias("n_seqs")))
+    w = (Window.partitionBy("lang").orderBy("shard")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = pershard.select(
+        "lang", "shard",
+        F.coalesce(F.sum("n_seqs").over(w), F.lit(0)).cast("long")
+         .alias("shard_offset"))
+    return (packed.join(F.broadcast(offsets), ["lang", "shard"])
+            .select("lang", "doc_id", "n_tokens",
+                    (F.col("shard_offset") + F.col("seq_local"))
+                     .cast("long").alias("seq_no"),
+                    "seq_offset"))
+
+
 # --- winsorized robust statistics ----------------------------------------
 
 @register(
@@ -424,6 +529,86 @@ def document_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ids").cast("long").alias("n_tokens"),
         F.expr("concat_ws(' ', transform(ids, i -> cast(i as string)))")
          .alias("token_ids"))
+
+
+# --- BM25 ranking --------------------------------------------------------
+
+BM25_TERMS = ("spark", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(words, w -> w = '{t}')) AS BIGINT)"
+                 f" AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+      FROM d
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(dl) AS avgdl,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS df{i}" for i in range(len(BM25_TERMS)))}
+      FROM tf
+    )
+    SELECT t.doc_id,
+           ({" + ".join(f"CASE WHEN t.tf{i} > 0 THEN 1 ELSE 0 END"
+                        for i in range(len(BM25_TERMS)))}) AS n_matched,
+           ROUND({" + ".join(
+               f"(ln(1.0 + (s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+               f" * (t.tf{i} * ({BM25_K1} + 1.0))"
+               f" / (t.tf{i} + {BM25_K1} * (1.0 - {BM25_B}"
+               f" + {BM25_B} * t.dl / s.avgdl)))"
+               for i in range(len(BM25_TERMS)))}, 4) AS bm25
+    FROM tf t CROSS JOIN stats s
+    WHERE {" + ".join(f"t.tf{i}" for i in range(len(BM25_TERMS)))} > 0
+    """,
+    tags=("text-analysis", "ranking"),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term
+    set — the lexical-retrieval complement to `tfidf_top_terms` and
+    the embedding searches. Term frequencies are per-row array math
+    over the split words (no corpus explode); document frequencies,
+    N, and the average length are ONE tiny aggregate broadcast back as
+    a single row. Both engines evaluate the identical arithmetic
+    expression tree (Lucene-style idf: ln(1 + (N - df + .5)/(df + .5))),
+    so the rounded scores hash-match."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("words")))
+    tf = d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("dl"),
+        *[F.expr(f"cast(size(filter(words, w -> w = '{t}')) as bigint)")
+           .alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)])
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long")
+           .alias(f"df{i}") for i in range(len(BM25_TERMS))])
+    scored = tf.join(F.broadcast(stats))
+    n_matched = " + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+                           for i in range(len(BM25_TERMS)))
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({BM25_K1} + 1.0))"
+        f" / (tf{i} + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * dl / avgdl)))"
+        for i in range(len(BM25_TERMS)))
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return (scored.filter(F.expr(f"{any_tf} > 0"))
+            .select("doc_id",
+                    F.expr(n_matched).cast("int").alias("n_matched"),
+                    F.expr(f"round({score}, 4)").alias("bm25")))
 
 
 # --- Z-order (Morton) locality -------------------------------------------
