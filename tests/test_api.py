@@ -94,3 +94,17 @@ def test_ingest_channel_facade(engine):
             videos_per_channel=6, lines_per_video=3),
         existing_segments=first.select("vid_id", "start"))
     assert again.count() == 0
+
+
+def test_round5_prep_facade(engine):
+    from transcript_analysis_spark.plans.scale_ops import SAMPLE_K
+    bloom = engine.decontaminate_bloom()
+    assert bloom.count() > 0 and "n_false_positives" in bloom.columns
+    packed = engine.pack_sequences()
+    assert packed.count() > 0 and "seq_no" in packed.columns
+    assert engine.pack_sequences(sharded=False).count() == packed.count()
+    vocab = engine.build_vocab()
+    enc = engine.encode_corpus()
+    assert vocab.count() > 0 and enc.count() > 0
+    assert engine.rank_bm25().count() > 0
+    assert engine.sample_fixed().count() == SAMPLE_K

@@ -137,6 +137,17 @@ def test_sharded_packing_matches_unsharded_doc_set(spark):
     assert a == b
 
 
+# --- uniform hash sample -------------------------------------------------
+
+def test_uniform_hash_sample_topk_plan_and_determinism(spark):
+    from transcript_analysis_spark.plans.scale_ops import SAMPLE_K
+    df = _q(spark, "uniform_hash_sample")
+    assert "TakeOrderedAndProject" in plan_of(df)
+    a = {r["doc_id"] for r in df.collect()}
+    b = {r["doc_id"] for r in _q(spark, "uniform_hash_sample").collect()}
+    assert a == b and len(a) == SAMPLE_K
+
+
 # --- BM25 ----------------------------------------------------------------
 
 def test_bm25_scores_are_positive_and_bounded(spark):

@@ -78,6 +78,30 @@ def test_replayed_batch_changes_nothing(spark, tmp_path):
     assert spark.read.parquet(bands).count() == before_bands
 
 
+def test_partial_band_append_crash_recovers_all_pairs(spark, tmp_path):
+    """Crash window: the previous attempt appended HALF the batch's
+    bands and died before writing pairs. The retry must still emit the
+    batch's FULL pair set (pairs derive from the whole batch, not the
+    unappended remainder) and must not duplicate the stored bands."""
+    from transcript_analysis_spark.plans.data_pipeline import minhash_band_keys
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    crashed = str(tmp_path / "crashed_bands")
+    pairs = str(tmp_path / "crashed_pairs")
+    half = docs.limit(100).select("doc_id")
+    (minhash_band_keys(docs).join(half, "doc_id", "left_semi")
+     .write.parquet(crashed))
+    foreach_batch_neardup(docs, 0, crashed, pairs)
+
+    clean_bands = str(tmp_path / "clean_bands")
+    clean_pairs = str(tmp_path / "clean_pairs")
+    foreach_batch_neardup(docs, 0, clean_bands, clean_pairs)
+
+    assert _emitted_pairs(spark, pairs) == _emitted_pairs(spark, clean_pairs)
+    assert (spark.read.parquet(crashed).count()
+            == spark.read.parquet(clean_bands).count())
+
+
 def test_cross_batch_pair_found_when_later_doc_arrives(spark, tmp_path):
     """A duplicate split across batches is caught at the LATER batch
     via the band store, not missed."""

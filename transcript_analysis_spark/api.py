@@ -154,6 +154,36 @@ class TranscriptEngine:
         """End-to-end dedup -> quality -> lang-gate -> sample plan."""
         return self._q("training_data_prep")
 
+    def decontaminate_bloom(self) -> DataFrame:
+        """Decontamination with the broadcast bloom prefilter — the
+        shape that survives 100 TB (exact overlaps, plan-visible FP
+        counts)."""
+        return self._q("bloom_prefilter_contamination")
+
+    def pack_sequences(self, sharded: bool = True) -> DataFrame:
+        """Greedy next-fit packing into fixed token-budget training
+        sequences. ``sharded=True`` (default) is the cluster form:
+        parallelism scales with the corpus; ``False`` is the single
+        walk per language stratum."""
+        return self._q("sequence_packing_sharded" if sharded
+                       else "sequence_packing")
+
+    def build_vocab(self) -> DataFrame:
+        """Frequency-ranked vocabulary with contiguous token ids."""
+        return self._q("vocab_token_ids")
+
+    def encode_corpus(self) -> DataFrame:
+        """Documents as token-id sequences (broadcast-map encode)."""
+        return self._q("document_token_ids")
+
+    def rank_bm25(self) -> DataFrame:
+        """Okapi BM25 lexical relevance against the query term set."""
+        return self._q("bm25_scores")
+
+    def sample_fixed(self) -> DataFrame:
+        """Exactly-k uniform reproducible sample (bottom-k hashes)."""
+        return self._q("uniform_hash_sample")
+
     # -- ingestion (S5/S6) ------------------------------------------------
 
     def ingest_channel(self, transport, channel_id: str,

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "document_token_ids",
     "bm25_scores",
     "sequence_packing_sharded",
+    "uniform_hash_sample",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -531,6 +531,40 @@ def document_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("token_ids"))
 
 
+# --- fixed-size deterministic sampling -----------------------------------
+
+SAMPLE_K = 100
+
+
+@register(
+    "uniform_hash_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars, {duck_char_hash('text')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, hv
+    FROM h ORDER BY hv, doc_id LIMIT {SAMPLE_K}
+    """,
+    tags=("sampling", "A4", "scale"),
+)
+def uniform_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample via order statistics: take the k
+    documents with the smallest content hash. The hash order is
+    independent of storage order, so the sample is uniform over
+    content; it is also fully deterministic and REPRODUCIBLE across
+    engines and runs (unlike `TABLESAMPLE`/`rand()`), and STABLE under
+    corpus growth (a doc stays sampled until k better hashes exist —
+    bottom-k sketch semantics). Complements the rate-based
+    `deterministic_sample_extrapolate` (fixed RATE, variable size).
+    The plan is the scale point: TakeOrderedAndProject — per-partition
+    top-k heaps then one k-row merge, never a global sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.expr(spark_char_hash("text")).alias("hv"))
+    return d.orderBy("hv", "doc_id").limit(SAMPLE_K)
+
+
 # --- BM25 ranking --------------------------------------------------------
 
 BM25_TERMS = ("spark", "hash", "merge")

@@ -46,25 +46,29 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    new_bands = minhash_band_keys(batch_df)
+    # Pairs are computed from the FULL batch's bands every time — not
+    # from the anti-joined remainder. A crash partway through the band
+    # append leaves some batch docs in the store; if pairs derived
+    # only from the not-yet-stored remainder, the replay would
+    # overwrite this batch's partition with a subset and lose pairs.
+    # From the full band set the pair SET is reproduced exactly: a
+    # pair between two batch docs surfaces via the self-join (and
+    # again via history if one of them got appended — `distinct()`
+    # collapses it), and `n.doc_id != s.doc_id` keeps a doc from
+    # pairing with its own partially-appended bands.
+    all_bands = minhash_band_keys(batch_df).localCheckpoint(eager=True)
     store = _try_read(spark, bands_dir)
-    if store is not None:
-        # replay guard: docs already banded contribute nothing new
-        new_bands = new_bands.join(
-            store.select("doc_id").distinct(), "doc_id", "left_anti")
-    new_bands = new_bands.localCheckpoint(eager=True)   # cut the lineage
-    # two pair sources, one contract: emit (min_id, max_id) once.
-    # new-vs-history — the incremental probe...
     pairs = None
     if store is not None:
-        pairs = (new_bands.alias("n")
+        pairs = (all_bands.alias("n")
                  .join(store.alias("s"),
                        (F.col("n.band") == F.col("s.band"))
-                       & (F.col("n.key") == F.col("s.key")))
+                       & (F.col("n.key") == F.col("s.key"))
+                       & (F.col("n.doc_id") != F.col("s.doc_id")))
                  .select(F.least("n.doc_id", "s.doc_id").alias("doc_a"),
                          F.greatest("n.doc_id", "s.doc_id").alias("doc_b")))
     # ...plus new-vs-new inside this batch
-    a, b = new_bands.alias("a"), new_bands.alias("b")
+    a, b = all_bands.alias("a"), all_bands.alias("b")
     selfp = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.key") == F.col("b.key"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -76,21 +80,32 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
     # dynamic overwrite of THIS batch's partition -> replay-idempotent
     (out.write.mode("overwrite").partitionBy("batch_id")
      .parquet(pairs_dir))
-    # bands last: if we crash before this append, the replay recomputes
-    # the same pairs into the same partition (no dup, no loss)
-    new_bands.write.mode("append").parquet(bands_dir)
+    # band append is anti-join-guarded, so a replay (or a crash-retry
+    # after a partial append) adds only the missing docs' bands
+    to_append = all_bands
+    if store is not None:
+        to_append = all_bands.join(
+            store.select("doc_id").distinct(), "doc_id", "left_anti")
+    to_append.write.mode("append").parquet(bands_dir)
 
 
-def read_pairs(spark, pairs_dir: str) -> DataFrame:
+def read_pairs(spark, pairs_dir: str, dedup: bool = True) -> DataFrame:
     """The emitted candidate-pair store. A batch with zero pairs
     writes no parquet files (only the partition dir markers), so an
     early read must degrade to an empty typed frame instead of
-    UNABLE_TO_INFER_SCHEMA."""
+    UNABLE_TO_INFER_SCHEMA.
+
+    Within one batch partition a pair appears once; a document
+    REDELIVERED by an at-least-once source in a later batch re-emits
+    its pairs into that batch's partition (deriving pairs from the
+    full batch is what makes the crash-retry windows lossless), so
+    the default read collapses to the distinct pair set. Pass
+    ``dedup=False`` for the raw per-batch rows."""
     df = _try_read(spark, pairs_dir)
     if df is None:
-        return spark.createDataFrame(
+        df = spark.createDataFrame(
             [], "doc_a long, doc_b long, batch_id long")
-    return df
+    return df.select("doc_a", "doc_b").distinct() if dedup else df
 
 
 def neardup_stream(docs_stream: DataFrame, bands_dir: str,
