@@ -207,3 +207,63 @@ def test_format_segment_text_contracts(s):
     assert (t2, wc2) == (t, wc)            # idempotent
     assert t == t.lower()
     assert wc == len(t.split())
+
+
+def ref_pack(tokens: list[int], budget: int) -> list[tuple[int, int]]:
+    """Pure-Python greedy next-fit: (seq_no, seq_offset) per item."""
+    out = []
+    seq, fill = 0, 0
+    for t in tokens:
+        if fill > 0 and fill + t > budget:
+            seq, fill = seq + 1, 0
+        out.append((seq, fill))
+        fill += t
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["en", "de"]),
+              st.integers(min_value=1, max_value=300)),
+    min_size=1, max_size=80))
+def test_sequence_packing_matches_python_reference(spark, docs):
+    """The grouped-map packer against the pure-Python walk on
+    arbitrary (lang, n_tokens) streams — including docs far over the
+    budget."""
+    from transcript_analysis_spark.plans.scale_ops import PACK_BUDGET_TOKENS
+
+    rows = [(lang, i, "w " * max(1, t))   # text with exactly t words
+            for i, (lang, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    # drives the REAL grouped-map body the registered queries use
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sized = df.select("lang", "doc_id",
+                      F.size(F.split(F.trim("text"), " ")).cast("long")
+                       .alias("n_tokens"))
+
+    from transcript_analysis_spark.plans.scale_ops import greedy_pack_pandas
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return greedy_pack_pandas(pdf)[
+            ["lang", "doc_id", "n_tokens", "seq_no", "seq_offset"]]
+
+    got = (sized.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id long, n_tokens long, "
+              "seq_no long, seq_offset long").collect())
+
+    per_lang: dict[str, list] = {}
+    for i, (lang, t) in enumerate(docs):
+        per_lang.setdefault(lang, []).append((i, t))
+    expect = {}
+    for lang, items in per_lang.items():
+        items.sort()
+        packed = ref_pack([t for _, t in items], PACK_BUDGET_TOKENS)
+        for (doc_id, t), (s, o) in zip(items, packed):
+            expect[(lang, doc_id)] = (t, s, o)
+    assert len(got) == len(expect)
+    for r in got:
+        assert expect[(r["lang"], r["doc_id"])] == (
+            r["n_tokens"], r["seq_no"], r["seq_offset"])

@@ -198,6 +198,30 @@ _PACK_SCHEMA = ("lang string, doc_id long, n_tokens long, "
                 "seq_no long, seq_offset long")
 
 
+def greedy_pack_pandas(pdf, seq_col: str = "seq_no"):
+    """Grouped-map body shared by `sequence_packing` (seq_col=seq_no),
+    `sequence_packing_sharded` (seq_col=seq_local), and the
+    property-based differential test: walk the group in doc_id order,
+    assigning greedy next-fit sequence numbers and in-sequence token
+    offsets under PACK_BUDGET_TOKENS."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seqs, offs = [], []
+    seq, fill = 0, 0
+    for t in pdf["n_tokens"]:
+        t = int(t)
+        if fill > 0 and fill + t > PACK_BUDGET_TOKENS:
+            seq += 1
+            fill = 0
+        seqs.append(seq)
+        offs.append(fill)
+        fill += t
+    pdf[seq_col] = pd.Series(seqs, dtype="int64")
+    pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+    return pdf
+
+
 @register(
     "sequence_packing",
     oracle=f"""
@@ -242,28 +266,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pack shards independently (the budget invariant is local to a
     shard; only seq_no numbering is shard-relative). The DuckDB oracle
     is a recursive CTE replaying the identical walk."""
-    import pandas as pd
-
     docs = (_t(spark, sf_dir, "documents")
             .select("lang", "doc_id",
                     F.size(F.split("text", " ")).cast("long")
                      .alias("n_tokens")))
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seqs, offs = [], []
-        seq, fill = 0, 0
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if fill > 0 and fill + t > PACK_BUDGET_TOKENS:
-                seq += 1
-                fill = 0
-            seqs.append(seq)
-            offs.append(fill)
-            fill += t
-        pdf["seq_no"] = pd.Series(seqs, dtype="int64")
-        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
-        return pdf[["lang", "doc_id", "n_tokens", "seq_no", "seq_offset"]]
+    def pack(pdf):
+        return greedy_pack_pandas(pdf)[
+            ["lang", "doc_id", "n_tokens", "seq_no", "seq_offset"]]
 
     return docs.groupBy("lang").applyInPandas(pack, _PACK_SCHEMA)
 
@@ -328,7 +338,6 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     local numbers. Packing never crosses a shard boundary, so the
     budget invariant is preserved; only sequence numbering differs
     from the single-walk form."""
-    import pandas as pd
     from pyspark.sql import Window
 
     docs = (_t(spark, sf_dir, "documents")
@@ -338,22 +347,10 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size(F.split("text", " ")).cast("long")
                      .alias("n_tokens")))
 
-    def pack_local(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seqs, offs = [], []
-        seq, fill = 0, 0
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if fill > 0 and fill + t > PACK_BUDGET_TOKENS:
-                seq += 1
-                fill = 0
-            seqs.append(seq)
-            offs.append(fill)
-            fill += t
-        pdf["seq_local"] = pd.Series(seqs, dtype="int64")
-        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
-        return pdf[["lang", "shard", "doc_id", "n_tokens",
-                    "seq_local", "seq_offset"]]
+    def pack_local(pdf):
+        return greedy_pack_pandas(pdf, seq_col="seq_local")[
+            ["lang", "shard", "doc_id", "n_tokens",
+             "seq_local", "seq_offset"]]
 
     packed = docs.groupBy("lang", "shard").applyInPandas(
         pack_local, "lang string, shard long, doc_id long, "
