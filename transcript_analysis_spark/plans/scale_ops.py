@@ -265,7 +265,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     in parallel; at 100 TB, sub-shard each language by doc_id range
     and pack shards independently (the budget invariant is local to a
     shard; only seq_no numbering is shard-relative). The DuckDB oracle
-    is a recursive CTE replaying the identical walk."""
+    is a recursive CTE replaying the identical walk — its recursion
+    depth is the largest stratum (~2 min at sf0.1; the Spark side is
+    sub-second). `sequence_packing_sharded` is the depth-bounded form
+    on both sides."""
     docs = (_t(spark, sf_dir, "documents")
             .select("lang", "doc_id",
                     F.size(F.split("text", " ")).cast("long")
