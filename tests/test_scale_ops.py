@@ -137,6 +137,23 @@ def test_sharded_packing_matches_unsharded_doc_set(spark):
     assert a == b
 
 
+# --- corpus mixture plan -------------------------------------------------
+
+def test_mixture_plan_rates_and_epochs_consistent(spark):
+    from transcript_analysis_spark.plans.scale_ops import (
+        MIX_TOKEN_BUDGET, MIX_WEIGHTS)
+    rows = _q(spark, "corpus_mixture_plan").collect()
+    assert {r["source"] for r in rows} == set(MIX_WEIGHTS)
+    # target tokens respect the weights; epochs = ceil(rate);
+    # upsampled iff the domain is smaller than its target
+    assert sum(r["target_tokens"] for r in rows) == MIX_TOKEN_BUDGET
+    import math
+    for r in rows:
+        assert r["n_epochs"] == math.ceil(r["sample_rate"] - 1e-12)
+        assert r["upsampled"] == (r["target_tokens"]
+                                  > r["available_tokens"])
+
+
 # --- uniform hash sample -------------------------------------------------
 
 def test_uniform_hash_sample_topk_plan_and_determinism(spark):

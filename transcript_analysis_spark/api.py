@@ -184,6 +184,11 @@ class TranscriptEngine:
         """Exactly-k uniform reproducible sample (bottom-k hashes)."""
         return self._q("uniform_hash_sample")
 
+    def mixture_plan(self) -> DataFrame:
+        """Per-source sampling rates / upsampling epochs to hit the
+        target domain weights in the token budget."""
+        return self._q("corpus_mixture_plan")
+
     # -- ingestion (S5/S6) ------------------------------------------------
 
     def ingest_channel(self, transport, channel_id: str,

@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_scores",
     "sequence_packing_sharded",
     "uniform_hash_sample",
+    "corpus_mixture_plan",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -531,6 +531,69 @@ def document_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("token_ids"))
 
 
+# --- corpus mixture planning ---------------------------------------------
+
+# target domain weights for the training mixture (src0 upweighted the
+# way curated sources usually are) and the total token budget
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.15,
+               "src3": 0.1, "src4": 0.05}
+MIX_TOKEN_BUDGET = 20_000
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())}
+      ) t(source, weight)
+    )
+    SELECT a.source, a.n_docs, a.available_tokens,
+           CAST(ROUND(w.weight * {MIX_TOKEN_BUDGET}, 0) AS BIGINT)
+             AS target_tokens,
+           ROUND(w.weight * {MIX_TOKEN_BUDGET} / a.available_tokens, 6)
+             AS sample_rate,
+           CAST(CEIL(w.weight * {MIX_TOKEN_BUDGET} / a.available_tokens)
+                AS BIGINT) AS n_epochs,
+           (w.weight * {MIX_TOKEN_BUDGET} > a.available_tokens)
+             AS upsampled
+    FROM avail a JOIN w ON w.source = a.source
+    """,
+    tags=("mixture", "training-prep"),
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner: for each source domain, the sampling rate
+    (or upsampling epoch count) needed to hit its target weight in a
+    fixed token budget — the decision table behind 'weight the curated
+    source 40%, crawl 30%, ...'. One aggregate over the corpus joined
+    to the broadcast weight table; a rate > 1 means the domain must
+    repeat (`n_epochs` full passes), the standard upsampling move for
+    scarce high-quality sources."""
+    w_rows = [(s, float(w)) for s, w in MIX_WEIGHTS.items()]
+    weights = spark.createDataFrame(w_rows, "source string, weight double")
+    avail = (_t(spark, sf_dir, "documents")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.size(F.split("text", " "))).cast("long")
+                   .alias("available_tokens")))
+    need = F.col("weight") * MIX_TOKEN_BUDGET
+    return (avail.join(F.broadcast(weights), "source")
+            .select("source", "n_docs", "available_tokens",
+                    F.round(need, 0).cast("long").alias("target_tokens"),
+                    F.round(need / F.col("available_tokens"), 6)
+                     .alias("sample_rate"),
+                    F.ceil(need / F.col("available_tokens")).cast("long")
+                     .alias("n_epochs"),
+                    (need > F.col("available_tokens")).alias("upsampled")))
+
+
 # --- fixed-size deterministic sampling -----------------------------------
 
 SAMPLE_K = 100
