@@ -108,3 +108,11 @@ def test_round5_prep_facade(engine):
     assert vocab.count() > 0 and enc.count() > 0
     assert engine.rank_bm25().count() > 0
     assert engine.sample_fixed().count() == SAMPLE_K
+
+
+def test_export_shards_facade(engine, tmp_path):
+    from transcript_analysis_spark.sources.shards import verify_shards
+    path = str(tmp_path / "shards")
+    manifest = engine.export_shards(path, seqs_per_shard=10)
+    assert manifest["total_docs"] > 0
+    assert verify_shards(engine.spark, path)["n_shards"] == manifest["n_shards"]

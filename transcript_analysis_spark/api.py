@@ -189,6 +189,14 @@ class TranscriptEngine:
         target domain weights in the token budget."""
         return self._q("corpus_mixture_plan")
 
+    def export_shards(self, path: str, seqs_per_shard: int = 50) -> dict:
+        """Pack the corpus and write training shards + audit manifest
+        (sources/shards.py). Returns the manifest."""
+        from transcript_analysis_spark.sources.shards import \
+            export_training_shards
+        return export_training_shards(self.pack_sequences(), path,
+                                      seqs_per_shard=seqs_per_shard)
+
     # -- ingestion (S5/S6) ------------------------------------------------
 
     def ingest_channel(self, transport, channel_id: str,
