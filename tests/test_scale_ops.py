@@ -52,8 +52,10 @@ def test_bloom_prefilter_is_selective(spark):
 def test_bloom_plan_broadcasts_bitmap_no_cartesian(spark):
     plan = plan_of(_q(spark, "bloom_prefilter_contamination"))
     assert "CartesianProduct" not in plan
-    # the single-row bitmap joins via broadcast nested loop (1 row)
-    assert "BroadcastNestedLoopJoin" in plan
+    # probe and train are checkpointed (each shingling runs once, for
+    # both output branches) — the final plan reads the materialized
+    # RDDs instead of re-deriving them
+    assert "Scan ExistingRDD" in plan
     # probe-side bit math is JVM expression work, not Python
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan

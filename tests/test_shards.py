@@ -48,13 +48,31 @@ def test_shards_never_split_a_sequence(spark, tmp_path, packed):
     assert glob.glob(os.path.join(path, "lang=*", "shard=*"))
 
 
+def test_verify_detects_total_tampering(spark, tmp_path, packed):
+    """Editing only a corpus total (shard entries intact) must fail
+    the audit too."""
+    path = str(tmp_path / "shards")
+    export_training_shards(packed, path, seqs_per_shard=10)
+    mpath = os.path.join(path, MANIFEST_NAME)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["total_tokens"] += 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="total_tokens mismatch"):
+        verify_shards(spark, path)
+
+
 def test_verify_detects_tampering(spark, tmp_path, packed):
     path = str(tmp_path / "shards")
     export_training_shards(packed, path, seqs_per_shard=10)
     mpath = os.path.join(path, MANIFEST_NAME)
     with open(mpath) as f:
         manifest = json.load(f)
+    # tamper CONSISTENTLY (shard entry + total) so the internal
+    # totals cross-check passes and the data comparison must catch it
     manifest["shards"][0]["n_tokens"] += 1
+    manifest["total_tokens"] += 1
     with open(mpath, "w") as f:
         json.dump(manifest, f)
     with pytest.raises(ValueError, match="n_tokens mismatch"):

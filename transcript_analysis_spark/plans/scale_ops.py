@@ -142,8 +142,12 @@ def bloom_prefilter_contamination(spark: SparkSession,
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     is_eval = F.col("source").isin(*EVAL_SOURCES)
 
+    # Materialize the train shingle set once: it feeds BOTH the bloom
+    # bitmap build and the exact verify join, and without the
+    # checkpoint each branch would re-scan and re-shingle the corpus
+    # (the _spark_vocab pattern; at real scale persist(DISK_ONLY)).
     train = (sh.join(src.filter(~is_eval), "doc_id")
-             .select("shingle").distinct())
+             .select("shingle").distinct().localCheckpoint(eager=True))
     trh = train.select(F.expr(spark_char_hash("shingle")).alias("h"))
     pos = trh.select(F.explode(F.array(
         *[F.expr(p) for p in _spark_bloom_positions("h")])).alias("pos"))
@@ -164,30 +168,34 @@ def bloom_prefilter_contamination(spark: SparkSession,
             f" & shiftleft(cast(1 as bigint),"
             f" cast(({p}) % {BLOOM_WORD_BITS} as int))) != 0")
         hit = one if hit is None else (hit & one)
-    probe = probe.select("doc_id", "shingle", hit.alias("bloom_hit"))
+    # Materialized once (eval-split shingles — decontamination eval
+    # sets are small relative to the corpus): both output branches
+    # read the checkpoint instead of re-running the probe pipeline.
+    probe = (probe.select("doc_id", "shingle", hit.alias("bloom_hit"))
+             .localCheckpoint(eager=True))
 
-    # Single left join + single aggregate (the oracle's own shape):
-    # the equi-key is the shingle, and `bloom_hit` rides along as a
-    # join-side predicate so bloom-negative shingles never match (and
-    # at scale never ship a probe row to the train side). One shuffle
-    # for the join, one for the per-doc rollup — the probe pipeline
-    # runs once, not once per output branch.
-    t = train.withColumn("in_train", F.lit(1)).alias("t")
-    p = probe.alias("p")
-    joined = p.join(
-        t, (F.col("p.shingle") == F.col("t.shingle")) & F.col("p.bloom_hit"),
-        "left")
-    return (joined.groupBy("p.doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum(F.when(F.col("p.bloom_hit"), 1).otherwise(0))
-                  .cast("long").alias("n_candidates"),
-                 F.sum(F.when(F.col("p.bloom_hit")
-                              & F.col("t.in_train").isNotNull(), 1)
-                       .otherwise(0)).cast("long").alias("n_overlap"),
-                 F.sum(F.when(F.col("p.bloom_hit")
-                              & F.col("t.in_train").isNull(), 1)
-                       .otherwise(0)).cast("long")
-                  .alias("n_false_positives")))
+    # The scale shape the docstring promises: per-doc totals come from
+    # ONE aggregate over the probe (no join needed to count), and the
+    # exact equi-join against the train set ships ONLY bloom-positive
+    # shingles — a left join would have to carry every probe row
+    # through the shuffle just to preserve n_shingles.
+    counts = (probe.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                    .cast("long").alias("n_candidates")))
+    overlap = (probe.filter("bloom_hit")
+               .join(train.withColumn("in_train", F.lit(1)),
+                     "shingle", "left")
+               .groupBy("doc_id")
+               .agg(F.sum(F.coalesce(F.col("in_train"), F.lit(0)))
+                     .cast("long").alias("n_overlap")))
+    return (counts.join(overlap, "doc_id", "left")
+            .select("doc_id", "n_shingles", "n_candidates",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    (F.col("n_candidates")
+                     - F.coalesce("n_overlap", F.lit(0))).cast("long")
+                     .alias("n_false_positives")))
 
 
 # --- sequence packing ----------------------------------------------------
@@ -345,8 +353,10 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_t(spark, sf_dir, "documents")
             .select("lang", "doc_id",
-                    (F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
-                     .alias("shard"),
+                    # integer div, not float /: a long->double cast
+                    # rounds above 2^53 and would shard-misplace huge
+                    # doc_ids (and break for non-power-of-two spans)
+                    F.expr(f"doc_id div {PACK_SHARD_SPAN}").alias("shard"),
                     F.size(F.split("text", " ")).cast("long")
                      .alias("n_tokens")))
 
@@ -733,9 +743,15 @@ def duck_zvalue(a: str, b: str) -> str:
             f" AS BIGINT)")
 
 
+# pmod, not %: the z-value contract requires NON-NEGATIVE inputs
+# (two's-complement bits of a negative remainder would alias distinct
+# values across engines' shift semantics). The corpus dates start at
+# Z_EPOCH so % would pass today, but the folding must not depend on
+# that.
 _Z_A = "o_custkey % 65536"
-_Z_B_SPARK = f"datediff(o_orderdate, '{Z_EPOCH}') % 65536"
-_Z_B_DUCK = f"datediff('day', TIMESTAMP '{Z_EPOCH}', o_orderdate) % 65536"
+_Z_B_SPARK = f"pmod(datediff(o_orderdate, '{Z_EPOCH}'), 65536)"
+_Z_B_DUCK = ("(((datediff('day', TIMESTAMP '" + Z_EPOCH + "', o_orderdate)"
+             " % 65536) + 65536) % 65536)")
 
 
 @register(

@@ -35,23 +35,35 @@ _ROW_FP = ("(doc_id * 1000003 + seq_no * 101 + seq_offset * 31"
            " + n_tokens) % 9223372036854775783")
 
 
+def _per_shard_stats(df: DataFrame) -> DataFrame:
+    return (df.groupBy("lang", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("seq_no").alias("n_seqs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.expr(f"bit_xor({_ROW_FP})").alias("fingerprint")))
+
+
 def export_training_shards(packed: DataFrame, path: str,
                            seqs_per_shard: int = 50) -> dict:
     """Write a packed-sequence frame (lang, doc_id, n_tokens, seq_no,
     seq_offset) as `lang=<l>/shard=<k>/` parquet partitions with
-    ``seqs_per_shard`` sequences per shard, and a MANIFEST.json beside
-    them. Returns the manifest dict."""
+    ``seqs_per_shard`` sequences per shard, and a manifest beside
+    them. Returns the manifest dict.
+
+    The manifest is aggregated from a RE-READ of the written files, so
+    it attests to the bytes on disk, not to a second execution of the
+    (possibly expensive) upstream plan. Manifest I/O uses driver-local
+    file APIs: `path` must be a driver-visible filesystem (for object
+    stores, route the manifest through the Hadoop FileSystem API)."""
     sharded = packed.withColumn(
         "shard", F.expr(f"seq_no div {seqs_per_shard}").cast("long"))
     (sharded.repartition("lang", "shard")
      .write.mode("overwrite").partitionBy("lang", "shard").parquet(path))
 
-    per_shard = (sharded.groupBy("lang", "shard")
-                 .agg(F.count(F.lit(1)).alias("n_docs"),
-                      F.countDistinct("seq_no").alias("n_seqs"),
-                      F.sum("n_tokens").alias("n_tokens"),
-                      F.expr(f"bit_xor({_ROW_FP})").alias("fingerprint"))
-                 .orderBy("lang", "shard"))
+    spark = packed.sparkSession
+    written = spark.read.parquet(path).withColumn(
+        "shard", F.col("shard").cast("long"))
+    per_shard = _per_shard_stats(written).orderBy("lang", "shard")
     shards = [r.asDict() for r in per_shard.collect()]
     manifest = {
         "seqs_per_shard": seqs_per_shard,
@@ -75,17 +87,22 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     first divergent shard otherwise."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(path).withColumn(
+        "shard", F.col("shard").cast("long"))
     got = {(r["lang"], r["shard"]): r.asDict()
-           for r in (df.groupBy("lang", "shard")
-                     .agg(F.count(F.lit(1)).alias("n_docs"),
-                          F.countDistinct("seq_no").alias("n_seqs"),
-                          F.sum("n_tokens").alias("n_tokens"),
-                          F.expr(f"bit_xor({_ROW_FP})").alias("fingerprint"))
-                     .collect())}
+           for r in _per_shard_stats(df).collect()}
     if len(got) != manifest["n_shards"]:
         raise ValueError(f"shard count mismatch: data has {len(got)}, "
                          f"manifest says {manifest['n_shards']}")
+    # the corpus totals must equal the sum of the (verified) shard
+    # entries — a tampered total with intact shards is still a lie
+    for field in ("n_docs", "n_seqs", "n_tokens"):
+        total_key = f"total_{field.split('_')[1]}"
+        expect = sum(s[field] for s in manifest["shards"])
+        if manifest[total_key] != expect:
+            raise ValueError(
+                f"{total_key} mismatch: manifest {manifest[total_key]}"
+                f" != sum of shard entries {expect}")
     for s in manifest["shards"]:
         key = (s["lang"], s["shard"])
         actual = got.get(key)

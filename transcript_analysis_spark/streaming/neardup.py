@@ -44,7 +44,6 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
     near-dup candidate pairs (earlier doc_id first) and grow the band
     store. Safe to replay with the same batch_id."""
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # Pairs are computed from the FULL batch's bands every time — not
     # from the anti-joined remainder. A crash partway through the band
@@ -77,9 +76,18 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
     pairs = selfp if pairs is None else pairs.unionByName(selfp)
     out = (pairs.distinct()
            .withColumn("batch_id", F.lit(int(batch_id))))
-    # dynamic overwrite of THIS batch's partition -> replay-idempotent
-    (out.write.mode("overwrite").partitionBy("batch_id")
-     .parquet(pairs_dir))
+    # dynamic overwrite of THIS batch's partition -> replay-idempotent.
+    # Scope the dynamic mode to this write and restore the session
+    # value: leaking it would silently turn every later static
+    # partitioned overwrite in the session into a partial one.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (out.write.mode("overwrite").partitionBy("batch_id")
+         .parquet(pairs_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # band append is anti-join-guarded, so a replay (or a crash-retry
     # after a partial append) adds only the missing docs' bands
     to_append = all_bands
@@ -105,6 +113,11 @@ def read_pairs(spark, pairs_dir: str, dedup: bool = True) -> DataFrame:
     if df is None:
         df = spark.createDataFrame(
             [], "doc_a long, doc_b long, batch_id long")
+    else:
+        # partition-column inference types batch_id as int; pin the
+        # schema so it matches the empty-store fallback regardless of
+        # store state
+        df = df.withColumn("batch_id", F.col("batch_id").cast("long"))
     return df.select("doc_a", "doc_b").distinct() if dedup else df
 
 
