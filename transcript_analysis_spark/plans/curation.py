@@ -1,0 +1,383 @@
+"""Corpus-curation operators: PII anonymization, duplicate-span
+coverage, cluster-level canonical selection, and embedding
+quantization.
+
+These close the loop on what a large-scale training-data pipeline does
+AFTER dedup/quality signals exist: decide what to keep, anonymize what
+ships, and compress what's stored. The portable-arithmetic discipline
+of plans/data_pipeline.py applies throughout — every hash, truncation,
+and rounding is exact or fixed-point int64 math both engines reproduce
+bit-for-bit.
+
+Scale notes, per operator:
+
+- ``pii_k_anonymity``: per-row masking/pseudonymization is map-only
+  (narrow, no shuffle); the quasi-identifier group sizes are ONE small
+  aggregate (|nations| x |segments| x |balance buckets| rows) joined
+  back via broadcast — at 100 TB the group-size table is still tiny,
+  so suppression never shuffles the fact table.
+- ``duplicate_ngram_coverage``: the per-document "how much of this doc
+  is duplicated text elsewhere" signal from exact-substring dedup
+  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better" — the coverage statistic, computed on word 3-grams). Two
+  shuffles on the shingle key (distinct doc-counts, then the
+  occurrence join) + one on doc_id; never doc x doc.
+- ``dedup_keep_best``: the decision step of near-dup dedup — one
+  surviving document per connected component, chosen by quality
+  (longest text, then smallest doc_id). Selection is a single
+  hash-aggregate with a struct-max (no window, no sort) after the
+  O(log n)-round component contraction.
+- ``embedding_int8_quantize``: symmetric per-vector int8 quantization
+  (the storage/serving compression step for ANN at scale: 4x smaller
+  than float32, scale factor per vector). Entirely per-row JVM
+  higher-order-function math; outputs are fixed-point integers so the
+  oracle comparison is exact.
+
+Reference parity: the reference keeps raw identities and full text in
+PostgreSQL (`sql/schema.sql`) and has no anonymization/quantization
+stage; these operators are the scale-path additions the task brief
+asks for beyond reference coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.functions.rounding import (
+    duck_round_ratio,
+    spark_round_ratio,
+)
+from transcript_analysis_spark.operators.components import connected_components
+from transcript_analysis_spark.plans.data_pipeline import (
+    _DUCK_SHINGLES,
+    _duck_minhash_select,
+    _t,
+    duck_char_hash,
+    minhash_lsh_candidate_pairs,
+    spark_char_hash,
+)
+from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import fanout
+
+# --- PII / k-anonymity ----------------------------------------------------
+
+K_ANON = 5                 # minimum quasi-identifier group size
+BAL_BUCKET_WIDTH = 1000.0  # acctbal generalization width
+SUPPRESSED_INT = -1        # integer quasi-identifiers under k -> sentinel
+SUPPRESSED_STR = "*"       # string quasi-identifiers under k -> sentinel
+
+
+@register(
+    "pii_k_anonymity",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+             'cust-' || CAST({duck_char_hash('c_name')} AS VARCHAR)
+               AS name_token,
+             c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / {BAL_BUCKET_WIDTH}) AS BIGINT)
+               AS bal_bucket
+      FROM customer
+    ),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM base GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    )
+    SELECT b.c_custkey, b.name_masked, b.name_token,
+           CASE WHEN g.group_size < {K_ANON} THEN {SUPPRESSED_INT}
+                ELSE b.c_nationkey END AS nation_out,
+           CASE WHEN g.group_size < {K_ANON} THEN '{SUPPRESSED_STR}'
+                ELSE b.c_mktsegment END AS segment_out,
+           CASE WHEN g.group_size < {K_ANON} THEN {SUPPRESSED_INT}
+                ELSE b.bal_bucket END AS bal_bucket_out,
+           g.group_size,
+           g.group_size < {K_ANON} AS suppressed
+    FROM base b
+    JOIN groups g
+      ON g.c_nationkey = b.c_nationkey
+     AND g.c_mktsegment = b.c_mktsegment
+     AND g.bal_bucket = b.bal_bucket
+    """,
+    tags=("curation", "pii"),
+)
+def pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymize the customer table for corpus release: mask digits in
+    the display name, derive a stable pseudonym from the portable
+    content hash (joinable across releases without exposing the
+    name), generalize the account balance into coarse buckets, and
+    suppress the quasi-identifier columns of any
+    (nation, segment, balance-bucket) group smaller than k=5 —
+    classic k-anonymity suppression.
+
+    Plan shape: per-row masking is map-only; group sizes are one tiny
+    aggregate broadcast back (the fact side is never shuffled)."""
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        F.concat(F.lit("cust-"),
+                 F.expr(spark_char_hash("c_name")).cast("string"))
+            .alias("name_token"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / BAL_BUCKET_WIDTH).cast("long")
+            .alias("bal_bucket"),
+    )
+    groups = (base.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+              .agg(F.count(F.lit(1)).alias("group_size")))
+    joined = base.join(F.broadcast(groups),
+                       ["c_nationkey", "c_mktsegment", "bal_bucket"])
+    supp = F.col("group_size") < K_ANON
+    return joined.select(
+        "c_custkey", "name_masked", "name_token",
+        F.when(supp, F.lit(SUPPRESSED_INT))
+         .otherwise(F.col("c_nationkey")).cast("int").alias("nation_out"),
+        F.when(supp, F.lit(SUPPRESSED_STR))
+         .otherwise(F.col("c_mktsegment")).alias("segment_out"),
+        F.when(supp, F.lit(SUPPRESSED_INT))
+         .otherwise(F.col("bal_bucket")).cast("long").alias("bal_bucket_out"),
+        F.col("group_size").cast("long").alias("group_size"),
+        supp.alias("suppressed"),
+    )
+
+
+# --- duplicate n-gram coverage -------------------------------------------
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle=f"""
+    WITH docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 2)),
+               i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM docs_w
+    ),
+    dup AS (
+      SELECT shingle
+      FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs
+            FROM occ GROUP BY shingle)
+      WHERE n_docs >= 2
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(SUM(CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_positions,
+           {duck_round_ratio(
+               "SUM(CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END)",
+               "COUNT(*)", 6)} AS dup_fraction
+    FROM occ o LEFT JOIN dup d ON d.shingle = o.shingle
+    GROUP BY o.doc_id
+    """,
+    headline=True,
+    tags=("curation", "dedup"),
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text coverage: the fraction of word
+    3-gram POSITIONS whose shingle also occurs in at least one other
+    document — the doc-level statistic exact-substring dedup uses to
+    decide trim-vs-drop (Lee et al. 2022). Positional occurrences
+    (not the distinct shingle set) so a doc that repeats a cross-doc
+    shingle many times is scored accordingly.
+
+    Plan shape: one distinct+count aggregate on the shingle key to
+    build the duplicated-shingle set, one shingle-key left join to
+    mark positions, one doc_id aggregate. All shuffles are on the
+    shingle / doc_id keys — candidate work is O(total positions),
+    never doc x doc."""
+    docs = (fanout(_t(spark, sf_dir, "documents"))
+            .select("doc_id", F.split("text", " ").alias("words")))
+    occ = docs.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(words) >= 3 THEN"
+        " transform(sequence(1, size(words) - 2),"
+        " i -> concat_ws(' ', slice(words, i, 3)))"
+        " ELSE array() END")).alias("shingle"))
+    dup = (occ.distinct()
+           .groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .filter(F.col("n_docs") >= 2)
+           .select("shingle", F.lit(1).alias("is_dup")))
+    marked = occ.join(dup, "shingle", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_positions"),
+                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long")
+                  .alias("n_dup_positions"))
+            .withColumn("dup_fraction",
+                        spark_round_ratio("n_dup_positions",
+                                          "n_positions", 6)))
+
+
+# --- canonical selection over near-dup components ------------------------
+
+def _duck_lsh_component_ctes() -> str:
+    """The recursive-CTE component labeling shared with
+    `neardup_components` (plans/data_pipeline.py) — minhash bands ->
+    candidate pairs -> min-label transitive walk."""
+    return f"""{_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id, {_duck_minhash_select()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    walk(n, label) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, w.label
+      FROM walk w JOIN edges e ON e.v = w.n
+      WHERE w.label < e.u
+    ),
+    comp AS (SELECT n AS doc_id, MIN(label) AS component_id FROM walk GROUP BY n)"""
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_duck_lsh_component_ctes()},
+    member AS (
+      SELECT c.component_id, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM member
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_discarded,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS kept_doc_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS kept_n_chars
+    FROM ranked GROUP BY component_id
+    """,
+    tags=("curation", "dedup", "iterative"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step of near-duplicate dedup: within each LSH
+    connected component, KEEP the best document (longest text;
+    doc_id breaks ties) and count what gets discarded. This is what
+    a 100 TB dedup job actually emits — a keep-list, not a pair
+    list.
+
+    Plan shape: component labels come from the O(log n)-round
+    large-star/small-star contraction (`operators/components.py`);
+    the per-component winner is a single hash-aggregate with a
+    struct max (no window function, no per-component sort)."""
+    pairs = minhash_lsh_candidate_pairs(spark, sf_dir)
+    labels = connected_components(
+        pairs.selectExpr("doc_a as u", "doc_b as v"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(docs, labels["n"] == docs["doc_id"])
+    return (members.groupBy(F.col("label").alias("component_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 (F.count(F.lit(1)) - 1).cast("long").alias("n_discarded"),
+                 F.max(F.struct(
+                     F.col("n_chars"),
+                     (-F.col("doc_id")).alias("neg_id"))).alias("best"))
+            .select("component_id", "n_members", "n_discarded",
+                    (-F.col("best.neg_id")).cast("long").alias("kept_doc_id"),
+                    F.col("best.n_chars").cast("long").alias("kept_n_chars")))
+
+
+# --- int8 embedding quantization -----------------------------------------
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vec,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vec),
+                         (a, x) -> GREATEST(a, abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(len(vec) AS INTEGER) AS dim,
+           CAST(trunc(scale * 1000000.0) AS BIGINT) AS scale_e6,
+           CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(list_filter(vec,
+                       x -> abs(trunc(x * 127.0 / scale)) = 127.0))
+                     AS BIGINT) END AS n_saturated,
+           CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(trunc(
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vec),
+                    (a, x) -> a + abs(x - trunc(x * 127.0 / scale)
+                                          * scale / 127.0))
+                  / len(vec) * 1000000000.0) AS BIGINT) END
+             AS mean_abs_err_e9
+    FROM s
+    """,
+    tags=("curation", "ann", "quantization"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    — the 4x storage/bandwidth compression step an ANN service runs
+    before indexing at scale. scale = max |x|; q_i = trunc(x_i * 127
+    / scale); outputs are the per-vector scale, saturation count, and
+    mean absolute reconstruction error, all as FIXED-POINT integers
+    (trunc of identically-computed doubles — no rounding-mode hazard,
+    exact cross-engine hash match).
+
+    Portability notes: Spark `cast(double as bigint)` truncates
+    toward zero, DuckDB `CAST` rounds — the oracle spells
+    `trunc()` explicitly. Both engines fold arrays left-to-right, so
+    the error sums are bit-identical.
+
+    Plan shape: map-only per-row array math in JVM higher-order
+    functions (zero Python, zero shuffle)."""
+    v = (fanout(_t(spark, sf_dir, "embeddings"))
+         .select("vec_id",
+                 F.expr("transform(embedding, x -> cast(x as double))")
+                  .alias("vec"))
+         .withColumn("scale", F.expr(
+             "aggregate(vec, cast(0.0 as double),"
+             " (a, x) -> greatest(a, abs(x)))")))
+    return v.select(
+        "vec_id",
+        F.expr("cast(size(vec) as int)").alias("dim"),
+        F.expr("cast(scale * 1000000.0 as bigint)").alias("scale_e6"),
+        F.expr(
+            "CASE WHEN scale = 0.0 THEN cast(0 as bigint)"
+            " ELSE cast(size(filter(vec,"
+            " x -> abs(cast(x * 127.0 / scale as bigint)) = 127))"
+            " as bigint) END").alias("n_saturated"),
+        F.expr(
+            "CASE WHEN scale = 0.0 THEN cast(0 as bigint)"
+            " ELSE cast(aggregate(vec, cast(0.0 as double),"
+            " (a, x) -> a + abs(x - cast(x * 127.0 / scale as bigint)"
+            " * scale / 127.0))"
+            " / size(vec) * 1000000000.0 as bigint) END")
+            .alias("mean_abs_err_e9"),
+    )

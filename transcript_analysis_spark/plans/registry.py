@@ -65,6 +65,7 @@ def _load_all() -> None:
         data_pipeline,
         streaming_batch,
         scale_ops,
+        curation,
     )
 
 
@@ -77,6 +78,11 @@ def _load_all() -> None:
 # rotate to the back. Within each tier, registration (file) order is
 # kept for determinism.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # new in round 6 (no harness row yet)
+    "pii_k_anonymity",
+    "duplicate_ngram_coverage",
+    "dedup_keep_best",
+    "embedding_int8_quantize",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",
