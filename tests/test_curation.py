@@ -216,3 +216,160 @@ def test_quantize_is_map_only(spark):
     import re
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+# --- lm_perplexity_filter -------------------------------------------------
+
+def test_perplexity_matches_python_reference(spark):
+    """Recompute the self-trained bigram LM and per-doc NLL in pure
+    Python (same fixed-point quantization) and match the engine's
+    outputs exactly."""
+    import math
+    from collections import Counter
+
+    docs = {r["doc_id"]: r["text"].split(" ")
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .collect()}
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for words in docs.values():
+        uni.update(words)
+        big.update(zip(words, words[1:]))
+    v = len(uni)
+    logp = {pair: int(round(math.log((2.0 * c2 + 1.0)
+                                     / (2.0 * uni[pair[0]] + v)) * 1e9))
+            for pair, c2 in big.items()}
+    got = {r["doc_id"]: r for r in _q(spark, "lm_perplexity_filter")
+           .collect()}
+    assert set(got) == {d for d, w in docs.items() if len(w) >= 2}
+    from transcript_analysis_spark.plans.curation import NLL_FLAG_THRESHOLD
+    for doc_id, words in docs.items():
+        if len(words) < 2:
+            continue
+        nll_e9 = -sum(logp[p] for p in zip(words, words[1:]))
+        n = len(words) - 1
+        r = got[doc_id]
+        assert r["n_bigrams"] == n
+        # integer half-up rounding to 4 digits, prescaled by 1e9
+        expect_avg = ((2 * abs(nll_e9) + n * 100000) // (2 * n * 100000)
+                      ) / 1e4 * (1 if nll_e9 >= 0 else -1)
+        assert r["avg_nll"] == expect_avg
+        assert r["flagged"] == (expect_avg > NLL_FLAG_THRESHOLD)
+        assert abs(r["ppl"] - round(math.exp(expect_avg), 3)) < 1e-9
+
+
+def test_perplexity_flags_an_out_of_domain_doc(spark, tmp_path):
+    """A corpus of same-distribution docs plus one doc made of unseen
+    bigram transitions: the outlier's NLL must exceed the others."""
+    from transcript_analysis_spark.plans.curation import (
+        lm_perplexity_filter)
+    normal = "the cat sat on the mat and the cat ran"
+    rows = [(i, normal, "en", "s", len(normal)) for i in range(8)]
+    odd = "mat the on sat ran cat the and ran the"
+    rows.append((99, odd, "en", "s", len(odd)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r["avg_nll"]
+           for r in lm_perplexity_filter(spark, str(tmp_path)).collect()}
+    assert out[99] > max(v for k, v in out.items() if k != 99)
+
+
+def test_perplexity_model_is_broadcast(spark):
+    """The vocabulary-sized model must reach the position stream via
+    broadcast; the corpus never shuffles on the bigram key for
+    scoring (only the count aggregates shuffle)."""
+    plan = plan_of(_q(spark, "lm_perplexity_filter"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+# --- BPE ------------------------------------------------------------------
+
+def _python_bpe_reference(docs: dict, n_merges: int):
+    """Pure-Python BPE with the module's exact contract: frequency-
+    weighted pair counts, winner = (max count, lexicographic (l, r)),
+    leftmost-first non-overlapping apply."""
+    from collections import Counter
+    freq: Counter = Counter()
+    for text in docs.values():
+        for w in text.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {tuple(w): c for w, c in freq.items()}
+    # merge identical symbol sequences (distinct words may collide
+    # after merges in principle; sum their weights like groupBy would)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        new_vocab: dict = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .collect()}
+    expect = _python_bpe_reference(docs, 10)
+    got = [(r["rank"], r["left"], r["right"], r["merged"],
+            r["weighted_count"])
+           for r in _q(spark, "bpe_merge_learn")
+           .orderBy("rank").collect()]
+    assert got == expect
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    """Encoding with k merges never increases token count vs raw
+    chars, merged tokens are multi-char, and concatenating each
+    word's subwords reconstructs the word (verified via counts:
+    subword chars == word chars)."""
+    from transcript_analysis_spark.operators.bpe import (
+        apply_bpe, learn_bpe_merges)
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe_merges(docs_df, n_merges=10)
+    assert len(merges) == 10
+    enc = {r["doc_id"]: r for r in apply_bpe(docs_df, merges).collect()}
+    raw = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    for doc_id, text in raw.items():
+        words = [w for w in text.split(" ") if w]
+        n_chars = sum(len(w) for w in words)
+        r = enc[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_subword_tokens"] <= n_chars
+        assert r["n_subword_tokens"] >= len(words)
+        assert 0 <= r["n_merged_tokens"] <= r["n_subword_tokens"]
+    # with 10 merges on a 31-word vocabulary, compression must bite
+    total_sub = sum(r["n_subword_tokens"] for r in enc.values())
+    total_chars = sum(sum(len(w) for w in t.split(" ") if w)
+                     for t in raw.values())
+    assert total_sub < total_chars
+
+
+def test_bpe_apply_is_jvm_map_only(spark):
+    from transcript_analysis_spark.operators.bpe import (
+        apply_bpe, learn_bpe_merges)
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe_merges(docs_df, n_merges=3)
+    plan = plan_of(apply_bpe(docs_df, merges))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only over the scan

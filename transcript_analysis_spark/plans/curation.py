@@ -307,6 +307,153 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("best.n_chars").cast("long").alias("kept_n_chars")))
 
 
+# --- BPE tokenizer training ----------------------------------------------
+
+BPE_N_MERGES = 10
+
+
+@register(
+    "bpe_merge_learn",
+    oracle=None,  # iterative: each round's counts depend on every
+                  # earlier merge; recursive CTEs cannot re-aggregate
+                  # globally per step. Pinned against a pure-Python
+                  # reference implementation in tests/test_curation.py.
+    tags=("curation", "tokenizer", "iterative"),
+)
+def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the first
+    `BPE_N_MERGES` learned merges over the corpus, frequency-weighted.
+    One corpus-sized aggregate collapses the text to a (word, weight)
+    vocabulary; every merge round then runs on vocabulary cardinality
+    — corpus-size-independent, the `operators/bpe.py` loop."""
+    from transcript_analysis_spark.operators.bpe import learn_bpe_merges
+    docs = fanout(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(docs, n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string,"
+        " weighted_count long")
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=None,  # depends on the learned (data-derived) merge table;
+                  # round-trip and monotonicity pinned in tests.
+    tags=("curation", "tokenizer"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the learned BPE merge table and
+    report token statistics — the apply side of tokenizer training.
+    The merge table is a constant folded into the JVM expression tree
+    (map-only over the corpus: nothing broadcast, nothing shuffled)."""
+    from transcript_analysis_spark.operators.bpe import (
+        apply_bpe, learn_bpe_merges)
+    docs = fanout(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(docs, n_merges=BPE_N_MERGES)
+    return apply_bpe(docs, merges)
+
+
+# --- self-trained LM perplexity filter -----------------------------------
+
+LM_ALPHA_NUM = 1        # add-alpha smoothing a = 1/2: P = (2*c2+1)/(2*c1+V)
+NLL_FLAG_THRESHOLD = 3.45   # flag docs with avg bigram NLL above this
+
+
+@register(
+    "lm_perplexity_filter",
+    oracle=f"""
+    WITH docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS w FROM docs_w),
+    uni AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM tok GROUP BY w),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
+    pos AS (
+      SELECT doc_id,
+             words[i]     AS w1,
+             words[i + 1] AS w2
+      FROM docs_w,
+           unnest(generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 1)))
+             AS t(i)
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM pos GROUP BY w1, w2),
+    model AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln((2.0 * b.c2 + 1.0) / (2.0 * u.c1 + v.v))
+                        * 1000000000.0) AS BIGINT) AS logp_e9
+      FROM big b JOIN uni u ON u.w1 = b.w1 CROSS JOIN vocab v
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(m.logp_e9) AS BIGINT) AS nll_e9
+      FROM pos p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {duck_round_ratio('nll_e9', 'n_bigrams', 4, n_prescale=9)}
+             AS avg_nll,
+           round(exp({duck_round_ratio('nll_e9', 'n_bigrams', 4,
+                                       n_prescale=9)}), 3) AS ppl,
+           {duck_round_ratio('nll_e9', 'n_bigrams', 4, n_prescale=9)}
+             > {NLL_FLAG_THRESHOLD} AS flagged
+    FROM scored
+    """,
+    headline=True,
+    tags=("curation", "quality", "lm"),
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality gate with a corpus-SELF-TRAINED bigram
+    LM (the CCNet/KenLM pattern: docs whose text surprises a model of
+    the corpus are flagged). Model: add-1/2-smoothed bigram
+    P(w2|w1) = (2*c(w1,w2) + 1) / (2*c(w1) + V), trained and applied
+    in the same plan.
+
+    Cross-engine determinism: each model entry's log-probability is
+    quantized ONCE to int64 fixed point (round(ln(p) * 1e9), the
+    fourgram_model_score discipline), so per-doc NLL totals are exact
+    integer sums — immune to float summation order — and the final
+    average is the integer-ratio half-up rounding of
+    functions/rounding.py. The flag threshold compares that exact
+    rounded value, so the boolean is deterministic too.
+
+    Plan shape at scale: unigram/bigram counts are two hash
+    aggregates; the model is vocabulary-sized (|V|^2 worst case,
+    tiny next to the corpus) and BROADCAST to the position stream —
+    the corpus shuffles once on doc_id for the final rollup, never on
+    the model key."""
+    docs = (fanout(_t(spark, sf_dir, "documents"))
+            .select("doc_id", F.split("text", " ").alias("words")))
+    tok = docs.select("doc_id", F.explode("words").alias("w"))
+    uni = tok.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    pos = docs.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(words) >= 2 THEN"
+        " transform(sequence(1, size(words) - 1),"
+        " i -> struct(element_at(words, i) as w1,"
+        "             element_at(words, i + 1) as w2))"
+        " ELSE array() END")).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    model = (big.join(uni, "w1").join(F.broadcast(vocab))
+             .select("w1", "w2", F.expr(
+                 "cast(round(ln((2.0 * c2 + 1.0) / (2.0 * c1 + v))"
+                 " * 1000000000.0) as bigint)").alias("logp_e9")))
+    scored = (pos.join(F.broadcast(model), ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                   (-F.sum("logp_e9")).cast("long").alias("nll_e9")))
+    avg_nll = spark_round_ratio("nll_e9", "n_bigrams", 4, n_prescale=9)
+    return scored.select(
+        "doc_id", "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 3).alias("ppl"),
+        (avg_nll > NLL_FLAG_THRESHOLD).alias("flagged"))
+
+
 # --- int8 embedding quantization -----------------------------------------
 
 @register(

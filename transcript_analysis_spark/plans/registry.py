@@ -83,6 +83,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "duplicate_ngram_coverage",
     "dedup_keep_best",
     "embedding_int8_quantize",
+    "lm_perplexity_filter",
+    "status_unpivot",
+    "bpe_merge_learn",
+    "bpe_encode_stats",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",

@@ -724,6 +724,39 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'status_f' AS status_col,
+           CAST(status_f AS BIGINT) AS n_orders FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'status_o', CAST(status_o AS BIGINT) FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'status_p', CAST(status_p AS BIGINT) FROM wide
+    """,
+    tags=("pivot", "unpivot"),
+)
+def status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide -> long): the inverse of `status_pivot`,
+    via the native `DataFrame.unpivot` (Spark's UNPIVOT, one
+    Generate — no N-way self-union scan). The oracle spells it as the
+    ANSI UNION ALL equivalent."""
+    wide = status_pivot(spark, sf_dir)
+    return (wide.unpivot(
+        ["o_orderpriority"], ["status_f", "status_o", "status_p"],
+        "status_col", "n_orders")
+        .select("o_orderpriority", "status_col",
+                F.col("n_orders").cast("long").alias("n_orders")))
+
+
+@register(
     "customer_order_ranks",
     oracle="""
     SELECT o_custkey, o_orderkey,
