@@ -116,3 +116,18 @@ def test_export_shards_facade(engine, tmp_path):
     manifest = engine.export_shards(path, seqs_per_shard=10)
     assert manifest["total_docs"] > 0
     assert verify_shards(engine.spark, path)["n_shards"] == manifest["n_shards"]
+
+
+def test_round6_curation_facade(engine):
+    assert engine.anonymize().count() > 0
+    assert engine.dup_coverage().count() > 0
+    assert engine.dedup_keep_list().count() > 0
+    assert engine.perplexity_filter().count() > 0
+    assert engine.quantize_embeddings().count() > 0
+    merges = engine.learn_bpe(n_merges=3)
+    assert len(merges) == 3 and all(m["merged"] == m["left"] + m["right"]
+                                    for m in merges)
+    enc = engine.encode_bpe(merges)
+    assert enc.count() > 0
+    assert {"n_words", "n_subword_tokens", "n_merged_tokens"} <= set(
+        enc.columns)

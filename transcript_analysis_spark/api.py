@@ -189,6 +189,45 @@ class TranscriptEngine:
         target domain weights in the token budget."""
         return self._q("corpus_mixture_plan")
 
+    def anonymize(self) -> DataFrame:
+        """k-anonymity release of the customer table: masked names,
+        stable pseudonyms, generalized balances, suppressed
+        small-group quasi-identifiers."""
+        return self._q("pii_k_anonymity")
+
+    def dup_coverage(self) -> DataFrame:
+        """Per-doc fraction of 3-gram positions duplicated across the
+        corpus — the exact-substring-dedup trim-vs-drop signal."""
+        return self._q("duplicate_ngram_coverage")
+
+    def dedup_keep_list(self) -> DataFrame:
+        """One kept doc per near-dup component (longest text, then
+        smallest doc_id) with discard counts."""
+        return self._q("dedup_keep_best")
+
+    def perplexity_filter(self) -> DataFrame:
+        """Corpus-self-trained bigram-LM perplexity per doc with the
+        high-NLL flag (the CCNet/KenLM quality gate)."""
+        return self._q("lm_perplexity_filter")
+
+    def quantize_embeddings(self) -> DataFrame:
+        """Symmetric int8 quantization stats per embedding vector."""
+        return self._q("embedding_int8_quantize")
+
+    def learn_bpe(self, n_merges: int = 10) -> list:
+        """Learn BPE merges over the corpus (operators/bpe.py);
+        returns the merge table rows in learned order."""
+        from transcript_analysis_spark.operators.bpe import \
+            learn_bpe_merges
+        return learn_bpe_merges(self._docs(), n_merges=n_merges)
+
+    def encode_bpe(self, merges: list | None = None) -> DataFrame:
+        """Per-doc subword token stats under a (learned or given)
+        merge table."""
+        from transcript_analysis_spark.operators.bpe import apply_bpe
+        return apply_bpe(self._docs(),
+                         merges if merges is not None else self.learn_bpe())
+
     def export_shards(self, path: str, seqs_per_shard: int = 50) -> dict:
         """Pack the corpus and write training shards + audit manifest
         (sources/shards.py). Returns the manifest."""
