@@ -230,12 +230,14 @@ def test_perplexity_matches_python_reference(spark):
     docs = {r["doc_id"]: r["text"].split(" ")
             for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .collect()}
-    uni: Counter = Counter()
     big: Counter = Counter()
     for words in docs.values():
-        uni.update(words)
         big.update(zip(words, words[1:]))
-    v = len(uni)
+    # context counts and vocabulary from the bigram table alone
+    uni: Counter = Counter()
+    for (w1, _w2), c2 in big.items():
+        uni[w1] += c2
+    v = len({w for pair in big for w in pair})
     logp = {pair: int(round(math.log((2.0 * c2 + 1.0)
                                      / (2.0 * uni[pair[0]] + v)) * 1e9))
             for pair, c2 in big.items()}
@@ -373,3 +375,14 @@ def test_bpe_apply_is_jvm_map_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # map-only over the scan
+
+
+def test_single_corpus_explode_via_checkpoint(spark):
+    """Both corpus-heavy curation queries collapse the one explode
+    into a materialized (localCheckpoint) sufficient-statistic table:
+    the executed plan must read ExistingRDD scans and contain NO
+    Generate (the corpus is never re-shingled per branch)."""
+    for name in ("duplicate_ngram_coverage", "lm_perplexity_filter"):
+        plan = plan_of(_q(spark, name))
+        assert "Scan ExistingRDD" in plan, name
+        assert "Generate" not in plan, name

@@ -193,20 +193,28 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     never doc x doc."""
     docs = (fanout(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.split("text", " ").alias("words")))
-    occ = docs.select("doc_id", F.explode(F.expr(
+    # ONE corpus explode, collapsed immediately to the per-(doc,
+    # shingle) occurrence counts — the sufficient statistic for both
+    # the duplicated-shingle set and the coverage rollup. Materialized
+    # once (localCheckpoint) so neither branch re-shingles the corpus.
+    occ_counts = (docs.select("doc_id", F.explode(F.expr(
         "CASE WHEN size(words) >= 3 THEN"
         " transform(sequence(1, size(words) - 2),"
         " i -> concat_ws(' ', slice(words, i, 3)))"
         " ELSE array() END")).alias("shingle"))
-    dup = (occ.distinct()
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True))
+    dup = (occ_counts
            .groupBy("shingle")
            .agg(F.count(F.lit(1)).alias("n_docs"))
            .filter(F.col("n_docs") >= 2)
            .select("shingle", F.lit(1).alias("is_dup")))
-    marked = occ.join(dup, "shingle", "left")
+    marked = occ_counts.join(dup, "shingle", "left")
     return (marked.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_positions"),
-                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long")
+            .agg(F.sum("n_occ").cast("long").alias("n_positions"),
+                 F.sum(F.when(F.col("is_dup").isNotNull(), F.col("n_occ"))
+                        .otherwise(F.lit(0))).cast("long")
                   .alias("n_dup_positions"))
             .withColumn("dup_fraction",
                         spark_round_ratio("n_dup_positions",
@@ -365,10 +373,6 @@ NLL_FLAG_THRESHOLD = 3.45   # flag docs with avg bigram NLL above this
     WITH docs_w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ),
-    tok AS (SELECT doc_id, unnest(words) AS w FROM docs_w),
-    uni AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1
-            FROM tok GROUP BY w),
-    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
     pos AS (
       SELECT doc_id,
              words[i]     AS w1,
@@ -377,8 +381,16 @@ NLL_FLAG_THRESHOLD = 3.45   # flag docs with avg bigram NLL above this
            unnest(generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 1)))
              AS t(i)
     ),
-    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-            FROM pos GROUP BY w1, w2),
+    pc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM pos GROUP BY doc_id, w1, w2),
+    big AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2
+            FROM pc GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1
+            FROM big GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v
+      FROM (SELECT w1 AS w FROM big UNION SELECT w2 FROM big)
+    ),
     model AS (
       SELECT b.w1, b.w2,
              CAST(round(ln((2.0 * b.c2 + 1.0) / (2.0 * u.c1 + v.v))
@@ -387,9 +399,9 @@ NLL_FLAG_THRESHOLD = 3.45   # flag docs with avg bigram NLL above this
     ),
     scored AS (
       SELECT p.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(-SUM(m.logp_e9) AS BIGINT) AS nll_e9
-      FROM pos p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+             CAST(SUM(p.cnt) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(p.cnt * m.logp_e9) AS BIGINT) AS nll_e9
+      FROM pc p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
       GROUP BY p.doc_id
     )
     SELECT doc_id, n_bigrams,
@@ -408,8 +420,10 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-based quality gate with a corpus-SELF-TRAINED bigram
     LM (the CCNet/KenLM pattern: docs whose text surprises a model of
     the corpus are flagged). Model: add-1/2-smoothed bigram
-    P(w2|w1) = (2*c(w1,w2) + 1) / (2*c(w1) + V), trained and applied
-    in the same plan.
+    P(w2|w1) = (2*c(w1,w2) + 1) / (2*c(w1) + V), where c(w1) is w1's
+    CONTEXT count (sum of its outgoing bigrams) and V the distinct
+    words observed in bigram positions — both derivable from the
+    bigram counts alone, trained and applied in the same plan.
 
     Cross-engine determinism: each model entry's log-probability is
     quantized ONCE to int64 fixed point (round(ln(p) * 1e9), the
@@ -419,33 +433,41 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/rounding.py. The flag threshold compares that exact
     rounded value, so the boolean is deterministic too.
 
-    Plan shape at scale: unigram/bigram counts are two hash
-    aggregates; the model is vocabulary-sized (|V|^2 worst case,
-    tiny next to the corpus) and BROADCAST to the position stream —
-    the corpus shuffles once on doc_id for the final rollup, never on
-    the model key."""
+    Plan shape at scale: ONE corpus explode, collapsed immediately to
+    per-(doc, bigram) counts and materialized (localCheckpoint) — the
+    sufficient statistic for BOTH model fitting and scoring, so the
+    corpus is shingled once, not once per branch. Everything above it
+    is vocabulary-sized; the model is BROADCAST back to the count
+    table (never a corpus shuffle on the model key), and the only
+    corpus-keyed shuffle is the final doc_id rollup."""
     docs = (fanout(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.split("text", " ").alias("words")))
-    tok = docs.select("doc_id", F.explode("words").alias("w"))
-    uni = tok.groupBy(F.col("w").alias("w1")).agg(
-        F.count(F.lit(1)).alias("c1"))
-    vocab = tok.agg(F.countDistinct("w").alias("v"))
-    pos = docs.select("doc_id", F.explode(F.expr(
+    pos_counts = (docs.select("doc_id", F.explode(F.expr(
         "CASE WHEN size(words) >= 2 THEN"
         " transform(sequence(1, size(words) - 1),"
         " i -> struct(element_at(words, i) as w1,"
         "             element_at(words, i + 1) as w2))"
-        " ELSE array() END")).alias("bg")
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    big = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        " ELSE array() END")).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True))
+    big = pos_counts.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (big.select(F.col("w1").alias("w"))
+             .union(big.select(F.col("w2").alias("w")))
+             .distinct()
+             .agg(F.count(F.lit(1)).alias("v")))
     model = (big.join(uni, "w1").join(F.broadcast(vocab))
              .select("w1", "w2", F.expr(
                  "cast(round(ln((2.0 * c2 + 1.0) / (2.0 * c1 + v))"
                  " * 1000000000.0) as bigint)").alias("logp_e9")))
-    scored = (pos.join(F.broadcast(model), ["w1", "w2"])
+    scored = (pos_counts.join(F.broadcast(model), ["w1", "w2"])
               .groupBy("doc_id")
-              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-                   (-F.sum("logp_e9")).cast("long").alias("nll_e9")))
+              .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+                   (-F.sum(F.col("cnt") * F.col("logp_e9"))).cast("long")
+                    .alias("nll_e9")))
     avg_nll = spark_round_ratio("nll_e9", "n_bigrams", 4, n_prescale=9)
     return scored.select(
         "doc_id", "n_bigrams",
