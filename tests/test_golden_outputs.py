@@ -80,3 +80,17 @@ def test_quality_signal_family_golden(spark):
         assert (n, d) == want, (
             f"{name} drifted: ({n}, {d!r}) — if intentional, update "
             f"via tests/test_golden_outputs.py::_fingerprint")
+
+
+def test_recursive_gapfill_fills_gaps(spark):
+    """The recursive-CTE month series must cover the full fiscal
+    window with zero-filled rows for months that have no orders (the
+    point of gap-filling), one row per month."""
+    rows = {r["month"]: r for r in
+            _q(spark, "sql_frontend_recursive_gapfill").collect()}
+    assert len(rows) == 84  # 1995-01 .. 2001-12
+    assert rows["2001-12"]["n_orders"] == 0
+    assert rows["2001-12"]["revenue"] == 0.0
+    filled = [m for m, r in rows.items() if r["n_orders"] == 0]
+    busy = [m for m, r in rows.items() if r["n_orders"] > 0]
+    assert filled and busy

@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "status_unpivot",
     "bpe_merge_learn",
     "bpe_encode_stats",
+    "sql_frontend_recursive_gapfill",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",

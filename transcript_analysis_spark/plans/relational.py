@@ -660,6 +660,57 @@ def sql_frontend_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "sql_frontend_recursive_gapfill",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-12-01'
+    ),
+    rev AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT)       AS n_orders,
+             ROUND(SUM(o_totalprice), 2)    AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m')       AS month,
+           COALESCE(rev.n_orders, 0)         AS n_orders,
+           COALESCE(rev.revenue, 0.0)        AS revenue
+    FROM months LEFT JOIN rev ON rev.month = strftime(months.m, '%Y-%m')
+    """,
+    tags=("sql", "recursive", "gapfill"),
+)
+def sql_frontend_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling via a RECURSIVE CTE through the spark.sql
+    frontend (Spark 4's WITH RECURSIVE): generate the fiscal month
+    series 1995-01..2001-12, left-join the monthly revenue rollup, and
+    zero-fill months with no orders — the TimescaleDB
+    `time_bucket_gapfill` pattern. The recursion is O(#months) driver
+    rows; the corpus side stays one hash aggregate."""
+    from transcript_analysis_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < DATE '2001-12-01'
+        ),
+        rev AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 COUNT(*)                            AS n_orders,
+                 ROUND(SUM(o_totalprice), 2)         AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM')      AS month,
+               COALESCE(rev.n_orders, 0L)            AS n_orders,
+               COALESCE(rev.revenue, 0.0D)           AS revenue
+        FROM months LEFT JOIN rev
+          ON rev.month = date_format(months.m, 'yyyy-MM')
+    """)
+
+
+@register(
     "revenue_rollup_hierarchy",
     oracle="""
     SELECT COALESCE(r.r_name, '__ALL__')  AS region_name,
