@@ -386,3 +386,62 @@ def test_single_corpus_explode_via_checkpoint(spark):
         plan = plan_of(_q(spark, name))
         assert "Scan ExistingRDD" in plan, name
         assert "Generate" not in plan, name
+
+
+# --- dedup_trim_spans -----------------------------------------------------
+
+def test_trim_spans_consistent_with_coverage(spark):
+    """Trim and coverage are two views of the same covered-position
+    set: dropped tokens <= positions covered by dup 3-grams, a doc
+    with dup_fraction 0 keeps everything, and kept+dropped == words."""
+    cov = {r["doc_id"]: r for r in
+           _q(spark, "duplicate_ngram_coverage").collect()}
+    trim = {r["doc_id"]: r for r in _q(spark, "dedup_trim_spans").collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .collect()}
+    for doc_id, r in trim.items():
+        n_words = len(docs[doc_id].split(" "))
+        assert r["n_kept"] + r["n_dropped"] == n_words
+        c = cov.get(doc_id)
+        if c is None or c["n_dup_positions"] == 0:
+            assert r["n_dropped"] == 0
+            assert r["trimmed_text"] == docs[doc_id]
+        else:
+            # every dup position covers <= 3 tokens
+            assert 0 < r["n_dropped"] <= 3 * c["n_dup_positions"]
+        # kept tokens appear in original order as a subsequence
+        kept = r["trimmed_text"].split(" ") if r["trimmed_text"] else []
+        orig = docs[doc_id].split(" ")
+        it = iter(orig)
+        assert all(any(w == o for o in it) for w in kept), doc_id
+
+
+def test_trim_spans_removes_exactly_the_duplicated_run(spark, tmp_path):
+    """Two docs share one 5-token run inside otherwise-unique text:
+    trimming must drop exactly the run plus nothing else (the shared
+    3-grams cover exactly those 5 positions)."""
+    from transcript_analysis_spark.plans.curation import dedup_trim_spans
+    shared = "red orange yellow green blue"
+    a = f"one two three {shared} four five six"
+    b = f"seven eight nine {shared} ten eleven twelve"
+    spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           dedup_trim_spans(spark, str(tmp_path)).collect()}
+    assert out[1]["trimmed_text"] == "one two three four five six"
+    assert out[2]["trimmed_text"] == "seven eight nine ten eleven twelve"
+    assert out[1]["n_dropped"] == 5 and out[2]["n_dropped"] == 5
+
+
+def test_trim_spans_rewrite_is_per_row_jvm(spark):
+    """The rewrite is an indexed filter over the original words — no
+    token-level explode of the corpus in the final plan (the one
+    positional explode is checkpointed), no Python, no ordered
+    string aggregation window."""
+    plan = plan_of(_q(spark, "dedup_trim_spans"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" not in plan

@@ -221,6 +221,95 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           "n_positions", 6)))
 
 
+# --- duplicate-span trimming ---------------------------------------------
+
+@register(
+    "dedup_trim_spans",
+    oracle=f"""
+    WITH docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i,
+             array_to_string(words[i:i+2], ' ') AS shingle
+      FROM docs_w,
+           unnest(generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 2)))
+             AS t(i)
+    ),
+    dup AS (
+      SELECT shingle
+      FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs
+            FROM pos GROUP BY shingle)
+      WHERE n_docs >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT p.doc_id, p.i + o.off AS t
+      FROM pos p JOIN dup d ON d.shingle = p.shingle
+      CROSS JOIN (VALUES (0), (1), (2)) AS o(off)
+    ),
+    tokens AS (
+      SELECT doc_id, i AS t, words[i] AS w
+      FROM docs_w,
+           unnest(generate_series(1, CAST(len(words) AS BIGINT))) AS u(i)
+    )
+    SELECT k.doc_id,
+           COALESCE(string_agg(k.w, ' ' ORDER BY k.t), '') AS trimmed_text,
+           CAST(COUNT(k.w) AS BIGINT) AS n_kept,
+           CAST(MAX(k.total) - COUNT(k.w) AS BIGINT) AS n_dropped
+    FROM (
+      SELECT tk.doc_id, tk.t,
+             CASE WHEN c.t IS NULL THEN tk.w END AS w,
+             CAST(len(d.words) AS BIGINT) AS total
+      FROM tokens tk
+      JOIN docs_w d ON d.doc_id = tk.doc_id
+      LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.t = tk.t
+    ) k
+    GROUP BY k.doc_id
+    """,
+    tags=("curation", "dedup"),
+)
+def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION of exact-substring dedup: rewrite every document
+    with cross-document duplicated spans removed. A token survives iff
+    no duplicated 3-gram window covers its position (Lee et al. 2022's
+    span removal, at shingle granularity).
+
+    Plan shape: one positional-shingle explode (checkpointed once,
+    reused for the duplicated-set build and the coverage expansion);
+    covered positions collapse to a PER-DOC array via collect_set, and
+    the rewrite itself is per-row JVM array math — an indexed
+    `filter` lambda over the original words — so the corpus text is
+    never exploded token-by-token or re-assembled through an ordered
+    string aggregate."""
+    docs = (fanout(_t(spark, sf_dir, "documents"))
+            .select("doc_id", F.split("text", " ").alias("words")))
+    pos = (docs.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(words) >= 3 THEN"
+        " transform(sequence(1, size(words) - 2),"
+        " i -> struct(i as i, concat_ws(' ', slice(words, i, 3)) as s))"
+        " ELSE array() END")).alias("p"))
+        .select("doc_id", F.col("p.i").alias("i"),
+                F.col("p.s").alias("shingle"))
+        .localCheckpoint(eager=True))
+    dup = (pos.select("doc_id", "shingle").distinct()
+           .groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+           .filter(F.col("n_docs") >= 2).select("shingle"))
+    cov = (pos.join(dup, "shingle")
+           .select("doc_id", F.explode(F.expr(
+               "array(i, i + 1, i + 2)")).alias("t"))
+           .distinct()
+           .groupBy("doc_id").agg(F.collect_set("t").alias("cov_arr")))
+    joined = docs.join(cov, "doc_id", "left").withColumn(
+        "kept", F.expr(
+            "filter(words, (w, idx) ->"
+            " NOT array_contains(coalesce(cov_arr, array()), idx + 1))"))
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("kept")).alias("trimmed_text"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("words") - F.size("kept")).cast("long").alias("n_dropped"))
+
+
 # --- canonical selection over near-dup components ------------------------
 
 def _duck_lsh_component_ctes() -> str:

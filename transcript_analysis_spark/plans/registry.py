@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_merge_learn",
     "bpe_encode_stats",
     "sql_frontend_recursive_gapfill",
+    "dedup_trim_spans",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",
