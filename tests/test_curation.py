@@ -445,3 +445,50 @@ def test_trim_spans_rewrite_is_per_row_jvm(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+# --- dataset_split_assignment --------------------------------------------
+
+def test_split_assignment_proportions_and_leakage(spark):
+    """Splits are ~80/10/10, deterministic across runs, and exact
+    duplicate texts always share a split (no leakage through
+    copies)."""
+    rows = _q(spark, "dataset_split_assignment").collect()
+    n = len(rows)
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.6
+    assert 0.02 < counts.get("val", 0) / n < 0.25
+    assert 0.02 < counts.get("test", 0) / n < 0.25
+    again = _q(spark, "dataset_split_assignment").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # same text -> same split
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .collect()}
+    by_text = {}
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    for doc_id, text in docs.items():
+        by_text.setdefault(text, set()).add(split_of[doc_id])
+    assert all(len(s) == 1 for s in by_text.values())
+
+
+def test_split_assignment_stable_under_corpus_growth(spark, tmp_path):
+    """Adding documents must not move any existing doc's split (the
+    property row_number-modulo assignment lacks)."""
+    from transcript_analysis_spark.plans.curation import (
+        dataset_split_assignment)
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base.write.parquet(f"{tmp_path}/small/documents.parquet")
+    extra = base.selectExpr("doc_id + 100000 as doc_id",
+                            "concat(text, ' zzz') as text", "lang",
+                            "source", "n_chars + 4 as n_chars")
+    base.unionByName(extra).write.parquet(
+        f"{tmp_path}/big/documents.parquet")
+    small = {r["doc_id"]: r["split"] for r in
+             dataset_split_assignment(spark, f"{tmp_path}/small").collect()}
+    big = {r["doc_id"]: r["split"] for r in
+           dataset_split_assignment(spark, f"{tmp_path}/big").collect()}
+    assert all(big[d] == s for d, s in small.items())

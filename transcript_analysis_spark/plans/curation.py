@@ -221,6 +221,48 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           "n_positions", 6)))
 
 
+# --- deterministic dataset split -----------------------------------------
+
+SPLIT_BUCKETS = 10  # hash-mod buckets: 0-7 train, 8 val, 9 test
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             ({duck_char_hash("text || '|split'")}) % {SPLIT_BUCKETS}
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    tags=("curation", "sampling"),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash
+    (80/10/10 in expectation): reproducible across engines and runs,
+    stable under corpus growth (a doc's split never changes when other
+    docs arrive — unlike row_number modulo), and content-keyed so
+    exact duplicates land in the SAME split (no train/test leakage
+    through copies). Map-only: zero shuffle.
+
+    The '|split' salt decorrelates this hash from every other use of
+    the content hash (sampling, fingerprints): membership in the
+    sample set and the test set stay independent."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr(spark_char_hash("text || '|split'")) % SPLIT_BUCKETS
+    return d.select(
+        "doc_id", "lang",
+        F.when(bucket <= 7, F.lit("train"))
+         .when(bucket == 8, F.lit("val"))
+         .otherwise(F.lit("test")).alias("split"))
+
+
 # --- duplicate-span trimming ---------------------------------------------
 
 @register(

@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_encode_stats",
     "sql_frontend_recursive_gapfill",
     "dedup_trim_spans",
+    "dataset_split_assignment",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",
