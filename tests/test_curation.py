@@ -492,3 +492,51 @@ def test_split_assignment_stable_under_corpus_growth(spark, tmp_path):
     big = {r["doc_id"]: r["split"] for r in
            dataset_split_assignment(spark, f"{tmp_path}/big").collect()}
     assert all(big[d] == s for d, s in small.items())
+
+
+# --- hybrid_rrf_fusion ----------------------------------------------------
+
+def test_bucketed_rank_equals_global_row_number(spark):
+    """The bucketed-rank pattern must reproduce the exact global
+    row_number by (score desc, doc_id asc) — including tied scores,
+    which always share a bucket."""
+    from transcript_analysis_spark.plans.curation import _bucketed_rank
+    rows = [(i, float(s)) for i, s in enumerate(
+        [3.2, 1.1, 1.1, 0.0, 2.74, 2.74, 2.74, 9.9, 0.005, 1.1007, -0.0])]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {r["doc_id"]: r["rk"] for r in
+           _bucketed_rank(df, "score", "rk").collect()}
+    expect = {doc: rk + 1 for rk, (doc, _s) in enumerate(
+        sorted(rows, key=lambda t: (-t[1], t[0])))}
+    assert got == expect
+
+
+def test_rrf_orders_and_bounds(spark):
+    """RRF scores are in (0, 2/(k+1)], the best-fused doc has the
+    smallest rank sum, and ranks are a permutation of 1..n per
+    ranker."""
+    from transcript_analysis_spark.plans.curation import RRF_K
+    rows = _q(spark, "hybrid_rrf_fusion").collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r["rank_bm25"] for r in rows) == list(range(1, n + 1))
+    assert sorted(r["rank_quality"] for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert 0.0 < r["rrf"] <= 2.0 / (RRF_K + 1) + 1e-9
+    best = max(rows, key=lambda r: r["rrf"])
+    # rrf is monotone-decreasing in each rank: the best doc cannot be
+    # dominated by another doc that ranks better on both signals
+    for r in rows:
+        if r is not best:
+            assert not (r["rank_bm25"] <= best["rank_bm25"]
+                        and r["rank_quality"] <= best["rank_quality"])
+
+
+def test_rrf_no_global_window(spark):
+    """Ranking must come from the bucket-partitioned pattern — no
+    unpartitioned (single-task) window in the executed plan."""
+    import re
+    plan = plan_of(_q(spark, "hybrid_rrf_fusion"))
+    assert "BatchEvalPython" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"

@@ -221,6 +221,107 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           "n_positions", 6)))
 
 
+# --- hybrid rank fusion ---------------------------------------------------
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+
+
+def _bucketed_rank(df: DataFrame, score_col: str, rank_col: str) -> DataFrame:
+    """Exact global dense ordering rank (row_number by score desc,
+    doc_id asc) WITHOUT a global single-task window: scores are
+    bucketed (floor(score*100) — equal scores always share a bucket,
+    buckets order with scores), ranks are row_numbers within each
+    bucket partition, and each bucket's offset is the count of rows in
+    strictly-higher buckets, computed by a non-equi join over the
+    O(#buckets) count table. Scales as a partitioned window + a tiny
+    broadcast join instead of one task sorting the world."""
+    from pyspark.sql import Window
+    b = df.withColumn("_bkt", F.expr(
+        f"cast(floor({score_col} * 100) as bigint)"))
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    offs = (counts.alias("x")
+            .join(F.broadcast(counts.alias("y")),
+                  F.col("y._bkt") > F.col("x._bkt"), "left")
+            .groupBy(F.col("x._bkt").alias("_bkt"))
+            .agg(F.coalesce(F.sum("y._c"), F.lit(0)).alias("_off")))
+    w = Window.partitionBy("_bkt").orderBy(F.desc(score_col),
+                                           F.asc("doc_id"))
+    return (b.join(F.broadcast(offs), "_bkt")
+            .withColumn(rank_col,
+                        (F.col("_off") + F.row_number().over(w))
+                        .cast("long"))
+            .drop("_bkt", "_c", "_off"))
+
+
+def _register_rrf() -> None:
+    # oracle composed from the already-registered component oracles;
+    # import scale_ops explicitly so a direct `import curation` (tests)
+    # registers bm25_scores before the lookup
+    from transcript_analysis_spark.plans import scale_ops  # noqa: F401
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    bm_oracle = _REGISTRY["bm25_scores"].oracle
+    q_oracle = _REGISTRY["text_quality_scores"].oracle
+
+    @register(
+        "hybrid_rrf_fusion",
+        oracle=f"""
+        WITH bm AS ({bm_oracle}),
+        q AS ({q_oracle}),
+        j AS (
+          SELECT bm.doc_id, bm.bm25, q.quality
+          FROM bm JOIN q ON q.doc_id = bm.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS BIGINT) AS rank_bm25,
+                 CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id)
+                      AS BIGINT) AS rank_quality
+          FROM j
+        )
+        SELECT doc_id, rank_bm25, rank_quality,
+               {duck_round_ratio(
+                   f'rank_bm25 + rank_quality + 2 * {RRF_K}',
+                   f'({RRF_K} + rank_bm25) * ({RRF_K} + rank_quality)',
+                   6)} AS rrf
+        FROM ranked
+        """,
+        tags=("curation", "ranking"),
+    )
+    def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reciprocal-rank fusion of two retrieval signals — BM25
+        lexical relevance and the text-quality prior — the standard
+        hybrid-search combiner (Cormack et al. 2009):
+        rrf = 1/(k + r_bm25) + 1/(k + r_quality), k = 60.
+
+        Exactness: both input scores are already engine-exact rounded
+        values, ranks are integers, and the fused score is the exact
+        integer rational (r_a + r_b + 2k) / ((k + r_a)(k + r_b))
+        half-up-rounded via functions/rounding.py — no float-sum or
+        round-boundary hazard (1/(60+r) alone CAN terminate exactly on
+        a decimal half at r=68, which plain round() would split on).
+
+        Scale: global ranking uses the bucketed-rank pattern (no
+        single-task window); the fusion itself is per-row math."""
+        from transcript_analysis_spark.plans.data_pipeline import (
+            text_quality_scores)
+        from transcript_analysis_spark.plans.scale_ops import bm25_scores
+        bm = bm25_scores(spark, sf_dir).select("doc_id", "bm25")
+        q = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+        j = bm.join(q, "doc_id")
+        ranked = _bucketed_rank(
+            _bucketed_rank(j, "bm25", "rank_bm25"),
+            "quality", "rank_quality")
+        num = f"rank_bm25 + rank_quality + 2 * {RRF_K}"
+        den = f"({RRF_K} + rank_bm25) * ({RRF_K} + rank_quality)"
+        return ranked.select(
+            "doc_id", "rank_bm25", "rank_quality",
+            spark_round_ratio(num, den, 6).alias("rrf"))
+
+
+_register_rrf()
+
+
 # --- deterministic dataset split -----------------------------------------
 
 SPLIT_BUCKETS = 10  # hash-mod buckets: 0-7 train, 8 val, 9 test

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_frontend_recursive_gapfill",
     "dedup_trim_spans",
     "dataset_split_assignment",
+    "hybrid_rrf_fusion",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",
