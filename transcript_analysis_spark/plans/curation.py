@@ -1,42 +1,45 @@
-"""Corpus-curation operators: PII anonymization, duplicate-span
-coverage, cluster-level canonical selection, and embedding
-quantization.
+"""Corpus-curation operators: the decide/anonymize/compress layer a
+large-scale training-data pipeline runs AFTER dedup/quality signals
+exist.
 
-These close the loop on what a large-scale training-data pipeline does
-AFTER dedup/quality signals exist: decide what to keep, anonymize what
-ships, and compress what's stored. The portable-arithmetic discipline
-of plans/data_pipeline.py applies throughout — every hash, truncation,
-and rounding is exact or fixed-point int64 math both engines reproduce
-bit-for-bit.
+The portable-arithmetic discipline of plans/data_pipeline.py applies
+throughout — every hash, truncation, and rounding is exact or
+fixed-point int64 math both engines reproduce bit-for-bit.
 
 Scale notes, per operator:
 
-- ``pii_k_anonymity``: per-row masking/pseudonymization is map-only
-  (narrow, no shuffle); the quasi-identifier group sizes are ONE small
-  aggregate (|nations| x |segments| x |balance buckets| rows) joined
-  back via broadcast — at 100 TB the group-size table is still tiny,
-  so suppression never shuffles the fact table.
-- ``duplicate_ngram_coverage``: the per-document "how much of this doc
-  is duplicated text elsewhere" signal from exact-substring dedup
-  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
-  Better" — the coverage statistic, computed on word 3-grams). Two
-  shuffles on the shingle key (distinct doc-counts, then the
-  occurrence join) + one on doc_id; never doc x doc.
-- ``dedup_keep_best``: the decision step of near-dup dedup — one
-  surviving document per connected component, chosen by quality
-  (longest text, then smallest doc_id). Selection is a single
-  hash-aggregate with a struct-max (no window, no sort) after the
-  O(log n)-round component contraction.
+- ``pii_k_anonymity``: per-row masking/pseudonymization is map-only;
+  the quasi-identifier group sizes are ONE small aggregate
+  (|nations| x |segments| x |balance buckets| rows) joined back via
+  broadcast — the fact table is never shuffled for suppression.
+- ``duplicate_ngram_coverage`` / ``dedup_trim_spans``: the signal and
+  the ACTION of exact-substring dedup (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"), on word
+  3-grams. One corpus explode each, collapsed/checkpointed into a
+  sufficient-statistic table; all shuffles on shingle/doc_id keys,
+  never doc x doc; the trim rewrite is a per-row indexed filter
+  lambda, not a token explode + ordered re-aggregation.
+- ``dedup_keep_best``: one surviving document per near-dup connected
+  component (longest text, then smallest doc_id) — a single
+  struct-max hash aggregate after the O(log n)-round contraction.
+- ``bpe_merge_learn`` / ``bpe_encode_stats``: iterative tokenizer
+  training (operators/bpe.py) — one corpus-sized aggregate, then
+  vocabulary-sized merge rounds, corpus-size-independent.
+- ``lm_perplexity_filter``: corpus-self-trained bigram-LM quality
+  gate; int64-quantized model logps make NLL sums exact integer math.
+- ``hybrid_rrf_fusion``: reciprocal-rank fusion of BM25 relevance and
+  the quality prior; global ranks via the bucketed-rank pattern (no
+  single-task window), fused score as an exact integer rational.
+- ``dataset_split_assignment``: content-hash train/val/test split —
+  reproducible, growth-stable, leak-free for exact copies; map-only.
 - ``embedding_int8_quantize``: symmetric per-vector int8 quantization
-  (the storage/serving compression step for ANN at scale: 4x smaller
-  than float32, scale factor per vector). Entirely per-row JVM
-  higher-order-function math; outputs are fixed-point integers so the
-  oracle comparison is exact.
+  (4x storage compression for ANN); per-row JVM array math with
+  fixed-point integer outputs.
 
 Reference parity: the reference keeps raw identities and full text in
-PostgreSQL (`sql/schema.sql`) and has no anonymization/quantization
-stage; these operators are the scale-path additions the task brief
-asks for beyond reference coverage.
+PostgreSQL (`sql/schema.sql`) and has no curation stage; these
+operators are the scale-path additions the task brief asks for beyond
+reference coverage.
 """
 
 from __future__ import annotations
