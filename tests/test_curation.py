@@ -540,3 +540,64 @@ def test_rrf_no_global_window(spark):
     assert "BatchEvalPython" not in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_bkt" in spec, f"unpartitioned window: {spec}"
+
+
+# --- corpus_release_prep --------------------------------------------------
+
+def test_release_prep_composes_its_stages(spark):
+    """The composite's decision per doc must equal recombining the
+    standalone stage outputs with the documented precedence."""
+    cov = {r["doc_id"]: r["dup_fraction"] for r in
+           _q(spark, "duplicate_ngram_coverage").collect()}
+    ppl = {r["doc_id"]: r["flagged"] for r in
+           _q(spark, "lm_perplexity_filter").collect()}
+    spl = {r["doc_id"]: r["split"] for r in
+           _q(spark, "dataset_split_assignment").collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .collect()}
+    canonical = {}
+    for doc_id, text in sorted(docs.items()):
+        canonical.setdefault(text, doc_id)
+    from transcript_analysis_spark.plans.curation import COV_DROP_THRESHOLD
+    got = {r["doc_id"]: r for r in
+           _q(spark, "corpus_release_prep").collect()}
+    assert set(got) == set(docs)
+    n_dropped = 0
+    for doc_id in docs:
+        if canonical[docs[doc_id]] != doc_id:
+            expect = "duplicate"
+        elif cov.get(doc_id) is not None and cov[doc_id] > COV_DROP_THRESHOLD:
+            expect = "dup_coverage"
+        elif ppl.get(doc_id):
+            expect = "perplexity"
+        else:
+            expect = "none"
+        r = got[doc_id]
+        assert r["drop_reason"] == expect, doc_id
+        assert r["keep"] == (expect == "none")
+        assert r["split"] == spl[doc_id]
+        n_dropped += expect != "none"
+    # the gates must actually bite on this corpus, and not drop it all
+    assert 0 < n_dropped < len(docs)
+
+
+def test_release_prep_duplicate_precedence(spark, tmp_path):
+    """A copy that would ALSO fail coverage must report 'duplicate'
+    (precedence is part of the contract), and its canonical twin —
+    same fully-duplicated text — falls to the coverage gate."""
+    from transcript_analysis_spark.plans import all_queries
+    corpus_release_prep = all_queries()["corpus_release_prep"].fn
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight"
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text)),
+         (2, text, "en", "s", len(text)),
+         (3, uniq, "en", "s", len(uniq))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           corpus_release_prep(spark, str(tmp_path)).collect()}
+    assert out[2]["drop_reason"] == "duplicate"
+    assert out[1]["drop_reason"] == "dup_coverage"  # 100% covered
+    assert out[3]["drop_reason"] in ("none", "perplexity")

@@ -711,6 +711,93 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (avg_nll > NLL_FLAG_THRESHOLD).alias("flagged"))
 
 
+# --- end-to-end release prep ---------------------------------------------
+
+COV_DROP_THRESHOLD = 0.9  # drop docs with > 90% duplicated positions
+
+
+def _register_release_prep() -> None:
+    # composed from the registered component oracles so the composite
+    # can never drift from its stages
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    cov_oracle = _REGISTRY["duplicate_ngram_coverage"].oracle
+    ppl_oracle = _REGISTRY["lm_perplexity_filter"].oracle
+    spl_oracle = _REGISTRY["dataset_split_assignment"].oracle
+
+    @register(
+        "corpus_release_prep",
+        oracle=f"""
+        WITH cov AS ({cov_oracle}),
+        ppl AS ({ppl_oracle}),
+        spl AS ({spl_oracle}),
+        minid AS (
+          SELECT text, MIN(doc_id) AS canonical_id
+          FROM documents GROUP BY text
+        ),
+        dupflag AS (
+          SELECT d.doc_id, d.doc_id <> m.canonical_id AS is_copy
+          FROM documents d JOIN minid m ON m.text = d.text
+        )
+        SELECT s.doc_id, s.lang, s.split,
+               CASE WHEN f.is_copy THEN 'duplicate'
+                    WHEN c.dup_fraction > {COV_DROP_THRESHOLD}
+                      THEN 'dup_coverage'
+                    WHEN p.flagged THEN 'perplexity'
+                    ELSE 'none' END AS drop_reason,
+               CASE WHEN f.is_copy THEN FALSE
+                    WHEN c.dup_fraction > {COV_DROP_THRESHOLD} THEN FALSE
+                    WHEN p.flagged THEN FALSE
+                    ELSE TRUE END AS keep
+        FROM spl s
+        JOIN dupflag f ON f.doc_id = s.doc_id
+        LEFT JOIN cov c ON c.doc_id = s.doc_id
+        LEFT JOIN ppl p ON p.doc_id = s.doc_id
+        """,
+        headline=True,
+        tags=("curation", "composite"),
+    )
+    def corpus_release_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The round-6 curation stages as ONE release decision per
+        document: exact-duplicate copies drop first, then docs whose
+        duplicated-span coverage exceeds 90%, then perplexity-flagged
+        outliers; survivors carry their deterministic train/val/test
+        split. Decision precedence is part of the contract (a copy is
+        'duplicate' even if it would also fail coverage).
+
+        Every stage is the REGISTERED query (and the oracle is
+        composed from the registered oracles), so the composite can't
+        drift from the parts; the joins are all doc_id-keyed except
+        the canonical-text group, which shuffles on the text key like
+        exact_dedup_groups. Missing stage rows (docs too short for
+        shingles/bigrams) fail no gate — NULL comparisons are
+        non-drops in both engines."""
+        spl = dataset_split_assignment(spark, sf_dir)
+        cov = duplicate_ngram_coverage(spark, sf_dir).select(
+            "doc_id", "dup_fraction")
+        ppl = lm_perplexity_filter(spark, sf_dir).select("doc_id", "flagged")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        minid = docs.groupBy("text").agg(
+            F.min("doc_id").alias("canonical_id"))
+        dupflag = (docs.join(minid, "text")
+                   .select("doc_id",
+                           (F.col("doc_id") != F.col("canonical_id"))
+                           .alias("is_copy")))
+        j = (spl.join(dupflag, "doc_id")
+             .join(cov, "doc_id", "left")
+             .join(ppl, "doc_id", "left"))
+        reason = (F.when(F.col("is_copy"), F.lit("duplicate"))
+                  .when(F.col("dup_fraction") > COV_DROP_THRESHOLD,
+                        F.lit("dup_coverage"))
+                  .when(F.col("flagged"), F.lit("perplexity"))
+                  .otherwise(F.lit("none")))
+        return j.select("doc_id", "lang", "split",
+                        reason.alias("drop_reason"),
+                        (reason == "none").alias("keep"))
+
+
+_register_release_prep()
+
+
 # --- int8 embedding quantization -----------------------------------------
 
 @register(

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_trim_spans",
     "dataset_split_assignment",
     "hybrid_rrf_fusion",
+    "corpus_release_prep",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",
