@@ -65,6 +65,32 @@ def _spark_bloom_positions(h_col: str) -> list[str]:
             for a, b in BLOOM_K_AB]
 
 
+def bloom_hit_column(h_col: str = "h", map_col: str = "bm"):
+    """All-k-bits-set probe of the single-row word->bits bloom map —
+    shared by the batch prefilter and the streaming decontaminator
+    (streaming/decontam.py)."""
+    hit = None
+    for p in _spark_bloom_positions(h_col):
+        one = F.expr(
+            f"(coalesce(element_at({map_col}, ({p}) div {BLOOM_WORD_BITS}), 0)"
+            f" & shiftleft(cast(1 as bigint),"
+            f" cast(({p}) % {BLOOM_WORD_BITS} as int))) != 0")
+        hit = one if hit is None else (hit & one)
+    return hit
+
+
+def bloom_words(shingle_df: DataFrame) -> DataFrame:
+    """(w, bits) bloom word table of a distinct-shingle frame — the
+    persistable form of the filter (65,536 rows max)."""
+    trh = shingle_df.select(F.expr(spark_char_hash("shingle")).alias("h"))
+    pos = trh.select(F.explode(F.array(
+        *[F.expr(p) for p in _spark_bloom_positions("h")])).alias("pos"))
+    return (pos.groupBy(F.expr(f"pos div {BLOOM_WORD_BITS}").alias("w"))
+            .agg(F.expr(
+                f"bit_or(shiftleft(cast(1 as bigint),"
+                f" cast(pos % {BLOOM_WORD_BITS} as int)))").alias("bits")))
+
+
 @register(
     "bloom_prefilter_contamination",
     oracle=f"""
@@ -148,26 +174,14 @@ def bloom_prefilter_contamination(spark: SparkSession,
     # (the _spark_vocab pattern; at real scale persist(DISK_ONLY)).
     train = (sh.join(src.filter(~is_eval), "doc_id")
              .select("shingle").distinct().localCheckpoint(eager=True))
-    trh = train.select(F.expr(spark_char_hash("shingle")).alias("h"))
-    pos = trh.select(F.explode(F.array(
-        *[F.expr(p) for p in _spark_bloom_positions("h")])).alias("pos"))
-    bwords = (pos.groupBy(F.expr(f"pos div {BLOOM_WORD_BITS}").alias("w"))
-              .agg(F.expr(
-                  f"bit_or(shiftleft(cast(1 as bigint),"
-                  f" cast(pos % {BLOOM_WORD_BITS} as int)))").alias("bits")))
+    bwords = bloom_words(train)
     bitmap = bwords.agg(F.map_from_entries(
         F.collect_list(F.struct("w", "bits"))).alias("bm"))
 
     ev = (sh.join(src.filter(is_eval), "doc_id")
           .withColumn("h", F.expr(spark_char_hash("shingle"))))
     probe = ev.join(F.broadcast(bitmap))
-    hit = None
-    for p in _spark_bloom_positions("h"):
-        one = F.expr(
-            f"(coalesce(element_at(bm, ({p}) div {BLOOM_WORD_BITS}), 0)"
-            f" & shiftleft(cast(1 as bigint),"
-            f" cast(({p}) % {BLOOM_WORD_BITS} as int))) != 0")
-        hit = one if hit is None else (hit & one)
+    hit = bloom_hit_column("h", "bm")
     # Materialized once (eval-split shingles — decontamination eval
     # sets are small relative to the corpus): both output branches
     # read the checkpoint instead of re-running the probe pipeline.
