@@ -601,3 +601,102 @@ def test_release_prep_duplicate_precedence(spark, tmp_path):
     assert out[2]["drop_reason"] == "duplicate"
     assert out[1]["drop_reason"] == "dup_coverage"  # 100% covered
     assert out[3]["drop_reason"] in ("none", "perplexity")
+
+
+# --- lm_backoff_eval ------------------------------------------------------
+
+def test_backoff_tiers_match_python_reference(spark, tmp_path):
+    """Constructed corpus where the eval split contains seen bigrams,
+    unseen bigrams of seen words (backoff tier), and OOV words (floor
+    tier): every tier count and the fixed-point NLL must match a pure
+    Python implementation of the same quantized model."""
+    import math
+    from collections import Counter
+
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.plans.curation import BACKOFF_ALPHA
+    from transcript_analysis_spark.plans.data_pipeline import EVAL_SOURCES
+
+    train_texts = ["the cat sat on the mat", "the dog sat on the rug",
+                   "a cat and a dog ran"]
+    # "mat the" unseen-bigram (both words seen); "zebra" OOV
+    eval_texts = ["the cat sat", "mat the dog", "the zebra sat on"]
+    rows = [(i, t, "en", "src9", len(t))
+            for i, t in enumerate(train_texts)]
+    rows += [(100 + i, t, "en", EVAL_SOURCES[0], len(t))
+             for i, t in enumerate(eval_texts)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # python reference with identical quantization
+    big: Counter = Counter()
+    uni: Counter = Counter()
+    for t in train_texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    ctx: Counter = Counter()
+    for (w1, _), c in big.items():
+        ctx[w1] += c
+    T, V = sum(uni.values()), len(uni)
+
+    def q(x):
+        return int(round(x * 1e9))
+
+    bi_logp = {p: q(math.log((2.0 * c + 1.0) / (2.0 * ctx[p[0]] + V)))
+               for p, c in big.items()}
+    uni_logp = {w: q(math.log(BACKOFF_ALPHA)
+                     + math.log((2.0 * u + 1.0) / (2.0 * T + V)))
+                for w, u in uni.items()}
+    oov_logp = q(math.log(BACKOFF_ALPHA) + math.log(1.0 / (2.0 * T + V)))
+
+    got = {r["doc_id"]: r for r in
+           all_queries()["lm_backoff_eval"].fn(spark, str(tmp_path))
+           .collect()}
+    assert set(got) == {100, 101, 102}
+    tier_totals = {"backoff": 0, "oov": 0}
+    for doc_id, text in ((100 + i, t) for i, t in enumerate(eval_texts)):
+        ws = text.split(" ")
+        nll, n_back, n_oov = 0, 0, 0
+        for p in zip(ws, ws[1:]):
+            if p in bi_logp:
+                nll -= bi_logp[p]
+            elif p[1] in uni_logp:
+                nll -= uni_logp[p[1]]
+                n_back += 1
+            else:
+                nll -= oov_logp
+                n_oov += 1
+        n = len(ws) - 1
+        r = got[doc_id]
+        assert (r["n_bigrams"], r["n_backoff"], r["n_oov"]) == (
+            n, n_back, n_oov), doc_id
+        expect_avg = ((2 * abs(nll) + n * 100000) // (2 * n * 100000)
+                      ) / 1e4 * (1 if nll >= 0 else -1)
+        assert r["avg_nll"] == expect_avg, doc_id
+        tier_totals["backoff"] += n_back
+        tier_totals["oov"] += n_oov
+    # the constructed corpus must actually exercise both fallback tiers
+    assert tier_totals["backoff"] > 0 and tier_totals["oov"] > 0
+
+
+def test_backoff_orders_surprise(spark, tmp_path):
+    """OOV-heavy eval docs must score strictly worse (higher NLL) than
+    an in-domain eval doc under the same model."""
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.plans.data_pipeline import EVAL_SOURCES
+    train = [(i, "alpha beta gamma delta alpha beta", "en", "s", 30)
+             for i in range(4)]
+    evals = [(50, "alpha beta gamma delta", "en", EVAL_SOURCES[0], 20),
+             (51, "qq ww ee rr tt yy", "en", EVAL_SOURCES[0], 17)]
+    spark.createDataFrame(
+        train + evals,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           all_queries()["lm_backoff_eval"].fn(spark, str(tmp_path))
+           .collect()}
+    assert out[51]["n_oov"] == out[51]["n_bigrams"]
+    assert out[51]["avg_nll"] > out[50]["avg_nll"]

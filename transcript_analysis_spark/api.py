@@ -210,6 +210,17 @@ class TranscriptEngine:
         high-NLL flag (the CCNet/KenLM quality gate)."""
         return self._q("lm_perplexity_filter")
 
+    def eval_perplexity(self) -> DataFrame:
+        """Held-out cross-entropy of the eval split under a
+        train-split bigram LM with stupid backoff (tier usage
+        exposed as n_backoff / n_oov)."""
+        return self._q("lm_backoff_eval")
+
+    def release_prep(self) -> DataFrame:
+        """One keep/drop+split decision per doc: duplicate ->
+        coverage -> perplexity gates with contractual precedence."""
+        return self._q("corpus_release_prep")
+
     def quantize_embeddings(self) -> DataFrame:
         """Symmetric int8 quantization stats per embedding vector."""
         return self._q("embedding_int8_quantize")

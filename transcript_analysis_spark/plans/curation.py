@@ -711,6 +711,173 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (avg_nll > NLL_FLAG_THRESHOLD).alias("flagged"))
 
 
+# --- held-out LM eval with stupid backoff ---------------------------------
+
+BACKOFF_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def _register_backoff_eval() -> None:
+    from transcript_analysis_spark.plans.data_pipeline import EVAL_SOURCES
+
+    train_pred = f"source NOT IN {EVAL_SOURCES!r}"
+    eval_pred = f"source IN {EVAL_SOURCES!r}"
+
+    @register(
+        "lm_backoff_eval",
+        oracle=f"""
+        WITH train_w AS (
+          SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE {train_pred}
+        ),
+        eval_w AS (
+          SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE {eval_pred}
+        ),
+        ttok AS (SELECT unnest(words) AS w FROM train_w),
+        tstats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM ttok
+        ),
+        uni AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS u FROM ttok GROUP BY w
+        ),
+        tpos AS (
+          SELECT words[i] AS w1, words[i + 1] AS w2
+          FROM train_w,
+               unnest(generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 1)))
+                 AS x(i)
+        ),
+        big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM tpos GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1
+                FROM big GROUP BY w1),
+        bimodel AS (
+          SELECT b.w1, b.w2,
+                 CAST(round(ln((2.0 * b.c2 + 1.0) / (2.0 * x.c1 + s.v))
+                            * 1000000000.0) AS BIGINT) AS logp_e9
+          FROM big b JOIN ctx x ON x.w1 = b.w1 CROSS JOIN tstats s
+        ),
+        unimodel AS (
+          SELECT u.w,
+                 CAST(round((ln({BACKOFF_ALPHA})
+                             + ln((2.0 * u.u + 1.0) / (2.0 * s.t + s.v)))
+                            * 1000000000.0) AS BIGINT) AS logp_e9
+          FROM uni u CROSS JOIN tstats s
+        ),
+        oov AS (
+          SELECT CAST(round((ln({BACKOFF_ALPHA})
+                             + ln(1.0 / (2.0 * s.t + s.v)))
+                            * 1000000000.0) AS BIGINT) AS logp_e9
+          FROM tstats s
+        ),
+        epos AS (
+          SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+          FROM eval_w,
+               unnest(generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 1)))
+                 AS x(i)
+        ),
+        ec AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM epos GROUP BY doc_id, w1, w2)
+        SELECT e.doc_id,
+               CAST(SUM(e.cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN b.logp_e9 IS NULL
+                             AND u.logp_e9 IS NOT NULL
+                        THEN e.cnt ELSE 0 END) AS BIGINT) AS n_backoff,
+               CAST(SUM(CASE WHEN b.logp_e9 IS NULL AND u.logp_e9 IS NULL
+                        THEN e.cnt ELSE 0 END) AS BIGINT) AS n_oov,
+               {duck_round_ratio(
+                   "-SUM(e.cnt * COALESCE(b.logp_e9, u.logp_e9, o.logp_e9))",
+                   "SUM(e.cnt)", 4, n_prescale=9)} AS avg_nll
+        FROM ec e
+        LEFT JOIN bimodel b ON b.w1 = e.w1 AND b.w2 = e.w2
+        LEFT JOIN unimodel u ON u.w = e.w2
+        CROSS JOIN oov o
+        GROUP BY e.doc_id
+        """,
+        tags=("curation", "quality", "lm"),
+    )
+    def lm_backoff_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Held-out cross-entropy: train the smoothed bigram LM on the
+        NON-eval sources only, score the eval split with STUPID
+        BACKOFF (Brants et al. 2007) — unseen bigram backs off to
+        alpha * smoothed unigram, unseen word to alpha * the uniform
+        floor. This is the realistic eval-perplexity shape (unlike
+        `lm_perplexity_filter`, which scores in-corpus and never
+        meets an unseen bigram); n_backoff / n_oov expose how often
+        each tier fires.
+
+        All three model tiers quantize their log-probs to int64 at
+        MODEL level (bigram table, unigram table, one OOV constant),
+        so per-doc sums stay exact integer math; the two model joins
+        are vocabulary-sized broadcasts against the eval bigram-count
+        table, and the only corpus-keyed shuffle is the doc_id
+        rollup."""
+        docs = fanout(_t(spark, sf_dir, "documents"))
+        is_eval = F.col("source").isin(*EVAL_SOURCES)
+
+        def words_of(df):
+            return df.select("doc_id", F.split("text", " ").alias("words"))
+
+        def bigram_counts(df, with_doc: bool):
+            keys = (["doc_id", "w1", "w2"] if with_doc else ["w1", "w2"])
+            pos = words_of(df).select("doc_id", F.explode(F.expr(
+                "CASE WHEN size(words) >= 2 THEN"
+                " transform(sequence(1, size(words) - 1),"
+                " i -> struct(element_at(words, i) as w1,"
+                "             element_at(words, i + 1) as w2))"
+                " ELSE array() END")).alias("bg")
+            ).select("doc_id", F.col("bg.w1").alias("w1"),
+                     F.col("bg.w2").alias("w2"))
+            return pos.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+        train = docs.filter(~is_eval)
+        tok = (words_of(train)
+               .select(F.explode("words").alias("w")))
+        tstats = tok.agg(F.count(F.lit(1)).alias("t"),
+                         F.countDistinct("w").alias("v"))
+        uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
+        big = bigram_counts(train, with_doc=False)
+        ctx = big.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+        bimodel = (big.join(ctx, "w1").join(F.broadcast(tstats))
+                   .select("w1", "w2", F.expr(
+                       "cast(round(ln((2.0 * cnt + 1.0) / (2.0 * c1 + v))"
+                       " * 1000000000.0) as bigint)").alias("bi_logp")))
+        unimodel = (uni.join(F.broadcast(tstats))
+                    .select(F.col("w").alias("w2"), F.expr(
+                        f"cast(round((ln({BACKOFF_ALPHA})"
+                        f" + ln((2.0 * u + 1.0) / (2.0 * t + v)))"
+                        f" * 1000000000.0) as bigint)").alias("uni_logp")))
+        oov = tstats.select(F.expr(
+            f"cast(round((ln({BACKOFF_ALPHA}) + ln(1.0 / (2.0 * t + v)))"
+            f" * 1000000000.0) as bigint)").alias("oov_logp"))
+
+        ec = bigram_counts(docs.filter(is_eval), with_doc=True)
+        scored = (ec.join(F.broadcast(bimodel), ["w1", "w2"], "left")
+                  .join(F.broadcast(unimodel), "w2", "left")
+                  .join(F.broadcast(oov))
+                  .groupBy("doc_id")
+                  .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+                       F.sum(F.when(F.col("bi_logp").isNull()
+                                    & F.col("uni_logp").isNotNull(),
+                                    F.col("cnt")).otherwise(0))
+                        .cast("long").alias("n_backoff"),
+                       F.sum(F.when(F.col("bi_logp").isNull()
+                                    & F.col("uni_logp").isNull(),
+                                    F.col("cnt")).otherwise(0))
+                        .cast("long").alias("n_oov"),
+                       (-F.sum(F.col("cnt") * F.coalesce(
+                           "bi_logp", "uni_logp", "oov_logp")))
+                       .cast("long").alias("nll_e9")))
+        return scored.select(
+            "doc_id", "n_bigrams", "n_backoff", "n_oov",
+            spark_round_ratio("nll_e9", "n_bigrams", 4, n_prescale=9)
+             .alias("avg_nll"))
+
+
+_register_backoff_eval()
+
+
 # --- end-to-end release prep ---------------------------------------------
 
 COV_DROP_THRESHOLD = 0.9  # drop docs with > 90% duplicated positions

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dataset_split_assignment",
     "hybrid_rrf_fusion",
     "corpus_release_prep",
+    "lm_backoff_eval",
     # new in round 5 (no harness row yet)
     "bloom_prefilter_contamination",
     "sequence_packing",
