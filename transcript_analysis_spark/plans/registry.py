@@ -66,6 +66,7 @@ def _load_all() -> None:
         streaming_batch,
         scale_ops,
         curation,
+        warehouse,
     )
 
 
@@ -78,6 +79,12 @@ def _load_all() -> None:
 # rotate to the back. Within each tier, registration (file) order is
 # kept for determinism.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # new this round (no harness row yet)
+    "sales_rollup_cube",
+    "orders_snapshot_diff",
+    "scd2_user_state",
+    "equi_depth_price_histogram",
+    "skew_key_diagnosis",
     # new in round 6 (no harness row yet)
     "pii_k_anonymity",
     "duplicate_ngram_coverage",

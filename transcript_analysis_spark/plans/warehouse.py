@@ -1,0 +1,318 @@
+"""Warehouse / lakehouse operators: multi-level rollups, snapshot
+diffing (CDC), slowly-changing-dimension history, equi-depth
+histograms, and join-key skew diagnosis.
+
+These round out the OLAP surface a reference user would expect from a
+general analytics engine (reference dashboard queries live in
+``server/dashboard.py``; the reference has no rollup/CDC layer — this
+is the "beyond the reference" warehouse tier).
+
+Scale notes:
+
+- ``sales_rollup_cube``: Spark's ``rollup`` computes every grouping
+  level in ONE pass (Expand + single hash aggregate with map-side
+  partials) — no per-level re-scan. At 100 TB the expand factor is the
+  number of levels (3), not the cube of cardinalities.
+- ``orders_snapshot_diff``: the CDC shape — full outer join of two
+  snapshots on the primary key. Both sides shuffle ONCE on the key; on
+  a cluster the snapshots are bucketed by key so the diff is a
+  zero-shuffle sort-merge. Unchanged rows are filtered out BEFORE the
+  result materializes, so output is O(churn), not O(table).
+- ``scd2_user_state``: slowly-changing-dimension type-2 intervals from
+  an event log. All windows are partitioned by user_id — parallelism
+  scales with the user population, never a single-task global window.
+- ``equi_depth_price_histogram``: equi-depth bucketing WITHOUT a
+  global sort: decile cut points come from one ``percentile``
+  aggregate (t-digest ``approx_percentile`` is the drop-in at 100 TB),
+  are broadcast as one row, and bucket assignment is per-row JVM math.
+  The ntile() alternative would serialize the table through one task.
+- ``skew_key_diagnosis``: the measurement behind ``operators/skew.py``
+  salting — per-key frequencies are one hash aggregate (map-side
+  combined), the summary is O(distinct keys) -> 1 row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.functions.rounding import (duck_round_ratio,
+                                                          spark_round_ratio)
+from transcript_analysis_spark.plans.data_pipeline import _t
+from transcript_analysis_spark.plans.registry import register
+
+
+# --- multi-level rollup --------------------------------------------------
+
+@register(
+    "sales_rollup_cube",
+    oracle="""
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           COALESCE(o.o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(n.n_name) * 2 + GROUPING(o.o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+    """,
+    tags=("warehouse", "rollup"),
+)
+def sales_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation -> priority -> grand total) in one
+    pass: Spark's ``rollup`` expands each input row into one row per
+    grouping level and aggregates them in a single hash aggregate, so
+    the subtotal levels cost one Expand, not one scan each. The
+    reference dashboard recomputes each breakdown as a separate query
+    (server/dashboard.py); this is the one-pass warehouse form.
+
+    ``grouping_id`` bit layout (first rollup column = high bit) is part
+    of the SQL standard and identical in DuckDB's GROUPING(). NULL
+    group keys are coalesced to 'ALL' so rolled-up levels are
+    distinguishable from genuine NULL keys by ``gid`` alone."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (o.join(c, o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (joined.rollup("n_name", "o_orderpriority")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "gid", "n_orders", "revenue"))
+
+
+# --- snapshot diff (CDC) -------------------------------------------------
+# Two deterministic snapshots derived from the orders table:
+#   old = orders except keys divisible by 101   (those are "added" later)
+#   new = orders except keys divisible by 107   ("removed"), with
+#         totalprice doubled where key % 103 == 0 ("changed").
+# Doubling a double is exact (exponent bump), so changed-row detection
+# is engine-exact without any epsilon.
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 103 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 107 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           ROUND(o.o_totalprice, 2) AS old_price,
+           ROUND(n.o_totalprice, 2) AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_totalprice <> n.o_totalprice
+    """,
+    tags=("warehouse", "cdc"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture primitive: given two
+    versions of a keyed table, emit added / removed / changed rows.
+    One full outer join on the primary key (both sides shuffle once on
+    the key; bucketed-by-key snapshots make it shuffle-free), unchanged
+    rows filtered before materialization so output is O(churn)."""
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 101 != 0)
+            .select("o_orderkey", "o_totalprice"))
+    new = (o.filter(F.col("o_orderkey") % 107 != 0)
+            .select("o_orderkey",
+                    F.when(F.col("o_orderkey") % 103 == 0,
+                           F.col("o_totalprice") * 2)
+                     .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
+    j = old.alias("o").join(new.alias("n"),
+                            F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                            "full_outer")
+    return (j.filter(F.col("o.o_orderkey").isNull()
+                     | F.col("n.o_orderkey").isNull()
+                     | (F.col("o.o_totalprice") != F.col("n.o_totalprice")))
+            .select(
+                F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+                F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+                 .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+                 .otherwise(F.lit("changed")).alias("change_type"),
+                F.round("o.o_totalprice", 2).alias("old_price"),
+                F.round("n.o_totalprice", 2).alias("new_price")))
+
+
+# --- SCD type-2 history --------------------------------------------------
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(is_change) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    segs AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type,
+           valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us, run_id)
+             AS valid_to_us,
+           n_events
+    FROM segs
+    """,
+    tags=("warehouse", "scd"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: per
+    user, collapse consecutive same-type events into validity
+    intervals [valid_from, valid_to) with valid_to = next interval's
+    start (NULL = current state). The warehouse dimension-history op
+    the reference's per-row status updates (island_worker.py UPDATE
+    statements) would need for time-travel queries.
+
+    Order key is (ts, event_id) so duplicate timestamps are
+    deterministic. Every window is partitioned by user_id; the ts tie
+    within a run cannot split it (run boundaries come from the lag
+    comparison under the same total order)."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+         .otherwise(0).alias("is_change"))
+    runs = ordered.withColumn(
+        "run_id",
+        F.sum("is_change").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+                  .rowsBetween(Window.unboundedPreceding, 0)))
+    segs = (runs.groupBy("user_id", "event_type", "run_id")
+            .agg(F.min("ts_us").alias("valid_from_us"),
+                 F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
+    return segs.select("user_id", "event_type", "valid_from_us",
+                       F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+                       "n_events")
+
+
+# --- equi-depth histogram ------------------------------------------------
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "equi_depth_price_histogram",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice,
+                           {_DECILES!r}) AS qs
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(c.qs, q -> o.o_totalprice > q)) + 1
+                AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o.o_totalprice), 2) AS lo,
+           ROUND(MAX(o.o_totalprice), 2) AS hi,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o CROSS JOIN cuts c
+    GROUP BY bucket
+    """,
+    tags=("warehouse", "histogram"),
+)
+def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram without a global sort: the nine
+    cut points come from ONE ``percentile`` aggregate (identical
+    linear interpolation to DuckDB's quantile_cont — proven by
+    winsorized_order_stats), broadcast back as a single row, and each
+    row's bucket is the count of cut points below it — per-row JVM
+    array math. ntile() would order the whole table through one task;
+    at 100 TB swap ``percentile`` for ``approx_percentile`` (t-digest)
+    with the same plan shape."""
+    o = _t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(f"percentile(o_totalprice, array({','.join(map(str, _DECILES))}))")
+        .alias("qs"))
+    return (o.join(F.broadcast(cuts))
+            .select((F.size(F.filter(
+                        "qs", lambda q: F.col("o_totalprice") > q)) + 1)
+                    .cast("int").alias("bucket"),
+                    "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+# --- join-key skew diagnosis ---------------------------------------------
+
+@register(
+    "skew_key_diagnosis",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    summary AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    )
+    SELECT s.n_rows, s.n_keys, s.max_cnt,
+           (SELECT MIN(key) FROM per_key p WHERE p.cnt = s.max_cnt)
+             AS heaviest_key,
+           {duck_round_ratio('s.n_rows', 's.n_keys', 4)} AS avg_per_key,
+           {duck_round_ratio('s.max_cnt * s.n_keys', 's.n_rows', 4)}
+             AS skew_ratio,
+           CAST((s.max_cnt * s.n_keys) // s.n_rows + 1 AS BIGINT)
+             AS salt_buckets
+    FROM summary s
+    """,
+    tags=("warehouse", "skew"),
+)
+def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew measurement — the stats behind a salting decision
+    (operators/skew.py applies it): per-key frequencies in one
+    map-side-combined hash aggregate, then an O(distinct keys) summary
+    giving the hottest key, the max/avg skew ratio, and the salt
+    fan-out that would level the hottest key to the average
+    (skew_ratio rounded via integer half-up — engine-portable).
+    Heaviest-key ties resolve to the smallest key on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt"))
+    summary = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"),
+                       F.col("key").alias("key"))).alias("_top"))
+    return summary.select(
+        "n_rows", "n_keys", "max_cnt",
+        F.col("_top.key").alias("heaviest_key"),
+        spark_round_ratio("n_rows", "n_keys", 4).alias("avg_per_key"),
+        spark_round_ratio("max_cnt * n_keys", "n_rows", 4).alias("skew_ratio"),
+        (F.expr("(max_cnt * n_keys) div n_rows") + 1).cast("bigint")
+        .alias("salt_buckets"))
