@@ -1,0 +1,68 @@
+"""Invariant tests for plans/sketches.py (oracle parity is covered by
+the parametrized sweep in test_oracle_parity.py; these pin the
+properties the oracle can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from transcript_analysis_spark.plans import sketches
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: est >= exact for every queried token
+    (min over k counters can only over-count via collisions)."""
+    rows = sketches.cms_heavy_hitters(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+
+
+def test_phrase_search_matches_substring_count(spark):
+    """Independent derivation: with single-space tokenization, phrase
+    hits equal occurrences of ' a b ' in the space-padded text
+    (overlap-free because the two phrase words differ)."""
+    got = {r.doc_id: r.n_hits
+           for r in sketches.inverted_phrase_search(spark, SF_SMOKE).collect()}
+    a, b = sketches.PHRASE
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id",
+            (F.size(F.split(F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                            f" {a} {b} ", -1)) - 1).alias("n"))
+        .filter(F.col("n") > 0).collect()}
+    assert got == expect
+
+
+def test_psi_contributions_nonnegative(spark):
+    """(pA - pB) * ln(pA / pB) >= 0 termwise — sign(pA - pB) always
+    equals sign(ln(pA/pB)); a negative contribution means the formula
+    split across engines."""
+    rows = sketches.token_psi_drift(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.psi_contrib >= 0 for r in rows)
+
+
+def test_kmeans_partitions_corpus_and_zero_shuffle_assign(spark):
+    """Every vector lands in exactly one cluster (counts sum to the
+    corpus), centroids carry all KM_DIM dims, and the assignment step
+    is per-row math against a literal centroid array — its plan
+    contains NO join and NO exchange (the update aggregate is the only
+    shuffle per Lloyd round)."""
+    out = sketches.kmeans_centroids(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r.n_assigned for r in out) == n_vecs
+    assert all(len(r.centroid_q.split(",")) == sketches.KM_DIM for r in out)
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = e.select("vec_id", F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * sketches.KM_SCALE + F.lit(0.5))
+        .cast("bigint")).alias("v"))
+    centroids = [(i, [0] * sketches.KM_DIM) for i in range(sketches.KM_K)]
+    plan = sketches._km_assign(vecs, centroids)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

@@ -67,6 +67,7 @@ def _load_all() -> None:
         scale_ops,
         curation,
         warehouse,
+        sketches,
     )
 
 
@@ -80,6 +81,10 @@ def _load_all() -> None:
 # kept for determinism.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round (no harness row yet)
+    "cms_heavy_hitters",
+    "inverted_phrase_search",
+    "token_psi_drift",
+    "kmeans_centroids",
     "sales_rollup_cube",
     "orders_snapshot_diff",
     "scd2_user_state",

@@ -1,0 +1,351 @@
+"""Sketch, retrieval, and clustering operators: count-min heavy
+hitters, positional phrase search over an inverted index, token
+distribution drift (PSI), and exact-arithmetic Lloyd k-means.
+
+Every hash/bit trick follows the portable-arithmetic discipline of
+plans/data_pipeline.py: exact int64 math that Spark and DuckDB
+reproduce bit-for-bit, so even the count-min sketch's COLLISIONS and
+k-means' full iteration trajectory are oracle-checked.
+
+Scale notes:
+
+- ``cms_heavy_hitters``: the streaming-agg sketch shape. The sketch is
+  a FIXED 4 x 4096 counter grid built in one hash aggregate (map-side
+  combined: every executor folds its partition into <=16k cells before
+  the shuffle); estimates probe it with a broadcast join. At 100 TB
+  the sketch size is unchanged — that is the point of a CMS.
+- ``inverted_phrase_search``: positional posting lists (term ->
+  (doc, pos)), phrase matching = equi-join of the two terms' lists on
+  (doc_id, adjacent positions). Only the queried terms' postings move
+  through the join — the corpus-sized posting table partitions by term
+  and the filter prunes to 2 keys before any shuffle.
+- ``token_psi_drift``: drift monitoring between two corpus snapshots.
+  Two hash aggregates over tokens + one vocabulary-sized outer join;
+  each PSI contribution is per-row independent (no cross-engine
+  sum-order hazard — contributions are emitted, not summed).
+- ``kmeans_centroids``: Lloyd's algorithm with embeddings quantized to
+  int64 (floor(x*2^16+0.5) — exact for float32 inputs, so distance
+  comparisons and centroid updates are pure integer arithmetic and the
+  whole T-round trajectory is deterministic across engines). Per
+  round: centroids live on the driver (K*DIM ints, the MLlib KMeans
+  pattern — the bounded ``collect`` precedent is operators/bpe.py's
+  vocabulary loop), assignment is per-row JVM math against a literal
+  centroid array (zero shuffle), and the update is ONE map-side-
+  combined aggregate with 64 column sums (no dimension explode). The
+  DuckDB oracle replays all T rounds as generated SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.plans.data_pipeline import (MOD, _t,
+                                                           duck_char_hash,
+                                                           spark_char_hash)
+from transcript_analysis_spark.plans.registry import register
+
+# --- count-min sketch ----------------------------------------------------
+# depth 4 x width 4096; row hashes ((a*h + b) % MOD) % W on the shared
+# polynomial char hash h. a*h < 11*(1e9+7) — inside int64.
+CMS_W = 1 << 12
+CMS_K_AB = ((0, 3, 1), (1, 5, 2), (2, 7, 3), (3, 11, 5))
+CMS_TOP = 20
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (SELECT w, {duck_char_hash('w')} AS h FROM toks),
+    ks(j, a, b) AS (VALUES {', '.join(f'({j}, {a}, {b})' for j, a, b in CMS_K_AB)}),
+    sketch AS (
+      SELECT k.j, ((k.a * h.h + k.b) % {MOD}) % {CMS_W} AS bucket,
+             COUNT(*) AS cnt
+      FROM h CROSS JOIN ks k GROUP BY 1, 2
+    ),
+    exact AS (SELECT w, h, COUNT(*) AS exact_cnt FROM h GROUP BY w, h),
+    top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, w LIMIT {CMS_TOP})
+    SELECT t.w AS token, t.exact_cnt,
+           MIN(s.cnt) AS cms_est,
+           MIN(s.cnt) - t.exact_cnt AS overestimate
+    FROM top t CROSS JOIN ks k
+    JOIN sketch s
+      ON s.j = k.j AND s.bucket = ((k.a * t.h + k.b) % {MOD}) % {CMS_W}
+    GROUP BY t.w, t.exact_cnt
+    """,
+    tags=("sketch", "text"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: fold the token stream into a
+    fixed 4x4096 counter grid (one map-side-combined aggregate), then
+    estimate the top-k tokens' counts as the min over their 4 cells.
+    The CMS guarantee (est >= exact, overestimate bounded by
+    collisions) is visible in the output and oracle-checked exactly,
+    because the bucket hashes are shared int64 arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .withColumn("h", F.expr(spark_char_hash("w"))))
+    probes = toks.select("w", "h", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % CMS_W)
+                 .alias("bucket"))
+        for j, a, b in CMS_K_AB])).alias("p"))
+    sketch = (probes.groupBy(F.col("p.j").alias("j"),
+                             F.col("p.bucket").alias("bucket"))
+              .agg(F.count("*").alias("cnt")))
+    exact = toks.groupBy("w", "h").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "w").limit(CMS_TOP)
+    top_probes = top.select("w", "exact_cnt", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % CMS_W)
+                 .alias("bucket"))
+        for j, a, b in CMS_K_AB])).alias("p"))
+    return (top_probes
+            .join(F.broadcast(sketch),
+                  (F.col("p.j") == sketch.j)
+                  & (F.col("p.bucket") == sketch.bucket))
+            .groupBy("w", "exact_cnt")
+            .agg(F.min("cnt").alias("cms_est"))
+            .select(F.col("w").alias("token"), "exact_cnt", "cms_est",
+                    (F.col("cms_est") - F.col("exact_cnt"))
+                    .alias("overestimate")))
+
+
+# --- inverted-index phrase search ----------------------------------------
+
+PHRASE = ("table", "hash")
+
+
+@register(
+    "inverted_phrase_search",
+    oracle=f"""
+    WITH docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, words[i] AS w
+      FROM docs_w, unnest(generate_series(1, CAST(len(words) AS BIGINT)))
+        AS t(i)
+    )
+    SELECT a.doc_id, COUNT(*) AS n_hits
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    WHERE a.w = '{PHRASE[0]}' AND b.w = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    tags=("retrieval", "text"),
+)
+def inverted_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional posting lists: tokenize
+    with positions (the inverted-index build), keep the two queried
+    terms' postings, and match the phrase as an equi-join on (doc_id,
+    pos+1). At scale the posting table is partitioned by term, so the
+    term filter is partition pruning and the join moves only the two
+    postings lists — never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select("doc_id", F.posexplode(F.split("text", " "))
+                   .alias("i", "w"))
+    a = pos.filter(F.col("w") == PHRASE[0]).select("doc_id", "i")
+    b = pos.filter(F.col("w") == PHRASE[1]).select(
+        F.col("doc_id").alias("b_doc"), F.col("i").alias("b_i"))
+    return (a.join(b, (F.col("b_doc") == F.col("doc_id"))
+                   & (F.col("b_i") == F.col("i") + 1))
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+
+# --- token distribution drift (PSI) --------------------------------------
+# Snapshot A = sources whose numeric suffix is even (right(source,1)
+# in 0/2/4/6/8), B = the rest. Laplace-smoothed shares; contributions
+# are per-row independent so no cross-engine sum-order hazard exists.
+
+_EVENS = "('0','2','4','6','8')"
+
+
+@register(
+    "token_psi_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN right(source, 1) IN {_EVENS} THEN 'a' ELSE 'b'
+             END AS side,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT w,
+             COUNT(*) FILTER (WHERE side = 'a') AS cnt_a,
+             COUNT(*) FILTER (WHERE side = 'b') AS cnt_b
+      FROM toks GROUP BY w
+    ),
+    tot AS (
+      SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b,
+             COUNT(*) AS vocab
+      FROM cnt
+    )
+    SELECT c.w AS token, c.cnt_a, c.cnt_b,
+           ROUND(
+             (CAST(c.cnt_a + 1 AS DOUBLE) / (t.tot_a + t.vocab)
+              - CAST(c.cnt_b + 1 AS DOUBLE) / (t.tot_b + t.vocab))
+             * ln((CAST(c.cnt_a + 1 AS DOUBLE) / (t.tot_a + t.vocab))
+                  / (CAST(c.cnt_b + 1 AS DOUBLE) / (t.tot_b + t.vocab))),
+             8) AS psi_contrib
+    FROM cnt c CROSS JOIN tot t
+    """,
+    tags=("quality", "drift"),
+)
+def token_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two corpus snapshots
+    (even- vs odd-suffixed sources): per-token Laplace-smoothed share
+    in each snapshot and its PSI contribution. The monitoring op a
+    training pipeline runs when a new crawl lands — a large
+    contribution pinpoints WHICH token's frequency shifted. Two
+    map-side-combined aggregates + one vocabulary-sized join; the
+    totals row is a broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.substring("source", -1, 1).isin("0", "2", "4", "6", "8"),
+               F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        F.explode(F.split("text", " ")).alias("w"))
+    cnt = toks.groupBy("w").agg(
+        F.count(F.when(F.col("side") == "a", 1)).alias("cnt_a"),
+        F.count(F.when(F.col("side") == "b", 1)).alias("cnt_b"))
+    tot = cnt.agg(F.sum("cnt_a").alias("tot_a"),
+                  F.sum("cnt_b").alias("tot_b"),
+                  F.count("*").alias("vocab"))
+    pa = (F.col("cnt_a") + 1).cast("double") / (F.col("tot_a") + F.col("vocab"))
+    pb = (F.col("cnt_b") + 1).cast("double") / (F.col("tot_b") + F.col("vocab"))
+    return (cnt.join(F.broadcast(tot))
+            .select(F.col("w").alias("token"), "cnt_a", "cnt_b",
+                    F.round((pa - pb) * F.log(pa / pb), 8)
+                    .alias("psi_contrib")))
+
+
+# --- exact-arithmetic Lloyd k-means --------------------------------------
+
+KM_K = 8           # seed centroids = vec_id 0..7
+KM_T = 3           # Lloyd update rounds
+KM_DIM = 64
+KM_SCALE = 65536   # 2^16: x*SCALE is exact for float32 x
+
+
+def _km_oracle() -> str:
+    """Generate the unrolled T-round Lloyd SQL for DuckDB."""
+    parts = [f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}.0 + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < {KM_K})"""]
+    for t in range(KM_T):
+        parts.append(f""",
+    d{t} AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(list_zip(q.v, c.v),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist
+      FROM q CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{t}) WHERE rn = 1
+    ),
+    u{t} AS (
+      SELECT a.cid, t.i AS dim, SUM(q.v[t.i]) AS s, COUNT(*) AS n
+      FROM a{t} a
+      JOIN q ON q.vec_id = a.vec_id
+      CROSS JOIN unnest(generate_series(1, {KM_DIM})) AS t(i)
+      GROUP BY a.cid, t.i
+    ),
+    c{t + 1} AS (
+      SELECT cid,
+             list(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                  * ((2 * abs(s) + n) // (2 * n)) ORDER BY dim) AS v
+      FROM u{t} GROUP BY cid
+    )""")
+    parts.append(f"""
+    SELECT c.cid AS centroid_id, n.n_assigned,
+           array_to_string(c.v, ',') AS centroid_q
+    FROM c{KM_T} c
+    JOIN (SELECT cid, COUNT(*) AS n_assigned
+          FROM a{KM_T - 1} GROUP BY cid) n ON n.cid = c.cid""")
+    return "".join(parts)
+
+
+def _km_assign(vecs: DataFrame, centroids: list[tuple[int, list[int]]]):
+    """Add an argmin-centroid column via per-row JVM math against a
+    literal centroid array — zero shuffle, no join."""
+    cent_arr = F.array(*[
+        F.struct(F.lit(cid).alias("cid"),
+                 F.array(*[F.lit(x) for x in v]).alias("cv"))
+        for cid, v in centroids])
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    best = F.array_min(F.transform(cent_arr,
+                                   lambda c: F.struct(dist(c).alias("dist"),
+                                                      c["cid"].alias("cid"))))
+    return vecs.withColumn("cid", best["cid"])
+
+
+def _round_half_up(s: int, n: int) -> int:
+    sign = -1 if s < 0 else 1
+    return sign * ((2 * abs(s) + n) // (2 * n))
+
+
+@register(
+    "kmeans_centroids",
+    oracle=_km_oracle(),
+    tags=("clustering", "embedding"),
+)
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus in exact integer
+    arithmetic: vectors quantize to int64 at 2^16 (exact for float32),
+    so assignment argmins and centroid means (integer half-up) are
+    deterministic and the ENTIRE 3-round trajectory hash-matches the
+    DuckDB replay — an iterative ML algorithm under the same oracle
+    gate as the SQL queries.
+
+    Execution shape per round (the MLlib KMeans pattern): centroids
+    are a K x DIM literal broadcast into a per-row JVM argmin (zero
+    shuffle), the update is ONE aggregate with 64 map-side-combined
+    column sums (no dimension explode), and only K rows cross to the
+    driver (the bounded-collect precedent of operators/bpe.py).
+    Clusters that lose all members drop out — identically in both
+    engines. At 100 TB this is exactly MLlib KMeans' cost model:
+    T scans, each one map + one K-row aggregate. Seeds are the first K
+    vectors (k-means|| is the production seeding swap)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
+                    .cast("bigint")).alias("v"))
+    seeds = (vecs.filter(F.col("vec_id") < KM_K)
+             .orderBy("vec_id").collect())
+    centroids = [(int(r.vec_id), list(r.v)) for r in seeds]
+    assigned = None
+    for _ in range(KM_T):
+        assigned = _km_assign(vecs, centroids)
+        upd = (assigned.groupBy("cid")
+               .agg(F.count("*").alias("n"),
+                    *[F.sum(F.col("v")[i]).alias(f"s{i}")
+                      for i in range(KM_DIM)])
+               .collect())
+        centroids = sorted(
+            (int(r.cid),
+             [_round_half_up(int(r[f"s{i}"]), int(r.n))
+              for i in range(KM_DIM)])
+            for r in upd)
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+    final = spark.createDataFrame(
+        [(cid, ",".join(map(str, v))) for cid, v in centroids],
+        "cid bigint, centroid_q string")
+    return (counts.join(F.broadcast(final), "cid")
+            .select(F.col("cid").alias("centroid_id"), "n_assigned",
+                    "centroid_q"))
