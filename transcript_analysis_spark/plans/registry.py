@@ -90,6 +90,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_user_state",
     "equi_depth_price_histogram",
     "skew_key_diagnosis",
+    "ewma_user_value",
+    "group_correlation_stats",
     # new in round 6 (no harness row yet)
     "pii_k_anonymity",
     "duplicate_ngram_coverage",

@@ -53,6 +53,42 @@ CMS_K_AB = ((0, 3, 1), (1, 5, 2), (2, 7, 3), (3, 11, 5))
 CMS_TOP = 20
 
 
+def tokens_with_hash(docs: DataFrame) -> DataFrame:
+    """(w, h): every token occurrence with its portable char hash.
+    Shared by the batch query and streaming/sketch_store.py."""
+    return (docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .withColumn("h", F.expr(spark_char_hash("w"))))
+
+
+def cms_probe_structs() -> F.Column:
+    """The k (j, bucket) probe cells for the hash column `h`."""
+    return F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % CMS_W)
+                 .alias("bucket"))
+        for j, a, b in CMS_K_AB])).alias("p")
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """Fold a (w, h) token frame into sketch cells (j, bucket, cnt) —
+    one map-side-combined aggregate, <= 4*4096 output rows."""
+    return (toks.select("w", "h", cms_probe_structs())
+            .groupBy(F.col("p.j").alias("j"),
+                     F.col("p.bucket").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_estimate(candidates: DataFrame, sketch: DataFrame) -> DataFrame:
+    """min-over-k CMS estimates for a (w, h) candidate frame against a
+    (j, bucket, cnt) sketch (broadcast — it is sketch-sized)."""
+    probes = candidates.select("w", "h", cms_probe_structs())
+    return (probes.join(F.broadcast(sketch),
+                        (F.col("p.j") == sketch.j)
+                        & (F.col("p.bucket") == sketch.bucket))
+            .groupBy("w")
+            .agg(F.min("cnt").alias("cms_est")))
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
@@ -86,29 +122,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions) is visible in the output and oracle-checked exactly,
     because the bucket hashes are shared int64 arithmetic."""
     d = _t(spark, sf_dir, "documents")
-    toks = (d.select(F.explode(F.split("text", " ")).alias("w"))
-             .withColumn("h", F.expr(spark_char_hash("w"))))
-    probes = toks.select("w", "h", F.explode(F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % CMS_W)
-                 .alias("bucket"))
-        for j, a, b in CMS_K_AB])).alias("p"))
-    sketch = (probes.groupBy(F.col("p.j").alias("j"),
-                             F.col("p.bucket").alias("bucket"))
-              .agg(F.count("*").alias("cnt")))
+    toks = tokens_with_hash(d)
+    sketch = cms_cells(toks)
     exact = toks.groupBy("w", "h").agg(F.count("*").alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), "w").limit(CMS_TOP)
-    top_probes = top.select("w", "exact_cnt", F.explode(F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % CMS_W)
-                 .alias("bucket"))
-        for j, a, b in CMS_K_AB])).alias("p"))
-    return (top_probes
-            .join(F.broadcast(sketch),
-                  (F.col("p.j") == sketch.j)
-                  & (F.col("p.bucket") == sketch.bucket))
-            .groupBy("w", "exact_cnt")
-            .agg(F.min("cnt").alias("cms_est"))
+    return (cms_estimate(top, sketch)
+            .join(top.select("w", "exact_cnt"), "w")
             .select(F.col("w").alias("token"), "exact_cnt", "cms_est",
                     (F.col("cms_est") - F.col("exact_cnt"))
                     .alias("overestimate")))

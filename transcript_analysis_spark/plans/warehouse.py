@@ -265,6 +265,83 @@ def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+# --- exponential time-decay (EWMA) ---------------------------------------
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(SUM(value * POWER(0.5, n - rn)), 4) AS decayed_value
+    FROM ranked GROUP BY user_id
+    """,
+    tags=("warehouse", "timeseries"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed recency weighting per user (half-life =
+    one event): the freshest event counts fully, each older one half
+    as much — the recency-prior aggregation behind engagement scores
+    and streaming feature stores. The decay weight 0.5^(n-rn) is a
+    power of two, hence EXACT in binary floating point, so the only
+    float operation is the final sum (rounded on both sides). Window
+    partitioned by user_id — parallelism scales with users."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+    return (ranked.groupBy("user_id")
+            .agg(F.max("n").cast("bigint").alias("n_events"),
+                 F.round(F.sum(F.col("value")
+                               * F.pow(F.lit(0.5),
+                                       F.col("n") - F.col("rn"))), 4)
+                 .alias("decayed_value")))
+
+
+# --- grouped second-moment statistics ------------------------------------
+
+@register(
+    "group_correlation_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_pop(l_quantity), 4) AS qty_stddev,
+           ROUND(stddev_pop(l_extendedprice), 2) AS price_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("warehouse", "statistics"),
+)
+def group_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group — correlation, population
+    covariance, and standard deviations — the profiling pass a
+    warehouse runs before trusting a column pair for modeling. One
+    hash aggregate with map-side partial co-moments (Spark and DuckDB
+    both stream Welford-style updates); correlation is scale-free so
+    6 decimals sits far above the last-ulp accumulation noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_corr"),
+                 F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2)
+                 .alias("qty_price_covar"),
+                 F.round(F.stddev_pop("l_quantity"), 4).alias("qty_stddev"),
+                 F.round(F.stddev_pop("l_extendedprice"), 2)
+                 .alias("price_stddev")))
+
+
 # --- join-key skew diagnosis ---------------------------------------------
 
 @register(

@@ -1,0 +1,75 @@
+"""Incremental count-min sketch maintenance over a document stream.
+
+The batch query (`cms_heavy_hitters`, plans/sketches.py) folds the
+whole corpus into a 4x4096 counter grid in one pass. At 100 TB new
+shards arrive continuously and the corpus is never rescanned: each
+micro-batch folds ONLY its own documents into sketch-cell deltas
+(<= 16,384 rows regardless of batch size) and lands them in a
+``batch_id=N`` partition. The queryable sketch is the column-wise SUM
+over all batch partitions — CMS cells are counters, so the merge is
+exactly addition, the property that makes a CMS distributable in the
+first place.
+
+Replay contract (same recovery shape as streaming/neardup.py and
+streaming/decontam.py): a replayed micro-batch dynamic-partition-
+overwrites its own ``batch_id`` partition, so retries after a crash
+never double-count.
+
+Equivalence contract (tested in tests/test_sketch_store.py): the
+merged streamed sketch equals the single-pass batch sketch cell for
+cell, for ANY split of the corpus into micro-batches — and therefore
+every estimate drawn from it is identical too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.plans.sketches import (cms_cells,
+                                                      cms_estimate,
+                                                      tokens_with_hash)
+
+
+def foreach_batch_sketch(batch_df: DataFrame, batch_id: int,
+                         cms_dir: str) -> None:
+    """Fold one micro-batch of (doc_id, text) documents into its
+    sketch-delta partition. Safe to replay with the same batch_id."""
+    spark = batch_df.sparkSession
+    delta = (cms_cells(tokens_with_hash(batch_df))
+             .withColumn("batch_id", F.lit(int(batch_id))))
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (delta.coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+         .parquet(cms_dir))
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_sketch(spark: SparkSession, cms_dir: str) -> DataFrame:
+    """The current sketch: cell-wise sum over all batch deltas.
+    O(#batches x 16k) rows in, <= 16k out; compact with
+    sources/sinks.py:compact_parquet when the batch count grows."""
+    return (spark.read.parquet(cms_dir)
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def estimate_from_store(candidates: DataFrame,
+                        sketch: DataFrame) -> DataFrame:
+    """CMS estimates for a (w, h) candidate frame against the merged
+    store — identical math to the batch query's estimate phase."""
+    return cms_estimate(candidates, sketch)
+
+
+def run_sketch_stream(stream_docs: DataFrame, cms_dir: str,
+                      checkpoint_dir: str):
+    """AvailableNow foreachBatch driver for sketch maintenance."""
+    return (stream_docs.writeStream
+            .foreachBatch(lambda df, bid: foreach_batch_sketch(
+                df, bid, cms_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
