@@ -68,6 +68,7 @@ def _load_all() -> None:
         curation,
         warehouse,
         sketches,
+        graph,
     )
 
 
@@ -92,6 +93,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_key_diagnosis",
     "ewma_user_value",
     "group_correlation_stats",
+    "pagerank_purchase_graph",
+    "graph_degree_distribution",
     # new in round 6 (no harness row yet)
     "pii_k_anonymity",
     "duplicate_ngram_coverage",
