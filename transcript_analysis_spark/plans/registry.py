@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "group_correlation_stats",
     "pagerank_purchase_graph",
     "graph_degree_distribution",
+    "semdedup_prune",
     # new in round 6 (no harness row yet)
     "pii_k_anonymity",
     "duplicate_ngram_coverage",

@@ -248,10 +248,13 @@ KM_DIM = 64
 KM_SCALE = 65536   # 2^16: x*SCALE is exact for float32 x
 
 
-def _km_oracle() -> str:
-    """Generate the unrolled T-round Lloyd SQL for DuckDB."""
+def _km_chain() -> str:
+    """The unrolled T-round Lloyd CTE chain (shared by the
+    kmeans_centroids and semdedup_prune oracles): defines q
+    (quantized vectors), c0..c{T} (centroids) and a0..a{T-1}
+    (assignments)."""
     parts = [f"""
-    WITH q AS (
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}.0 + 0.5)
@@ -287,13 +290,17 @@ def _km_oracle() -> str:
                   * ((2 * abs(s) + n) // (2 * n)) ORDER BY dim) AS v
       FROM u{t} GROUP BY cid
     )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _km_oracle() -> str:
+    return f"""
+    WITH {_km_chain()}
     SELECT c.cid AS centroid_id, n.n_assigned,
            array_to_string(c.v, ',') AS centroid_q
     FROM c{KM_T} c
     JOIN (SELECT cid, COUNT(*) AS n_assigned
-          FROM a{KM_T - 1} GROUP BY cid) n ON n.cid = c.cid""")
-    return "".join(parts)
+          FROM a{KM_T - 1} GROUP BY cid) n ON n.cid = c.cid"""
 
 
 def _km_assign(vecs: DataFrame, centroids: list[tuple[int, list[int]]]):
@@ -315,6 +322,34 @@ def _km_assign(vecs: DataFrame, centroids: list[tuple[int, list[int]]]):
 def _round_half_up(s: int, n: int) -> int:
     sign = -1 if s < 0 else 1
     return sign * ((2 * abs(s) + n) // (2 * n))
+
+
+def _lloyd(spark: SparkSession, sf_dir: str):
+    """Run the T Lloyd rounds; return (final centroids, the last
+    round's assignment frame (vec_id, v, cid))."""
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
+                    .cast("bigint")).alias("v"))
+    seeds = (vecs.filter(F.col("vec_id") < KM_K)
+             .orderBy("vec_id").collect())
+    centroids = [(int(r.vec_id), list(r.v)) for r in seeds]
+    assigned = None
+    for _ in range(KM_T):
+        assigned = _km_assign(vecs, centroids)
+        upd = (assigned.groupBy("cid")
+               .agg(F.count("*").alias("n"),
+                    *[F.sum(F.col("v")[i]).alias(f"s{i}")
+                      for i in range(KM_DIM)])
+               .collect())
+        centroids = sorted(
+            (int(r.cid),
+             [_round_half_up(int(r[f"s{i}"]), int(r.n))
+              for i in range(KM_DIM)])
+            for r in upd)
+    return centroids, assigned
 
 
 @register(
@@ -339,28 +374,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. At 100 TB this is exactly MLlib KMeans' cost model:
     T scans, each one map + one K-row aggregate. Seeds are the first K
     vectors (k-means|| is the production seeding swap)."""
-    e = _t(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        F.transform("embedding",
-                    lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
-                    .cast("bigint")).alias("v"))
-    seeds = (vecs.filter(F.col("vec_id") < KM_K)
-             .orderBy("vec_id").collect())
-    centroids = [(int(r.vec_id), list(r.v)) for r in seeds]
-    assigned = None
-    for _ in range(KM_T):
-        assigned = _km_assign(vecs, centroids)
-        upd = (assigned.groupBy("cid")
-               .agg(F.count("*").alias("n"),
-                    *[F.sum(F.col("v")[i]).alias(f"s{i}")
-                      for i in range(KM_DIM)])
-               .collect())
-        centroids = sorted(
-            (int(r.cid),
-             [_round_half_up(int(r[f"s{i}"]), int(r.n))
-              for i in range(KM_DIM)])
-            for r in upd)
+    centroids, assigned = _lloyd(spark, sf_dir)
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_assigned"))
     final = spark.createDataFrame(
         [(cid, ",".join(map(str, v))) for cid, v in centroids],
@@ -368,3 +382,76 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.join(F.broadcast(final), "cid")
             .select(F.col("cid").alias("centroid_id"), "n_assigned",
                     "centroid_q"))
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup -------------------------
+
+SEMDEDUP_TAU = 0.3  # cosine threshold, same scale as embedding_similar_pairs
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH {_km_chain()},
+    embd AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT DISTINCT bb.vec_id
+      FROM a{KM_T - 1} aa
+      JOIN a{KM_T - 1} bb ON bb.cid = aa.cid AND bb.vec_id > aa.vec_id
+      JOIN embd ea ON ea.vec_id = aa.vec_id
+      JOIN embd eb ON eb.vec_id = bb.vec_id
+      WHERE ROUND(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))), 6)
+            >= CAST({SEMDEDUP_TAU} AS DOUBLE)
+    )
+    SELECT a.vec_id, a.cid,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS dropped
+    FROM a{KM_T - 1} a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "clustering", "embedding"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup that never goes
+    all-pairs — k-means the embedding corpus (the exact-arithmetic
+    Lloyd rounds of `kmeans_centroids`), then compare cosines ONLY
+    within a cluster and drop every vector that has an
+    above-threshold neighbor with a smaller id (the keep-first
+    contract of dedup_keep_best). Cost is sum over clusters of
+    |cluster|^2 instead of n^2 — and at 100 TB k grows with the
+    corpus so cluster sizes stay bounded; the pair join shuffles on
+    cid exactly like embedding_similar_pairs does on label.
+
+    Output: every vector with its cluster and an exact keep/drop
+    verdict — the input a curation pipeline feeds to the release
+    filter. Cosines use the embedding_similar_pairs float contract
+    (round 6, fold order fixed by aggregate())."""
+    _, assigned = _lloyd(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vd"))
+    av = assigned.join(e, "vec_id").select("vec_id", "cid", "vd")
+    a = av.select(F.col("vec_id").alias("vec_a"), F.col("cid").alias("ca"),
+                  F.col("vd").alias("va"))
+    b = av.select(F.col("vec_id").alias("vec_b"), F.col("cid").alias("cb"),
+                  F.col("vd").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    na = "aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nb = "aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    dropped = (a.join(b, (F.col("cb") == F.col("ca"))
+                      & (F.col("vec_b") > F.col("vec_a")))
+               .filter(F.round(F.expr(dot)
+                               / (F.sqrt(F.expr(na)) * F.sqrt(F.expr(nb))), 6)
+                       >= SEMDEDUP_TAU)
+               .select(F.col("vec_b").alias("vec_id")).distinct())
+    return (av.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cid",
+                    F.coalesce("_d", F.lit(0)).cast("int").alias("dropped")))
