@@ -96,6 +96,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pagerank_purchase_graph",
     "graph_degree_distribution",
     "semdedup_prune",
+    "nation_priority_pivot",
+    "price_quantity_regression",
+    "mad_outlier_profile",
     # new in round 6 (no harness row yet)
     "pii_k_anonymity",
     "duplicate_ngram_coverage",

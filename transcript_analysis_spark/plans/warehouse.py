@@ -342,6 +342,140 @@ def group_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("price_stddev")))
 
 
+# --- long-to-wide pivot --------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PRIO_ALIAS = ("p1_urgent", "p2_high", "p3_medium", "p4_not_specified",
+               "p5_low")
+
+
+@register(
+    "nation_priority_pivot",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {', '.join(
+               f"COUNT(CASE WHEN o.o_orderpriority = '{p}' THEN 1 END)"
+               f" AS {a}" for p, a in zip(_PRIORITIES, _PRIO_ALIAS))}
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("warehouse", "pivot"),
+)
+def nation_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot (the pair of curation.py's status_unpivot):
+    order counts per nation with one column per priority, via Spark's
+    native ``pivot`` with EXPLICIT values — the explicit list keeps
+    the plan to a single aggregate (no extra distinct-values scan) and
+    the output schema deterministic. Missing cells coalesce to 0 to
+    match SQL conditional-count semantics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (o.join(c, o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    wide = (joined.groupBy(F.col("n_name").alias("nation"))
+            .pivot("o_orderpriority", list(_PRIORITIES))
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "nation",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+          for p, a in zip(_PRIORITIES, _PRIO_ALIAS)])
+
+
+# --- per-group linear regression -----------------------------------------
+
+@register(
+    "price_quantity_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("warehouse", "statistics"),
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit with the SQL-standard
+    regr_* aggregates (price explained by quantity): slope, intercept
+    and R^2 in ONE hash aggregate with map-side partial co-moments —
+    the grouped-model-fit shape that replaces a per-group pandas loop.
+    Scale-free R^2 rounds at 6; slope/intercept at the column's own
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4)
+                 .alias("intercept"),
+                 F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
+                 .alias("r2")))
+
+
+# --- robust (median/MAD) outlier profile ---------------------------------
+
+MAD_K = 1.4826          # normal-consistency constant
+MAD_SIGMAS = 3.0
+
+
+@register(
+    "mad_outlier_profile",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.med), 6) AS median_value,
+           ROUND(MAX(m.mad), 6) AS mad,
+           CAST(COUNT(CASE WHEN d.adev > {MAD_SIGMAS} * {MAD_K} * m.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("warehouse", "quality", "statistics"),
+)
+def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median and MAD (median
+    absolute deviation) instead of mean/stddev — the detector that
+    does not let the outliers it hunts inflate its own threshold
+    (complements the z-score `hourly_anomaly_flags`). Two grouped
+    exact-percentile aggregates (group count is tiny; at 100 TB swap
+    `approx_percentile`, same shape) with the medians broadcast back;
+    the flag compare runs on identical doubles in both engines."""
+    e = _t(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("percentile(adev, 0.5)").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.max("med"), 6).alias("median_value"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.count(F.when(F.col("adev")
+                                > MAD_SIGMAS * MAD_K * F.col("mad"), 1))
+                 .cast("bigint").alias("n_outliers")))
+
+
 # --- join-key skew diagnosis ---------------------------------------------
 
 @register(
