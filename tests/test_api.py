@@ -131,3 +131,18 @@ def test_round6_curation_facade(engine):
     assert enc.count() > 0
     assert {"n_words", "n_subword_tokens", "n_merged_tokens"} <= set(
         enc.columns)
+
+
+def test_warehouse_sketch_graph_facade(engine):
+    assert engine.rollup().count() > 0
+    assert engine.pivot_priorities().count() > 0
+    assert engine.snapshot_diff().count() > 0
+    assert engine.equi_depth_histogram().count() == 10
+    assert engine.diagnose_skew().count() == 1
+    assert engine.heavy_hitters().count() > 0
+    assert engine.phrase_search().count() >= 0
+    assert engine.kmeans().count() > 0
+    assert engine.semantic_dedup().count() > 0
+    pr = engine.pagerank()
+    assert {"node_id", "pagerank_fp"} == set(pr.columns)
+    assert pr.count() > 0

@@ -225,6 +225,80 @@ class TranscriptEngine:
         """Symmetric int8 quantization stats per embedding vector."""
         return self._q("embedding_int8_quantize")
 
+    # --- warehouse / OLAP tier (plans/warehouse.py) ---
+
+    def rollup(self) -> DataFrame:
+        """One-pass nation -> priority -> grand-total rollup."""
+        return self._q("sales_rollup_cube")
+
+    def pivot_priorities(self) -> DataFrame:
+        """Long-to-wide order counts (nation rows x priority cols)."""
+        return self._q("nation_priority_pivot")
+
+    def snapshot_diff(self) -> DataFrame:
+        """CDC diff of two keyed snapshots: added/removed/changed."""
+        return self._q("orders_snapshot_diff")
+
+    def scd2_history(self) -> DataFrame:
+        """Slowly-changing-dimension type-2 intervals per user."""
+        return self._q("scd2_user_state")
+
+    def equi_depth_histogram(self) -> DataFrame:
+        """Decile histogram from one percentile aggregate (no sort)."""
+        return self._q("equi_depth_price_histogram")
+
+    def diagnose_skew(self) -> DataFrame:
+        """Join-key skew stats + the salt fan-out to level them."""
+        return self._q("skew_key_diagnosis")
+
+    def profile_statistics(self) -> DataFrame:
+        """Grouped correlation/covariance/stddev profile."""
+        return self._q("group_correlation_stats")
+
+    def fit_regression(self) -> DataFrame:
+        """Per-group OLS slope/intercept/R^2 (regr_* aggregates)."""
+        return self._q("price_quantity_regression")
+
+    def robust_outliers(self) -> DataFrame:
+        """Median/MAD outlier profile per event type."""
+        return self._q("mad_outlier_profile")
+
+    def decay_weighted_values(self) -> DataFrame:
+        """Per-user exponentially-decayed (recency-weighted) value."""
+        return self._q("ewma_user_value")
+
+    # --- sketch / retrieval / clustering tier (plans/sketches.py) ---
+
+    def heavy_hitters(self) -> DataFrame:
+        """Count-min-sketch estimates for the top corpus tokens."""
+        return self._q("cms_heavy_hitters")
+
+    def phrase_search(self) -> DataFrame:
+        """Positional-posting-list exact phrase hits per doc."""
+        return self._q("inverted_phrase_search")
+
+    def drift_psi(self) -> DataFrame:
+        """Per-token population-stability-index drift contributions."""
+        return self._q("token_psi_drift")
+
+    def kmeans(self) -> DataFrame:
+        """Exact-arithmetic Lloyd k-means centroids over embeddings."""
+        return self._q("kmeans_centroids")
+
+    def semantic_dedup(self) -> DataFrame:
+        """SemDeDup keep/drop verdicts (cluster-then-prune)."""
+        return self._q("semdedup_prune")
+
+    # --- graph tier (plans/graph.py) ---
+
+    def pagerank(self) -> DataFrame:
+        """Fixed-point PageRank over the purchase graph."""
+        return self._q("pagerank_purchase_graph")
+
+    def degree_distribution(self) -> DataFrame:
+        """Purchase-graph degree histogram by node side."""
+        return self._q("graph_degree_distribution")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""
