@@ -98,6 +98,7 @@ def _spark_graph(spark: SparkSession, sf_dir: str):
 @register(
     "pagerank_purchase_graph",
     oracle=_pr_oracle(),
+    headline=True,
     tags=("graph", "iterative"),
 )
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

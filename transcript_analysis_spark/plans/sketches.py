@@ -308,7 +308,7 @@ def _km_assign(vecs: DataFrame, centroids: list[tuple[int, list[int]]]):
     literal centroid array — zero shuffle, no join."""
     cent_arr = F.array(*[
         F.struct(F.lit(cid).alias("cid"),
-                 F.array(*[F.lit(x) for x in v]).alias("cv"))
+                 F.lit(list(v)).cast("array<bigint>").alias("cv"))
         for cid, v in centroids])
     dist = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
@@ -333,6 +333,9 @@ def _lloyd(spark: SparkSession, sf_dir: str):
         F.transform("embedding",
                     lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
                     .cast("bigint")).alias("v"))
+    # Quantize once: every round re-reads this frame (T assignment
+    # scans + the final count), so pin it instead of re-deriving.
+    vecs = vecs.localCheckpoint(eager=True)
     seeds = (vecs.filter(F.col("vec_id") < KM_K)
              .orderBy("vec_id").collect())
     centroids = [(int(r.vec_id), list(r.v)) for r in seeds]
