@@ -66,3 +66,12 @@ def test_kmeans_partitions_corpus_and_zero_shuffle_assign(spark):
     plan = sketches._km_assign(vecs, centroids)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_hll_estimate_within_5pct(spark):
+    """m=1024 registers -> ~3.25% standard error; pin 5%. Guards the
+    mixer quality — the weak polynomial hash gave 47% error."""
+    rows = sketches.hll_distinct_profile(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_est - r.n_exact) <= 0.05 * r.n_exact + 2.0

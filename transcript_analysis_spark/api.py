@@ -277,6 +277,10 @@ class TranscriptEngine:
         """Positional-posting-list exact phrase hits per doc."""
         return self._q("inverted_phrase_search")
 
+    def distinct_profile(self) -> DataFrame:
+        """Portable HyperLogLog distinct-user estimates vs exact."""
+        return self._q("hll_distinct_profile")
+
     def drift_psi(self) -> DataFrame:
         """Per-token population-stability-index drift contributions."""
         return self._q("token_psi_drift")

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pagerank_purchase_graph",
     "graph_degree_distribution",
     "semdedup_prune",
+    "hll_distinct_profile",
     "nation_priority_pivot",
     "price_quantity_regression",
     "mad_outlier_profile",

@@ -458,3 +458,120 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (av.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
             .select("vec_id", "cid",
                     F.coalesce("_d", F.lit(0)).cast("int").alias("dropped")))
+
+
+# --- portable HyperLogLog ------------------------------------------------
+# p=10 -> m=1024 registers. All register math is exact int64: ids run
+# through a 32-bit avalanche mixer (two rounds of (x>>16 ^ x) *
+# 0x45d9f3b — the polynomial char hash is NOT rank-uniform enough for
+# HLL's geometric statistics; first drafts underestimated 47% / 19%),
+# then split into p index bits and 22 rank bits (rho = trailing zeros
+# via log2(x & -x), exact for powers of two). The harmonic sum adds
+# exact binary fractions (2^-M, M <= 23: every partial sum fits in 33
+# mantissa bits), so even the floating-point estimate is
+# order-independent and deterministic across engines — an
+# oracle-checkable approximate-distinct, unlike the engine-native HLL
+# sketches (approx_order_stats is rows-only for exactly that reason).
+
+HLL_P = 10
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+@register(
+    "hll_distinct_profile",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT event_type,
+             xor(x2 >> 16, x2) AS h
+      FROM (
+        SELECT event_type,
+               (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2
+        FROM (
+          SELECT event_type,
+                 (xor(x0 >> 16, x0) * 73244475) & 4294967295 AS x1
+          FROM (SELECT event_type,
+                       CAST(user_id AS BIGINT) & 4294967295 AS x0
+                FROM events)))
+    ),
+    rho AS (
+      SELECT event_type, h & {HLL_M - 1} AS j,
+             CASE WHEN (h >> {HLL_P}) = 0 THEN {33 - HLL_P}
+                  ELSE CAST(log2((h >> {HLL_P}) & (-(h >> {HLL_P})))
+                            AS INT) + 1
+             END AS r
+      FROM mixed
+    ),
+    regs AS (
+      SELECT event_type, j, MAX(r) AS m FROM rho GROUP BY event_type, j
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS present,
+             SUM(POWER(2.0, -m)) AS s
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT a.event_type,
+             {HLL_M} - a.present AS zeros,
+             CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+               / (a.s + ({HLL_M} - a.present)) AS raw
+      FROM agg a
+    )
+    SELECT e.event_type,
+           x.n_exact,
+           ROUND(CASE WHEN e.raw <= 2.5 * {HLL_M} AND e.zeros > 0
+                      THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / e.zeros)
+                      ELSE e.raw END, 2) AS hll_est
+    FROM est e
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type) x
+      ON x.event_type = e.event_type
+    """,
+    tags=("sketch", "approximate"),
+)
+def hll_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, next to the
+    exact count — with EVERY step engine-portable: register index and
+    rank are int64 arithmetic, and the harmonic mean adds exact binary
+    fractions, so the estimate itself hash-matches DuckDB (the
+    deterministic counterpart to approx_count_distinct's rows-only
+    check, with the same fixed-size-sketch scale story: 1024 registers
+    per group no matter how many rows stream through the map-side
+    combine; union of sketches = register-wise max, which is exactly
+    the shuffle this plan performs)."""
+    e = _t(spark, sf_dir, "events")
+    mixed = (e.select("event_type",
+                      F.expr("CAST(user_id AS BIGINT) & 4294967295")
+                      .alias("x0"))
+             .select("event_type",
+                     F.expr("(shiftright(x0, 16) ^ x0) * 73244475"
+                            " & 4294967295").alias("x1"))
+             .select("event_type",
+                     F.expr("(shiftright(x1, 16) ^ x1) * 73244475"
+                            " & 4294967295").alias("x2"))
+             .select("event_type",
+                     F.expr("shiftright(x2, 16) ^ x2").alias("h")))
+    w = f"shiftright(h, {HLL_P})"
+    rho = mixed.select(
+        "event_type", (F.col("h") % HLL_M).alias("j"),
+        F.expr(f"CASE WHEN {w} = 0 THEN {33 - HLL_P} ELSE "
+               f"CAST(log2({w} & -{w}) AS INT) + 1 END").alias("r"))
+    regs = rho.groupBy("event_type", "j").agg(F.max("r").alias("m"))
+    agg = (regs.groupBy("event_type")
+           .agg(F.count("*").alias("present"),
+                F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s")))
+    est = agg.select(
+        "event_type", (F.lit(HLL_M) - F.col("present")).alias("zeros"),
+        (F.lit(HLL_ALPHA) * HLL_M * HLL_M
+         / (F.col("s") + (F.lit(HLL_M) - F.col("present")))).alias("raw"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_exact",
+                    F.round(
+                        F.when((F.col("raw") <= 2.5 * HLL_M)
+                               & (F.col("zeros") > 0),
+                               HLL_M * F.log(F.lit(float(HLL_M))
+                                             / F.col("zeros")))
+                        .otherwise(F.col("raw")), 2).alias("hll_est")))
