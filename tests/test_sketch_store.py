@@ -81,3 +81,50 @@ def test_writestream_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     batch = cms_cells(tokens_with_hash(docs))
     assert _cells(read_sketch(spark, str(tmp_path / "cms"))) == _cells(batch)
+
+
+# --- HLL register store --------------------------------------------------
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events").select("event_type",
+                                                      "user_id")
+
+
+def test_streamed_hll_registers_equal_batch(spark, tmp_path):
+    """Max-merged streamed registers == one-pass batch registers for
+    an arbitrary 3-way split (sketch union is register-wise max)."""
+    from transcript_analysis_spark.plans.sketches import hll_registers
+    from transcript_analysis_spark.streaming.sketch_store import (
+        foreach_batch_hll, read_hll_registers)
+    ev = _events(spark)
+    d = str(tmp_path / "hll")
+    for bid, p in enumerate(ev.randomSplit([0.3, 0.4, 0.3], seed=5)):
+        foreach_batch_hll(p, bid, d)
+    got = sorted(map(tuple, read_hll_registers(spark, d).collect()))
+    ref = sorted(map(tuple, hll_registers(ev, "event_type",
+                                          "user_id").collect()))
+    assert got == ref
+
+
+def test_hll_store_replay_and_estimates(spark, tmp_path):
+    """Replaying a batch changes nothing (max is idempotent), and the
+    store's estimates equal the registered batch query's."""
+    from transcript_analysis_spark.streaming.sketch_store import (
+        estimate_distinct_from_store, foreach_batch_hll)
+    ev = _events(spark)
+    d = str(tmp_path / "hll")
+    halves = ev.randomSplit([0.5, 0.5], seed=9)
+    for bid, p in enumerate(halves):
+        foreach_batch_hll(p, bid, d)
+    once = sorted(map(tuple,
+                      estimate_distinct_from_store(spark, d).collect()))
+    foreach_batch_hll(halves[0], 0, d)  # crash-retry replay
+    assert sorted(map(tuple,
+                      estimate_distinct_from_store(spark, d).collect())) \
+        == once
+
+    from transcript_analysis_spark.plans import all_queries
+    ref = {r.event_type: r.hll_est
+           for r in all_queries()["hll_distinct_profile"].fn(spark, SF_DIR)
+           .collect()}
+    assert dict(once) == ref

@@ -541,37 +541,49 @@ def hll_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine; union of sketches = register-wise max, which is exactly
     the shuffle this plan performs)."""
     e = _t(spark, sf_dir, "events")
-    mixed = (e.select("event_type",
-                      F.expr("CAST(user_id AS BIGINT) & 4294967295")
-                      .alias("x0"))
-             .select("event_type",
+    regs = hll_registers(e, "event_type", "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (hll_estimate(regs, "event_type").join(exact, "event_type")
+            .select("event_type", "n_exact", "hll_est"))
+
+
+def hll_registers(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """(group, j, m): HLL registers per group — one map-side-combined
+    max aggregate. Shared by the batch query and
+    streaming/sketch_store.py (sketch union = register-wise MAX)."""
+    mixed = (df.select(group_col,
+                       F.expr(f"CAST({id_col} AS BIGINT) & 4294967295")
+                       .alias("x0"))
+             .select(group_col,
                      F.expr("(shiftright(x0, 16) ^ x0) * 73244475"
                             " & 4294967295").alias("x1"))
-             .select("event_type",
+             .select(group_col,
                      F.expr("(shiftright(x1, 16) ^ x1) * 73244475"
                             " & 4294967295").alias("x2"))
-             .select("event_type",
+             .select(group_col,
                      F.expr("shiftright(x2, 16) ^ x2").alias("h")))
     w = f"shiftright(h, {HLL_P})"
     rho = mixed.select(
-        "event_type", (F.col("h") % HLL_M).alias("j"),
+        group_col, (F.col("h") % HLL_M).alias("j"),
         F.expr(f"CASE WHEN {w} = 0 THEN {33 - HLL_P} ELSE "
                f"CAST(log2({w} & -{w}) AS INT) + 1 END").alias("r"))
-    regs = rho.groupBy("event_type", "j").agg(F.max("r").alias("m"))
-    agg = (regs.groupBy("event_type")
+    return rho.groupBy(group_col, "j").agg(F.max("r").alias("m"))
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Per-group cardinality estimate from a (group, j, m) register
+    frame — harmonic mean + small-range linear counting."""
+    agg = (regs.groupBy(group_col)
            .agg(F.count("*").alias("present"),
                 F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s")))
     est = agg.select(
-        "event_type", (F.lit(HLL_M) - F.col("present")).alias("zeros"),
+        group_col, (F.lit(HLL_M) - F.col("present")).alias("zeros"),
         (F.lit(HLL_ALPHA) * HLL_M * HLL_M
          / (F.col("s") + (F.lit(HLL_M) - F.col("present")))).alias("raw"))
-    exact = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"))
-    return (est.join(exact, "event_type")
-            .select("event_type", "n_exact",
-                    F.round(
-                        F.when((F.col("raw") <= 2.5 * HLL_M)
-                               & (F.col("zeros") > 0),
-                               HLL_M * F.log(F.lit(float(HLL_M))
-                                             / F.col("zeros")))
-                        .otherwise(F.col("raw")), 2).alias("hll_est")))
+    return est.select(
+        group_col,
+        F.round(
+            F.when((F.col("raw") <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+                   HLL_M * F.log(F.lit(float(HLL_M)) / F.col("zeros")))
+            .otherwise(F.col("raw")), 2).alias("hll_est"))

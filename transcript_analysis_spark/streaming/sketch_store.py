@@ -73,3 +73,56 @@ def run_sketch_stream(stream_docs: DataFrame, cms_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# --- incremental HyperLogLog registers -----------------------------------
+# The CMS above merges by SUM (counters); HLL merges by register-wise
+# MAX — the other half of the mergeable-sketch story. Per micro-batch
+# the delta is <= groups x 1024 rows regardless of batch size; the
+# live registers are the max over all batch partitions, so replays
+# (idempotent max) AND reorderings are harmless by algebra, with the
+# batch_id partition overwrite as the belt to that suspenders.
+
+def foreach_batch_hll(batch_df: DataFrame, batch_id: int,
+                      hll_dir: str, group_col: str = "event_type",
+                      id_col: str = "user_id") -> None:
+    """Fold one micro-batch into its HLL register-delta partition."""
+    from transcript_analysis_spark.plans.sketches import hll_registers
+    spark = batch_df.sparkSession
+    delta = (hll_registers(batch_df, group_col, id_col)
+             .withColumn("batch_id", F.lit(int(batch_id))))
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (delta.coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+         .parquet(hll_dir))
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_hll_registers(spark: SparkSession, hll_dir: str,
+                       group_col: str = "event_type") -> DataFrame:
+    """Live registers: register-wise max over all batch deltas."""
+    return (spark.read.parquet(hll_dir)
+            .groupBy(group_col, "j").agg(F.max("m").alias("m")))
+
+
+def estimate_distinct_from_store(spark: SparkSession, hll_dir: str,
+                                 group_col: str = "event_type") -> DataFrame:
+    """Per-group cardinality estimates from the persisted registers —
+    identical math to the batch query's estimate phase."""
+    from transcript_analysis_spark.plans.sketches import hll_estimate
+    return hll_estimate(read_hll_registers(spark, hll_dir, group_col),
+                        group_col)
+
+
+def run_hll_stream(stream_df: DataFrame, hll_dir: str,
+                   checkpoint_dir: str):
+    """AvailableNow foreachBatch driver for HLL maintenance."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: foreach_batch_hll(
+                df, bid, hll_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
