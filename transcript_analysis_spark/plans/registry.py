@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_degree_distribution",
     "semdedup_prune",
     "hll_distinct_profile",
+    "conversion_within_24h",
     "nation_priority_pivot",
     "price_quantity_regression",
     "mad_outlier_profile",

@@ -476,6 +476,75 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_outliers")))
 
 
+# --- time-bounded conversion funnel --------------------------------------
+
+CONV_WINDOW_US = 24 * 3600 * 1_000_000  # 24h in microseconds
+
+
+@register(
+    "conversion_within_24h",
+    oracle=f"""
+    WITH first_view AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT v.user_id, v.view_us,
+             MIN(epoch_us(p.ts)) AS purchase_us
+      FROM first_view v
+      JOIN events p
+        ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND epoch_us(p.ts) > v.view_us
+       AND epoch_us(p.ts) <= v.view_us + {CONV_WINDOW_US}
+      GROUP BY v.user_id, v.view_us
+    )
+    SELECT CAST((SELECT COUNT(*) FROM first_view) AS BIGINT)
+             AS n_viewed,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           {duck_round_ratio('COUNT(*) * 100',
+                             '(SELECT COUNT(*) FROM first_view)', 4)}
+             AS conversion_pct,
+           CAST(MIN(purchase_us - view_us) AS BIGINT) AS min_lag_us,
+           CAST(MAX(purchase_us - view_us) AS BIGINT) AS max_lag_us
+    FROM conv
+    """,
+    tags=("warehouse", "funnel"),
+)
+def conversion_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: of users whose journey starts
+    with a view, how many purchase within 24 hours of that FIRST view
+    (the attribution-window form of funnel_view_click_purchase, which
+    is unbounded). Two stages: first-view per user (one aggregate),
+    then a range-bounded equi-join on user_id — the purchase side is
+    pre-filtered to one event type before the shuffle, and the range
+    predicate rides the same user_id join (no second shuffle). The
+    conversion rate uses integer half-up rounding (engine-portable)."""
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    first_view = (e.filter(F.col("event_type") == "view")
+                  .groupBy("user_id")
+                  .agg(F.min(us).alias("view_us")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", us.alias("p_us")))
+    conv = (first_view.join(purchases, "user_id")
+            .filter((F.col("p_us") > F.col("view_us"))
+                    & (F.col("p_us") <= F.col("view_us") + CONV_WINDOW_US))
+            .groupBy("user_id", "view_us")
+            .agg(F.min("p_us").alias("purchase_us")))
+    totals = first_view.agg(F.count("*").cast("bigint").alias("n_viewed"))
+    return (conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.min(F.col("purchase_us") - F.col("view_us")).cast("bigint")
+        .alias("min_lag_us"),
+        F.max(F.col("purchase_us") - F.col("view_us")).cast("bigint")
+        .alias("max_lag_us"))
+        .join(F.broadcast(totals))
+        .select("n_viewed", "n_converted",
+                spark_round_ratio("n_converted * 100", "n_viewed", 4)
+                .alias("conversion_pct"),
+                "min_lag_us", "max_lag_us"))
+
+
 # --- join-key skew diagnosis ---------------------------------------------
 
 @register(
