@@ -441,18 +441,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("vd"))
-    av = assigned.join(e, "vec_id").select("vec_id", "cid", "vd")
+    # Norm per VECTOR, not per pair: sqrt(fold(v,v)) here is bitwise
+    # the same value the per-pair form would compute, at 1/|cluster|
+    # of the cost. Checkpoint so the Lloyd assignment and the norm
+    # fold run once, not once per self-join side.
+    norm = ("sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), 0D,"
+            " (a, x) -> a + x))")
+    av = (assigned.join(e, "vec_id")
+          .select("vec_id", "cid", "vd", F.expr(norm).alias("nrm"))
+          .localCheckpoint(eager=False))
     a = av.select(F.col("vec_id").alias("vec_a"), F.col("cid").alias("ca"),
-                  F.col("vd").alias("va"))
+                  F.col("vd").alias("va"), F.col("nrm").alias("na"))
     b = av.select(F.col("vec_id").alias("vec_b"), F.col("cid").alias("cb"),
-                  F.col("vd").alias("vb"))
+                  F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
     dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    na = "aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    nb = "aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
     dropped = (a.join(b, (F.col("cb") == F.col("ca"))
                       & (F.col("vec_b") > F.col("vec_a")))
-               .filter(F.round(F.expr(dot)
-                               / (F.sqrt(F.expr(na)) * F.sqrt(F.expr(nb))), 6)
+               .filter(F.round(F.expr(dot) / (F.col("na") * F.col("nb")), 6)
                        >= SEMDEDUP_TAU)
                .select(F.col("vec_b").alias("vec_id")).distinct())
     return (av.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
