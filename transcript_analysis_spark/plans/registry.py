@@ -98,6 +98,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "hll_distinct_profile",
     "conversion_within_24h",
+    "weighted_doc_sample",
+    "token_cooccurrence_top20",
     "nation_priority_pivot",
     "price_quantity_regression",
     "mad_outlier_profile",

@@ -592,3 +592,77 @@ def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
             F.when((F.col("raw") <= 2.5 * HLL_M) & (F.col("zeros") > 0),
                    HLL_M * F.log(F.lit(float(HLL_M)) / F.col("zeros")))
             .otherwise(F.col("raw")), 2).alias("hll_est"))
+
+
+# --- weighted sampling (A-Res) and co-occurrence mining ------------------
+
+WSAMPLE_K = 50
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(POWER(
+               (CAST({duck_char_hash("text || '|wsamp'")} AS DOUBLE) + 1)
+                 / ({MOD} + 1),
+               1.0 / n_chars), 9) AS ares_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ares_key
+    FROM keyed ORDER BY ares_key DESC, doc_id LIMIT {WSAMPLE_K}
+    """,
+    tags=("sampling",),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis A-Res): key = u^(1/w) with u from the portable content
+    hash instead of an RNG — longer documents are proportionally more
+    likely to be drawn, the draw is reproducible across engines and
+    runs, and "keep the k largest keys" is a TakeOrderedAndProject
+    (per-partition top-k + merge), never a global sort. The length-
+    weighted counterpart to uniform_hash_sample / stratified sampling.
+    Keys round at 9 before ordering so the two engines' pow() agree on
+    the ranking boundary; doc_id breaks residual ties."""
+    d = _t(spark, sf_dir, "documents")
+    u = ((F.expr(spark_char_hash("text || '|wsamp'")).cast("double") + 1)
+         / (MOD + 1))
+    keyed = d.select(
+        "doc_id", "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+        .alias("ares_key"))
+    return keyed.orderBy(F.desc("ares_key"), "doc_id").limit(WSAMPLE_K)
+
+
+@register(
+    "token_cooccurrence_top20",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_docs
+    FROM pres a JOIN pres b ON b.doc_id = a.doc_id AND b.w > a.w
+    GROUP BY a.w, b.w
+    ORDER BY n_docs DESC, w1, w2 LIMIT 20
+    """,
+    tags=("mining", "text"),
+)
+def token_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring token pairs across documents — the pairwise
+    frequent-itemset pass of market-basket analysis. The pair join
+    runs on the DISTINCT (doc, token) presence table, so its output is
+    bounded by docs x vocab^2 presence — at 100 TB the standard cut is
+    frequency-pruned candidates (drop tokens below min-support before
+    pairing: the Apriori property), which is one filter on this same
+    plan. Top-20 is a TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    pres = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .distinct())
+    b = pres.select(F.col("doc_id").alias("b_doc"), F.col("w").alias("w2"))
+    return (pres.join(b, (F.col("b_doc") == F.col("doc_id"))
+                      & (F.col("w2") > F.col("w")))
+            .groupBy(F.col("w").alias("w1"), "w2")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), "w1", "w2").limit(20))
