@@ -75,3 +75,16 @@ def test_hll_estimate_within_5pct(spark):
     assert rows
     for r in rows:
         assert abs(r.hll_est - r.n_exact) <= 0.05 * r.n_exact + 2.0
+
+
+def test_hll_mixer_is_collision_free_on_consecutive_ids():
+    """The 32-bit avalanche mixer is a bijection (every step is
+    invertible mod 2^32), so consecutive ids — the worst case that
+    broke the polynomial hash — can never collide."""
+    def mix(x):
+        x &= 0xFFFFFFFF
+        x = (((x >> 16) ^ x) * 0x45d9f3b) & 0xFFFFFFFF
+        x = (((x >> 16) ^ x) * 0x45d9f3b) & 0xFFFFFFFF
+        return (x >> 16) ^ x
+    seen = {mix(i) for i in range(100_000)}
+    assert len(seen) == 100_000

@@ -281,6 +281,18 @@ class TranscriptEngine:
         """Portable HyperLogLog distinct-user estimates vs exact."""
         return self._q("hll_distinct_profile")
 
+    def sample_weighted(self) -> DataFrame:
+        """Length-weighted reproducible sample (A-Res keys)."""
+        return self._q("weighted_doc_sample")
+
+    def cooccurrence(self) -> DataFrame:
+        """Top co-occurring token pairs (frequent-itemset pass)."""
+        return self._q("token_cooccurrence_top20")
+
+    def conversion_funnel(self) -> DataFrame:
+        """View -> purchase conversion within a 24h window."""
+        return self._q("conversion_within_24h")
+
     def drift_psi(self) -> DataFrame:
         """Per-token population-stability-index drift contributions."""
         return self._q("token_psi_drift")

@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "conversion_within_24h",
     "weighted_doc_sample",
     "token_cooccurrence_top20",
+    "orders_table_profile",
     "nation_priority_pivot",
     "price_quantity_regression",
     "mad_outlier_profile",

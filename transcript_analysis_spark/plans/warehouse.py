@@ -476,6 +476,84 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_outliers")))
 
 
+# --- table profiler ------------------------------------------------------
+# Numeric/timestamp columns report min/max as rounded doubles (epoch
+# seconds for timestamps); string columns as strings — mixing them in
+# one string column would hit engine-specific double formatting.
+
+_PROFILE_COLS = (
+    ("o_orderkey", "num"), ("o_custkey", "num"),
+    ("o_orderstatus", "str"), ("o_totalprice", "num"),
+    ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+)
+
+
+def _profile_branch_sql(col: str, kind: str) -> str:
+    if kind == "ts":
+        v = f"epoch(o.{col})"
+    elif kind == "num":
+        v = f"o.{col}"
+    else:
+        v = None
+    num_min = f"ROUND(CAST(MIN({v}) AS DOUBLE), 4)" if v else "NULL"
+    num_max = f"ROUND(CAST(MAX({v}) AS DOUBLE), 4)" if v else "NULL"
+    str_min = f"MIN(o.{col})" if kind == "str" else "NULL"
+    str_max = f"MAX(o.{col})" if kind == "str" else "NULL"
+    return f"""
+      SELECT '{col}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o.{col}) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT o.{col}) AS BIGINT) AS n_distinct,
+             CAST({num_min} AS DOUBLE) AS min_num,
+             CAST({num_max} AS DOUBLE) AS max_num,
+             CAST({str_min} AS VARCHAR) AS min_str,
+             CAST({str_max} AS VARCHAR) AS max_str
+      FROM orders o"""
+
+
+@register(
+    "orders_table_profile",
+    oracle=" UNION ALL ".join(_profile_branch_sql(c, k)
+                              for c, k in _PROFILE_COLS),
+    tags=("warehouse", "quality", "profiling"),
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the orders table — row counts,
+    null counts, distinct cardinalities, and typed min/max per column
+    (the first query a warehouse runs against an unfamiliar table, and
+    the stats a quality gate pins before trusting a load). One
+    aggregate per column unioned together; Spark runs the branches
+    over one cached scan and each aggregate is map-side combined. At
+    100 TB swap exact COUNT(DISTINCT) for approx_count_distinct or
+    the portable HLL (hll_distinct_profile) — same plan shape."""
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "ts":
+            v = F.expr(f"unix_timestamp(cast({col} as timestamp))")
+        elif kind == "num":
+            v = F.col(col)
+        else:
+            v = None
+        parts.append(o.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_nonnull"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            (F.round(F.min(v).cast("double"), 4) if v is not None
+             else F.lit(None).cast("double")).alias("min_num"),
+            (F.round(F.max(v).cast("double"), 4) if v is not None
+             else F.lit(None).cast("double")).alias("max_num"),
+            (F.min(col) if kind == "str"
+             else F.lit(None).cast("string")).alias("min_str"),
+            (F.max(col) if kind == "str"
+             else F.lit(None).cast("string")).alias("max_str"),
+        ).select(F.lit(col).alias("column_name"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # --- time-bounded conversion funnel --------------------------------------
 
 CONV_WINDOW_US = 24 * 3600 * 1_000_000  # 24h in microseconds
