@@ -274,3 +274,39 @@ def test_native_stream_dedup_within_watermark(spark, tmp_path):
         sw.deduped_event_stream(stream), "t_native_dedup")
     ids = [r.event_id for r in got.collect()]
     assert len(ids) == len(set(ids)) == base.count()
+
+
+def test_foreach_batch_enrich_sees_dim_updates(spark, tmp_path):
+    """A dimension update between micro-batches is visible to the
+    next batch — the live-lookup property a stream-static broadcast
+    join pinned at stream start cannot provide."""
+    from transcript_analysis_spark.streaming.windows import \
+        foreach_batch_enrich
+
+    dim_dir = str(tmp_path / "dim")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame([(1, "bronze"), (2, "silver")],
+                          "user_id long, tier string") \
+        .write.parquet(dim_dir)
+
+    b0 = spark.createDataFrame([(100, 1), (101, 2)],
+                               "event_id long, user_id long")
+    foreach_batch_enrich(b0, 0, dim_dir, out_dir)
+
+    # dim update lands between batches: user 1 promoted, user 3 added
+    spark.createDataFrame([(1, "gold"), (2, "silver"), (3, "bronze")],
+                          "user_id long, tier string") \
+        .write.mode("overwrite").parquet(dim_dir)
+
+    b1 = spark.createDataFrame([(102, 1), (103, 3)],
+                               "event_id long, user_id long")
+    foreach_batch_enrich(b1, 1, dim_dir, out_dir)
+
+    rows = {r.event_id: r.tier
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {100: "bronze", 101: "silver",
+                    102: "gold", 103: "bronze"}
+
+    # replay batch 1: same content, no duplication
+    foreach_batch_enrich(b1, 1, dim_dir, out_dir)
+    assert spark.read.parquet(out_dir).count() == 4

@@ -329,3 +329,41 @@ def deduped_event_stream(events: DataFrame,
     dup detection must span the full table history."""
     return (ensure_event_time(events).withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def foreach_batch_enrich(batch_df: DataFrame, batch_id: int,
+                         dim_dir: str, out_dir: str,
+                         dim_key: str = "user_id") -> None:
+    """Stream-dimension enrichment with LIVE dimension refresh: each
+    micro-batch re-reads the dimension table from storage, so a dim
+    update that lands between batches is visible to the very next one
+    — the slowly-changing-lookup pattern a static broadcast join
+    cannot express (Spark pins a static dim at stream start). The
+    dimension is broadcast per batch (small by contract: it is a
+    lookup table); output lands in this batch's partition via dynamic
+    partition overwrite, replay-safe like every foreach_batch sink in
+    this module."""
+    spark = batch_df.sparkSession
+    dim = spark.read.parquet(dim_dir)
+    out = (batch_df.join(F.broadcast(dim), dim_key, "left")
+           .withColumn("batch_id", F.lit(int(batch_id))))
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (out.write.mode("overwrite").partitionBy("batch_id")
+         .parquet(out_dir))
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_enriched_stream(stream_df: DataFrame, dim_dir: str,
+                        out_dir: str, checkpoint_dir: str,
+                        dim_key: str = "user_id"):
+    """AvailableNow foreachBatch driver for dim enrichment."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: foreach_batch_enrich(
+                df, bid, dim_dir, out_dir, dim_key))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
