@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_doc_sample",
     "token_cooccurrence_top20",
     "orders_table_profile",
+    "join_cardinality_estimate",
     "nation_priority_pivot",
     "price_quantity_regression",
     "mad_outlier_profile",

@@ -91,6 +91,7 @@ def cms_estimate(candidates: DataFrame, sketch: DataFrame) -> DataFrame:
 
 @register(
     "cms_heavy_hitters",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -485,6 +486,7 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 @register(
     "hll_distinct_profile",
+    headline=True,
     oracle=f"""
     WITH mixed AS (
       SELECT event_type,

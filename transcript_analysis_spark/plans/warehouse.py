@@ -674,3 +674,52 @@ def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_round_ratio("max_cnt * n_keys", "n_rows", 4).alias("skew_ratio"),
         (F.expr("(max_cnt * n_keys) div n_rows") + 1).cast("bigint")
         .alias("salt_buckets"))
+
+
+# --- join cardinality estimation -----------------------------------------
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH ca AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+    ),
+    cb AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    pred AS (
+      SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS predicted_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_matching_keys
+      FROM ca JOIN cb ON cb.k = ca.k
+    )
+    SELECT p.predicted_rows, p.n_matching_keys,
+           CAST((SELECT COUNT(*)
+                 FROM orders o JOIN lineitem l
+                   ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+             AS actual_rows
+    FROM pred p
+    """,
+    tags=("warehouse", "optimizer"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality from per-key histograms BEFORE
+    running the join: |A join B| = sum over keys of cA(k)*cB(k). The
+    histogram join is O(distinct keys) — a fraction of the real join's
+    shuffle — which is how an engine (or an operator author) decides
+    whether a planned join will explode before paying for it; the
+    CBO-statistics story as a runnable operator. The actual join count
+    is emitted beside the prediction, so the oracle also certifies the
+    identity itself."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ca = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("ca"))
+    cb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("cb"))
+    pred = (ca.join(cb, "k")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint")
+                 .alias("predicted_rows"),
+                 F.count("*").cast("bigint").alias("n_matching_keys")))
+    actual = (o.join(li, o.o_orderkey == li.l_orderkey)
+              .agg(F.count("*").cast("bigint").alias("actual_rows")))
+    return pred.join(F.broadcast(actual))
