@@ -45,6 +45,13 @@ def approx_similarity_pairs(embeddings: DataFrame, threshold: float,
     """Approximate euclidean-distance self-join: pairs within
     `threshold`, discovered through shared LSH buckets instead of an
     all-pairs scan (the X15 scale path)."""
+    if embeddings.isEmpty():
+        # MLlib fit() raises on an empty dataset; an empty corpus has
+        # no pairs — return the contract schema instead of crashing
+        # (the empty-partition robustness gate in test_empty_inputs).
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, vec_b bigint, euclidean_dist double"
+        ).withColumnRenamed(id_col, "vec_a")
     model, df = fit_lsh_model(embeddings, vec_col, **lsh_kwargs)
     joined = model.approxSimilarityJoin(df, df, threshold, distCol="dist")
     return (joined

@@ -340,6 +340,11 @@ def _lloyd(spark: SparkSession, sf_dir: str):
     seeds = (vecs.filter(F.col("vec_id") < KM_K)
              .orderBy("vec_id").collect())
     centroids = [(int(r.vec_id), list(r.v)) for r in seeds]
+    if not centroids:
+        # Empty corpus: no seeds, no clusters — return the contract
+        # shapes instead of building an untypeable empty literal array.
+        empty = vecs.withColumn("cid", F.lit(None).cast("int")).limit(0)
+        return [], empty
     assigned = None
     for _ in range(KM_T):
         assigned = _km_assign(vecs, centroids)
