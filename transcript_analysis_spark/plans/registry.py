@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_cooccurrence_top20",
     "orders_table_profile",
     "join_cardinality_estimate",
+    "monthly_revenue_yoy",
+    "nation_revenue_share",
     "nation_priority_pivot",
     "price_quantity_regression",
     "mad_outlier_profile",

@@ -723,3 +723,98 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual = (o.join(li, o.o_orderkey == li.l_orderkey)
               .agg(F.count("*").cast("bigint").alias("actual_rows")))
     return pred.join(F.broadcast(actual))
+
+
+# --- BI time-intelligence ------------------------------------------------
+
+@register(
+    "monthly_revenue_yoy",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mon, revenue,
+           LAG(revenue) OVER (PARTITION BY mon ORDER BY yr)
+             AS prev_year_revenue,
+           ROUND((revenue - LAG(revenue) OVER (PARTITION BY mon
+                                               ORDER BY yr))
+                 / LAG(revenue) OVER (PARTITION BY mon ORDER BY yr)
+                 * 100, 4) AS yoy_pct
+    FROM monthly
+    """,
+    tags=("warehouse", "timeseries"),
+)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per calendar month — the warehouse
+    time-intelligence staple (LAG across the year axis, PARTITIONED by
+    month-of-year so no window ever serializes more than one month's
+    year-series; input is pre-aggregated to O(months)). The growth
+    ratio divides the ROUNDED revenues, so both engines divide
+    identical doubles."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    monthly = (o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr", "mon", "revenue",
+        prev.alias("prev_year_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"))
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT ROUND(SUM(revenue), 2) AS total FROM per_nation)
+    SELECT p.nation, p.revenue,
+           ROUND(p.revenue / t.total * 100, 6) AS share_pct,
+           CAST(1 + (SELECT COUNT(*) FROM per_nation q
+                     WHERE q.revenue > p.revenue
+                        OR (q.revenue = p.revenue AND q.nation < p.nation))
+                AS BIGINT) AS revenue_rank
+    FROM per_nation p CROSS JOIN tot t
+    """,
+    tags=("warehouse", "analytics"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total revenue and rank per nation. The rank comes
+    from a self-join over the 25-row AGGREGATED frame (count of
+    strictly-better rows) — the ranking never touches a global window
+    and its cost is bounded by the group count squared, not the fact
+    table. Shares divide rounded doubles on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (o.join(c, o.o_custkey == c.c_custkey)
+                  .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                  .groupBy(F.col("n_name").alias("nation"))
+                  .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    per_nation = per_nation.localCheckpoint(eager=False)
+    tot = per_nation.agg(F.round(F.sum("revenue"), 2).alias("total"))
+    other = per_nation.select(F.col("nation").alias("q_nation"),
+                              F.col("revenue").alias("q_revenue"))
+    better = (per_nation.join(
+        other,
+        (F.col("q_revenue") > F.col("revenue"))
+        | ((F.col("q_revenue") == F.col("revenue"))
+           & (F.col("q_nation") < F.col("nation"))), "left")
+        .groupBy("nation", "revenue")
+        .agg((F.count("q_nation") + 1).cast("bigint").alias("revenue_rank")))
+    return (better.join(F.broadcast(tot))
+            .select("nation", "revenue",
+                    F.round(F.col("revenue") / F.col("total") * 100, 6)
+                    .alias("share_pct"),
+                    "revenue_rank"))
