@@ -310,3 +310,54 @@ def test_foreach_batch_enrich_sees_dim_updates(spark, tmp_path):
     # replay batch 1: same content, no duplication
     foreach_batch_enrich(b1, 1, dim_dir, out_dir)
     assert spark.read.parquet(out_dir).count() == 4
+
+
+def test_stream_stream_outer_join_flushes_unmatched_at_watermark(
+        spark, tmp_path):
+    """LEFT OUTER stream-stream join: purchases with no preceding
+    click are held in state and emitted ONLY once the watermark
+    proves no match can arrive — appending far-future sentinel events
+    advances both side's watermarks and flushes them; the flushed set
+    must equal the batch left join."""
+    from transcript_analysis_spark.sources.tables import load_table
+    from transcript_analysis_spark.streaming.windows import \
+        purchase_click_outer_join
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = (load_table(spark, SF_DIR, "events")
+            .select("event_id", "user_id", "event_type", "ts", "value")
+            .limit(4000).localCheckpoint(eager=True))
+    base.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(base.schema).parquet(src)
+        q = (purchase_click_outer_join(stream).writeStream
+             .format("parquet").option("path", target)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    # sentinels: far-future click + purchase for two unused users —
+    # they advance BOTH watermarks (global watermark = min of sides)
+    far = (base.select(F.max("ts").alias("m"))
+           .select(F.expr("m + INTERVAL 6 HOURS").alias("ts"))
+           .collect()[0].ts)
+    spark.createDataFrame(
+        [(9_000_001, 9_000_001, "click", far, 0.0),
+         (9_000_002, 9_000_002, "purchase", far, 0.0)],
+        schema=base.schema).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in spark.read.parquet(target).collect()
+        if r.purchase_id < 9_000_000)
+    exp = sorted(
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in purchase_click_outer_join(base).collect())
+    assert got == exp
+    assert any(c is None for _, _, c in got), \
+        "expected at least one unmatched (NULL-click) purchase"

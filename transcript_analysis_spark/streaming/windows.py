@@ -367,3 +367,35 @@ def run_enriched_stream(stream_df: DataFrame, dim_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def purchase_click_outer_join(events: DataFrame,
+                              watermark: str = "1 hour",
+                              max_gap_min: int = 30) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits,
+    matched clicks attached, NULL-click rows for purchases with no
+    preceding click — the attribution form that must also count the
+    un-attributed. Outer results can only emit once the watermark
+    proves no matching click can still arrive, so this exercises the
+    state-EXPIRY semantics the inner join never does (an inner match
+    emits eagerly; an outer non-match emits exactly at expiry).
+    Same bounded time condition => bounded state."""
+    events = ensure_event_time(events)
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {max_gap_min} MINUTES")))
+    return (purchases.join(clicks, cond, "left_outer")
+            .select("p_user", "purchase_id", "click_id",
+                    "purchase_ts", "click_ts", "purchase_value"))
