@@ -109,8 +109,11 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edge construction leaves no dangling nodes (every node
     appearing in the graph has out-degree >= 1)."""
     edges, deg = _spark_graph(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=False)
-    deg = deg.localCheckpoint(eager=False)
+    # The whole T-round loop builds ONE plan executed in one job;
+    # Catalyst's ReusedExchange dedupes the repeated edges/deg
+    # subplans, so no checkpoint is needed (measured: an eager
+    # localCheckpoint of (src, dst, deg) was a net LOSS — it pays
+    # materialization for reuse the optimizer already provides).
     nn = deg.agg(F.count("*").alias("n"))
     base_pr = F.expr(f"{PR_MASS} div n")
     r = (deg.join(F.broadcast(nn))
