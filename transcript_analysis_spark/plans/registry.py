@@ -133,6 +133,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sequence_packing_sharded",
     "uniform_hash_sample",
     "corpus_mixture_plan",
+    # added after the 50-row driver window filled this round: these
+    # earn judge-verified rows now and rotate into the window next
+    # round without displacing a first-time driver check above
+    "rfm_customer_segments",
+    "corpus_zipf_fit",
+    "interevent_time_histogram",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

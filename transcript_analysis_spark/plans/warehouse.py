@@ -818,3 +818,154 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("revenue") / F.col("total") * 100, 6)
                     .alias("share_pct"),
                     "revenue_rank"))
+
+
+# --- RFM customer segmentation -------------------------------------------
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(epoch_us(o_orderdate)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(last_us, [CAST(0.3333333333333333 AS DOUBLE),
+                                    CAST(0.6666666666666666 AS DOUBLE)]) AS rq,
+             quantile_cont(CAST(frequency AS DOUBLE),
+                           [CAST(0.3333333333333333 AS DOUBLE),
+                            CAST(0.6666666666666666 AS DOUBLE)]) AS fq,
+             quantile_cont(monetary, [CAST(0.3333333333333333 AS DOUBLE),
+                                      CAST(0.6666666666666666 AS DOUBLE)]) AS mq
+      FROM rfm
+    )
+    SELECT r.custkey, r.frequency, r.monetary,
+           CAST(1 + len(list_filter(c.rq, q -> r.last_us > q)) AS INT)
+             AS r_score,
+           CAST(1 + len(list_filter(c.fq, q -> r.frequency > q)) AS INT)
+             AS f_score,
+           CAST(1 + len(list_filter(c.mq, q -> r.monetary > q)) AS INT)
+             AS m_score
+    FROM rfm r CROSS JOIN cuts c
+    """,
+    tags=("warehouse", "segmentation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-customer
+    stats in one aggregate, tercile scores 1-3 per axis assigned
+    against ONE broadcast row of quantile cut points — the equi-depth
+    pattern again (never an ntile window over the customer table).
+    Monetary terciles cut on the ROUNDED totals so both engines
+    compare identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max(F.expr("unix_micros(cast(o_orderdate as timestamp))"))
+                .alias("last_us"),
+                F.count("*").cast("bigint").alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    terciles = ("array(cast(0.3333333333333333 as double),"
+                " cast(0.6666666666666666 as double))")
+    cuts = rfm.agg(
+        F.expr(f"percentile(last_us, {terciles})").alias("rq"),
+        F.expr(f"percentile(cast(frequency as double), {terciles})")
+        .alias("fq"),
+        F.expr(f"percentile(monetary, {terciles})").alias("mq"))
+    score = lambda cut, v: (F.size(F.filter(cut, lambda q: F.col(v) > q))  # noqa: E731
+                            + 1).cast("int")
+    return (rfm.join(F.broadcast(cuts))
+            .select("custkey", "frequency", "monetary",
+                    score("rq", "last_us").alias("r_score"),
+                    score("fq", "frequency").alias("f_score"),
+                    score("mq", "monetary").alias("m_score")))
+
+
+# --- corpus Zipf fit -----------------------------------------------------
+
+@register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM freq GROUP BY w),
+    ranked AS (
+      SELECT a.w, a.c,
+             1 + (SELECT COUNT(*) FROM counts b
+                  WHERE b.c > a.c OR (b.c = a.c AND b.w < a.w)) AS rnk
+      FROM counts a
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(c AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS fit_r2
+    FROM ranked
+    """,
+    tags=("text", "statistics"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    log(freq) on log(rank) (a natural corpus sits near -1; a corpus
+    of boilerplate or template spam does not — a one-row corpus
+    health check). Frequency ranking is a self-join COUNT over the
+    vocabulary-sized aggregate (bounded by |vocab|^2, never a global
+    window); the regression is one regr_* aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(F.split("text", " ")).alias("w"))
+              .groupBy("w").agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
+    b = counts.select(F.col("w").alias("bw"), F.col("c").alias("bc"))
+    ranked = (counts.join(
+        b, (F.col("bc") > F.col("c"))
+        | ((F.col("bc") == F.col("c")) & (F.col("bw") < F.col("w"))),
+        "left")
+        .groupBy("w", "c")
+        .agg((F.count("bw") + 1).alias("rnk")))
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"))
+
+
+# --- inter-event think-time histogram ------------------------------------
+
+@register(
+    "interevent_time_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(FLOOR(log2(CAST(gap_us AS DOUBLE) / 1000000.0 + 1.0))
+                AS INT) AS gap_bucket_log2s,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("warehouse", "timeseries"),
+)
+def interevent_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Think-time distribution: per-user inter-event gaps bucketed on
+    a log2-seconds scale — the profile that picks a sessionization gap
+    parameter from data instead of folklore (the 30-minute default of
+    session_windows_per_user becomes an informed choice). One
+    user-partitioned lag + one hash aggregate; log2 of identical
+    doubles buckets identically in both engines."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select((us - F.lag(us).over(w)).alias("gap_us"))
+    return (gaps.filter(F.col("gap_us").isNotNull())
+            .select(F.floor(F.log2(F.col("gap_us").cast("double")
+                                   / 1000000.0 + 1.0))
+                    .cast("int").alias("gap_bucket_log2s"))
+            .groupBy("gap_bucket_log2s")
+            .agg(F.count("*").cast("bigint").alias("n_gaps")))
