@@ -293,6 +293,35 @@ class TranscriptEngine:
         """View -> purchase conversion within a 24h window."""
         return self._q("conversion_within_24h")
 
+    def rfm_segments(self) -> DataFrame:
+        """Recency/frequency/monetary tercile scores per customer."""
+        return self._q("rfm_customer_segments")
+
+    def zipf_fit(self) -> DataFrame:
+        """Zipf slope + R^2 of the corpus token distribution."""
+        return self._q("corpus_zipf_fit")
+
+    def think_time_profile(self) -> DataFrame:
+        """Log2-bucketed inter-event gap histogram (sessionization
+        gap selection)."""
+        return self._q("interevent_time_histogram")
+
+    def profile_table(self) -> DataFrame:
+        """Column-level profile of the orders table."""
+        return self._q("orders_table_profile")
+
+    def estimate_join_size(self) -> DataFrame:
+        """Per-key-histogram join cardinality prediction vs actual."""
+        return self._q("join_cardinality_estimate")
+
+    def revenue_yoy(self) -> DataFrame:
+        """Year-over-year monthly revenue growth."""
+        return self._q("monthly_revenue_yoy")
+
+    def revenue_share(self) -> DataFrame:
+        """Percent-of-total revenue and rank per nation."""
+        return self._q("nation_revenue_share")
+
     def drift_psi(self) -> DataFrame:
         """Per-token population-stability-index drift contributions."""
         return self._q("token_psi_drift")
