@@ -139,6 +139,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments",
     "corpus_zipf_fit",
     "interevent_time_histogram",
+    "part_affinity_top20",
+    "supplier_lead_time_stats",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

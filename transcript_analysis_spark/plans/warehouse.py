@@ -969,3 +969,114 @@ def interevent_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("gap_bucket_log2s"))
             .groupBy("gap_bucket_log2s")
             .agg(F.count("*").cast("bigint").alias("n_gaps")))
+
+
+# --- market-basket part affinity -----------------------------------------
+
+@register(
+    "part_affinity_top20",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM baskets),
+    part_freq AS (SELECT part, COUNT(*) AS f FROM baskets GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS support
+      FROM baskets a JOIN baskets b
+        ON b.okey = a.okey AND b.part > a.part
+      GROUP BY a.part, b.part
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           {duck_round_ratio('p.support * n.n',
+                             'fa.f * fb.f', 6)} AS lift
+    FROM pairs p
+    JOIN part_freq fa ON fa.part = p.part_a
+    JOIN part_freq fb ON fb.part = p.part_b
+    CROSS JOIN n_orders n
+    ORDER BY p.support DESC, p.part_a, p.part_b LIMIT 20
+    """,
+    tags=("mining", "warehouse"),
+)
+def part_affinity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over real baskets (parts co-purchased in
+    one order) with LIFT = P(a,b)/(P(a)P(b)) — support alone surfaces
+    popular parts, lift surfaces parts bought together BECAUSE of each
+    other. Pair growth is bounded by (parts per order)^2 per order,
+    not corpus^2; the frequency lookups are vocabulary-sized joins and
+    the lift is an exact integer ratio (half-up rounded) because
+    support and frequencies are counts. Top-20 by support is a
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (li.select(F.col("l_orderkey").alias("okey"),
+                         F.col("l_partkey").alias("part")).distinct()
+               .localCheckpoint(eager=False))
+    n_orders = baskets.agg(F.countDistinct("okey").alias("n"))
+    part_freq = baskets.groupBy("part").agg(F.count("*").alias("f"))
+    b = baskets.select(F.col("okey").alias("b_okey"),
+                       F.col("part").alias("part_b"))
+    pairs = (baskets.join(b, (F.col("b_okey") == F.col("okey"))
+                          & (F.col("part_b") > F.col("part")))
+             .groupBy(F.col("part").alias("part_a"), "part_b")
+             .agg(F.count("*").alias("support")))
+    fa = part_freq.select(F.col("part").alias("part_a"),
+                          F.col("f").alias("fa"))
+    fb = part_freq.select(F.col("part").alias("part_b"),
+                          F.col("f").alias("fb"))
+    return (pairs.join(fa, "part_a").join(fb, "part_b")
+            .join(F.broadcast(n_orders))
+            .select("part_a", "part_b", "support",
+                    spark_round_ratio("support * n", "fa * fb", 6)
+                    .alias("lift"))
+            .orderBy(F.desc("support"), "part_a", "part_b").limit(20))
+
+
+# --- supplier lead-time profile ------------------------------------------
+
+@register(
+    "supplier_lead_time_stats",
+    oracle="""
+    WITH lead AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                  // 86400000000 AS BIGINT) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(MIN(lead_days) AS BIGINT) AS min_days,
+           ROUND(quantile_cont(CAST(lead_days AS DOUBLE), 0.5), 4)
+             AS median_days,
+           ROUND(quantile_cont(CAST(lead_days AS DOUBLE), 0.95), 4)
+             AS p95_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM lead GROUP BY suppkey
+    """,
+    tags=("warehouse", "statistics"),
+)
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier (min / median / p95 / max
+    in whole days) — the operational-SLA profile behind supplier
+    scorecards. One fact-fact equi-join on the order key (both sides
+    partition on it; bucketed tables make it shuffle-free) and one
+    grouped exact-percentile aggregate; `approx_percentile` is the
+    stated swap at 100 TB. Day arithmetic is integer floor-division of
+    microsecond epochs — identical truncation in both engines for the
+    non-negative lead times."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lead = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    F.expr("(unix_micros(cast(l_shipdate as timestamp))"
+                           " - unix_micros(cast(o_orderdate as timestamp)))"
+                           " div 86400000000").cast("bigint")
+                    .alias("lead_days")))
+    return (lead.groupBy("suppkey")
+            .agg(F.count("*").cast("bigint").alias("n_shipments"),
+                 F.min("lead_days").cast("bigint").alias("min_days"),
+                 F.round(F.expr("percentile(cast(lead_days as double), 0.5)"),
+                         4).alias("median_days"),
+                 F.round(F.expr("percentile(cast(lead_days as double),"
+                                " 0.95)"), 4).alias("p95_days"),
+                 F.max("lead_days").cast("bigint").alias("max_days")))
