@@ -88,3 +88,16 @@ def test_hll_mixer_is_collision_free_on_consecutive_ids():
         return (x >> 16) ^ x
     seen = {mix(i) for i in range(100_000)}
     assert len(seen) == 100_000
+
+
+def test_binned_quantile_within_bin_width(spark):
+    """Histogram quantile error is bounded by one bin width
+    (range / 2048) — the sketch's contract."""
+    rows = sketches.binned_quantile_estimate(spark, SF_SMOKE).collect()
+    assert {r.quantile for r in rows} == set(sketches.QSK_QS)
+    import pyspark.sql.functions as SF
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lo, hi = o.agg(SF.min("o_totalprice"), SF.max("o_totalprice")).first()
+    width = (hi - lo) / sketches.QSK_BINS
+    for r in rows:
+        assert abs(r.est - r.exact) <= width

@@ -141,6 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "interevent_time_histogram",
     "part_affinity_top20",
     "supplier_lead_time_stats",
+    "binned_quantile_estimate",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -673,3 +673,117 @@ def token_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("w").alias("w1"), "w2")
             .agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), "w1", "w2").limit(20))
+
+
+# --- binned quantile sketch ----------------------------------------------
+# The third mergeable sketch: counts -> CMS (merge=sum), distinct ->
+# HLL (merge=max), quantiles -> fixed equi-width histogram
+# (merge=bin-wise sum, the same algebra as CMS). 2048 bins over the
+# observed [min, max]; estimates interpolate uniformly inside the hit
+# bin. Bin assignment arithmetic runs on identical doubles in both
+# engines; the cumulative walk is a bounded self-join over the
+# aggregated bins (never a global window).
+
+QSK_BINS = 2048
+QSK_QS = (0.5, 0.95, 0.99)
+
+
+@register(
+    "binned_quantile_estimate",
+    oracle=f"""
+    WITH ext AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST({QSK_BINS - 1}, GREATEST(0,
+               CAST(FLOOR((o.o_totalprice - e.lo) / (e.hi - e.lo)
+                          * {QSK_BINS}) AS INT))) AS b,
+             COUNT(*) AS cnt
+      FROM orders o CROSS JOIN ext e
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.b, a.cnt,
+             SUM(p.cnt) AS cum_le,
+             SUM(p.cnt) - a.cnt AS cum_lt
+      FROM binned a JOIN binned p ON p.b <= a.b
+      GROUP BY a.b, a.cnt
+    ),
+    qs(q) AS (VALUES {', '.join(f'(CAST({q} AS DOUBLE))' for q in QSK_QS)}),
+    hit AS (
+      SELECT q, MIN(b) AS b
+      FROM qs JOIN cum ON cum.cum_le >= q * (SELECT n FROM ext)
+      GROUP BY q
+    ),
+    exact AS (
+      {' UNION ALL '.join(
+          f"SELECT CAST({q} AS DOUBLE) AS q,"
+          f" ROUND(quantile_cont(o_totalprice, {q}), 4) AS exact"
+          f" FROM orders" for q in QSK_QS)}
+    )
+    SELECT h.q AS quantile,
+           ROUND(e.lo + (e.hi - e.lo) / {QSK_BINS}
+                 * (h.b + (h.q * e.n - c.cum_lt) / c.cnt), 4) AS est,
+           x.exact
+    FROM hit h
+    JOIN cum c ON c.b = h.b
+    JOIN exact x ON x.q = h.q
+    CROSS JOIN ext e
+    """,
+    tags=("sketch", "approximate"),
+)
+def binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 2048-bin histogram, reported
+    beside the exact percentile — the mergeable-quantile-sketch shape
+    (bins merge by addition across partitions/shards, exactly like
+    the CMS cells; the t-digest this stands in for trades the fixed
+    grid for adaptive centroids). Every arithmetic step is identical
+    double math in both engines, so the ESTIMATE is oracle-checked —
+    completing the sketch trilogy with CMS (counts) and HLL
+    (distinct). Accuracy is bounded by bin width (range/2048);
+    pinned in tests."""
+    o = _t(spark, sf_dir, "orders")
+    ext = o.agg(F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+                F.count("*").cast("bigint").alias("n"))
+    binned = (o.join(F.broadcast(ext))
+              .select(F.least(
+                  F.lit(QSK_BINS - 1),
+                  F.greatest(F.lit(0), F.floor(
+                      (F.col("o_totalprice") - F.col("lo"))
+                      / (F.col("hi") - F.col("lo")) * QSK_BINS)
+                      .cast("int"))).alias("b"))
+              .groupBy("b").agg(F.count("*").alias("cnt"))
+              .localCheckpoint(eager=False))
+    p = binned.select(F.col("b").alias("pb"), F.col("cnt").alias("pcnt"))
+    cum = (binned.join(p, F.col("pb") <= F.col("b"))
+           .groupBy("b", "cnt")
+           .agg(F.sum("pcnt").alias("cum_le"),
+                (F.sum("pcnt") - F.col("cnt")).alias("cum_lt")))
+    qs = spark.range(1).select(F.explode(F.array(
+        *[F.lit(float(q)) for q in QSK_QS])).alias("q"))
+    hit = (qs.join(F.broadcast(ext))
+           .join(cum, F.col("cum_le") >= F.col("q") * F.col("n"))
+           .groupBy("q").agg(F.min("b").alias("b")))
+    exact = o.agg(*[
+        F.round(F.expr(f"percentile(o_totalprice, cast({q} as double))"), 4)
+        .alias(f"x{i}") for i, q in enumerate(QSK_QS)])
+    exact_long = (exact.select(F.explode(F.array(*[
+        F.struct(F.lit(float(q)).alias("q"),
+                 F.col(f"x{i}").alias("exact"))
+        for i, q in enumerate(QSK_QS)])).alias("s"))
+        .select("s.q", "s.exact"))
+    return (hit.join(cum.select("b", "cnt", "cum_lt"), "b")
+            .join(F.broadcast(ext))
+            .select("q",
+                    F.round(F.col("lo") + (F.col("hi") - F.col("lo"))
+                            / QSK_BINS
+                            * (F.col("b") + (F.col("q") * F.col("n")
+                                             - F.col("cum_lt"))
+                               / F.col("cnt")), 4).alias("est"),
+                    "q")
+            .select("q", "est")
+            .join(F.broadcast(exact_long), "q")
+            .select(F.col("q").alias("quantile"), "est", "exact"))
