@@ -1039,7 +1039,8 @@ def part_affinity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lead AS (
       SELECT l.l_suppkey AS suppkey,
-             CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+             CAST(GREATEST(0, epoch_us(l.l_shipdate)
+                              - epoch_us(o.o_orderdate))
                   // 86400000000 AS BIGINT) AS lead_days
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     )
@@ -1068,7 +1069,12 @@ def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     lead = (li.join(o, li.l_orderkey == o.o_orderkey)
             .select(F.col("l_suppkey").alias("suppkey"),
-                    F.expr("(unix_micros(cast(l_shipdate as timestamp))"
+                    # GREATEST(0, ·): a data-error negative lead would
+                    # split the engines (Spark `div` truncates toward
+                    # zero, DuckDB `//` floors) — clamp BEFORE dividing
+                    # so both integer divisions see non-negatives.
+                    F.expr("greatest(0,"
+                           " unix_micros(cast(l_shipdate as timestamp))"
                            " - unix_micros(cast(o_orderdate as timestamp)))"
                            " div 86400000000").cast("bigint")
                     .alias("lead_days")))
