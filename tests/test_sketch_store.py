@@ -128,3 +128,38 @@ def test_hll_store_replay_and_estimates(spark, tmp_path):
            for r in all_queries()["hll_distinct_profile"].fn(spark, SF_DIR)
            .collect()}
     assert dict(once) == ref
+
+
+def test_sketch_stream_checkpoint_resume_across_runs(spark, tmp_path):
+    """Two AvailableNow runs against the SAME checkpoint: the second
+    run must fold ONLY the newly-arrived files (the checkpoint proves
+    batch 1 is done), and the final merged sketch must equal the
+    one-pass batch sketch over everything — the resume path the
+    replay tests don't exercise."""
+    from transcript_analysis_spark.streaming.sketch_store import (
+        read_sketch, run_sketch_stream)
+    docs = _docs(spark)
+    halves = docs.randomSplit([0.5, 0.5], seed=21)
+    src = str(tmp_path / "src")
+    cms = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = run_sketch_stream(stream, cms, ckpt)
+        q.awaitTermination(120)
+
+    halves[0].write.mode("overwrite").parquet(src)
+    run()
+    n_first = spark.read.parquet(cms).count()
+    halves[1].write.mode("append").parquet(src)
+    run()  # same checkpoint: resumes, folds only the new files
+
+    merged = read_sketch(spark, cms)
+    batch = cms_cells(tokens_with_hash(docs))
+    assert _cells(merged) == _cells(batch)
+    # the first run's cells were not re-folded into a duplicate batch
+    per_batch = (spark.read.parquet(cms)
+                 .select("batch_id").distinct().count())
+    assert per_batch >= 2 and spark.read.parquet(cms).count() > n_first
