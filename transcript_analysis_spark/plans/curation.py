@@ -1039,3 +1039,78 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / size(vec) * 1000000000.0 as bigint) END")
             .alias("mean_abs_err_e9"),
     )
+
+
+# --- dataset card --------------------------------------------------------
+
+@register(
+    "dataset_card_summary",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    langs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY lang
+    ),
+    lang_h AS (
+      SELECT SUM(ROUND(-(CAST(c AS DOUBLE) / t.n)
+                       * ln(CAST(c AS DOUBLE) / t.n), 9)) AS h
+      FROM langs CROSS JOIN (SELECT SUM(c) AS n FROM langs) t
+    ),
+    toks AS (
+      SELECT COUNT(DISTINCT w) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM base)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_words) AS BIGINT) AS total_words,
+           (SELECT vocab FROM toks) AS vocab_size,
+           CAST((SELECT COUNT(*) FROM langs) AS BIGINT) AS n_langs,
+           ROUND((SELECT h FROM lang_h), 6) AS lang_entropy,
+           {duck_round_ratio(
+               '(COUNT(*) - COUNT(DISTINCT b.text)) * 100', 'COUNT(*)', 4)}
+             AS exact_dup_pct,
+           ROUND(AVG(CAST(b.n_chars AS DOUBLE)), 2) AS avg_chars
+    FROM base b
+    """,
+    tags=("curation", "release"),
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row with the numbers a release datasheet
+    prints — corpus size, token volume, vocabulary, language mix
+    entropy (each language's contribution rounded before the tiny
+    fixed-order sum, so the float path is engine-stable), exact
+    duplicate rate (integer half-up ratio), and mean document length.
+    Three aggregates over one scan lineage; every input to the float
+    expressions is an exact integer count, so the card reproduces
+    bit-identically across engines and runs — a release artifact you
+    can diff."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", "lang", "n_chars",
+                    F.size(F.split("text", " ")).cast("bigint")
+                    .alias("n_words"))
+    langs = base.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    tot = langs.agg(F.sum("c").alias("n"))
+    lang_h = (langs.join(F.broadcast(tot))
+              .select(F.round(-(F.col("c").cast("double") / F.col("n"))
+                              * F.log(F.col("c").cast("double")
+                                      / F.col("n")), 9).alias("hc"))
+              .agg(F.sum("hc").alias("h")))
+    vocab = (base.select(F.explode(F.split("text", " ")).alias("w"))
+             .agg(F.countDistinct("w").alias("vocab")))
+    card = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.countDistinct("text").alias("_distinct_texts"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2)
+        .alias("avg_chars"))
+    n_langs = langs.agg(F.count("*").cast("bigint").alias("n_langs"))
+    return (card.join(F.broadcast(vocab)).join(F.broadcast(n_langs))
+            .join(F.broadcast(lang_h))
+            .select("n_docs", "total_words",
+                    F.col("vocab").alias("vocab_size"), "n_langs",
+                    F.round("h", 6).alias("lang_entropy"),
+                    spark_round_ratio("(n_docs - _distinct_texts) * 100",
+                                      "n_docs", 4).alias("exact_dup_pct"),
+                    "avg_chars"))

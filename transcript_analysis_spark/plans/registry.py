@@ -142,6 +142,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "part_affinity_top20",
     "supplier_lead_time_stats",
     "binned_quantile_estimate",
+    "dataset_card_summary",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",
