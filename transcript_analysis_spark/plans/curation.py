@@ -1114,3 +1114,45 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark_round_ratio("(n_docs - _distinct_texts) * 100",
                                       "n_docs", 4).alias("exact_dup_pct"),
                     "avg_chars"))
+
+
+# --- near-dup component size distribution --------------------------------
+
+def _neardup_sizes_oracle() -> str:
+    from transcript_analysis_spark.plans.registry import all_queries
+    inner = all_queries()["neardup_components"].oracle
+    return f"""
+    SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM ({inner}) GROUP BY n_members
+    """
+
+
+@register(
+    "neardup_component_sizes",
+    oracle=None,  # composed lazily below — see _late_oracle note
+    tags=("dedup", "graph"),
+)
+def neardup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-duplicate clusters — the shape a
+    dedup report leads with (how much of the corpus sits in 2-doc
+    pairs vs a handful of giant boilerplate clusters decides whether
+    keep-one dedup or span-trimming is the right action). Composed
+    ON the registered `neardup_components` query (large-star/
+    small-star CC), so this histogram can never drift from the
+    component assignment it summarizes; the oracle wraps that query's
+    recursive-CTE oracle the same way."""
+    from transcript_analysis_spark.plans.registry import all_queries
+    comps = all_queries()["neardup_components"].fn(spark, sf_dir)
+    return (comps.groupBy("n_members")
+            .agg(F.count("*").cast("bigint").alias("n_components")))
+
+
+# Late-bind the composed oracle: at decoration time this module is
+# still mid-import, so neardup_components may not be registered yet.
+def _bind_neardup_sizes_oracle() -> None:
+    from transcript_analysis_spark.plans import registry
+    registry._REGISTRY["neardup_component_sizes"].oracle = \
+        _neardup_sizes_oracle()
+
+
+_bind_neardup_sizes_oracle()

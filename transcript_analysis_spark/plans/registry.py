@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "supplier_lead_time_stats",
     "binned_quantile_estimate",
     "dataset_card_summary",
+    "neardup_component_sizes",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",
