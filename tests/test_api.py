@@ -146,3 +146,13 @@ def test_warehouse_sketch_graph_facade(engine):
     pr = engine.pagerank()
     assert {"node_id", "pagerank_fp"} == set(pr.columns)
     assert pr.count() > 0
+
+
+def test_final_round_facade(engine):
+    assert engine.basket_affinity().count() == 20
+    assert engine.quantile_sketch().count() == 3
+    card = engine.dataset_card().collect()
+    assert len(card) == 1 and card[0].n_docs > 0
+    assert engine.dedup_cluster_sizes().count() > 0
+    assert engine.rfm_segments().count() > 0
+    assert engine.zipf_fit().collect()[0].zipf_slope < 0

@@ -322,6 +322,26 @@ class TranscriptEngine:
         """Percent-of-total revenue and rank per nation."""
         return self._q("nation_revenue_share")
 
+    def basket_affinity(self) -> DataFrame:
+        """Top co-purchased part pairs with lift."""
+        return self._q("part_affinity_top20")
+
+    def lead_times(self) -> DataFrame:
+        """Order-to-ship lead-time profile per supplier."""
+        return self._q("supplier_lead_time_stats")
+
+    def quantile_sketch(self) -> DataFrame:
+        """Binned-histogram quantile estimates beside the exact."""
+        return self._q("binned_quantile_estimate")
+
+    def dataset_card(self) -> DataFrame:
+        """One-row reproducible release datasheet for the corpus."""
+        return self._q("dataset_card_summary")
+
+    def dedup_cluster_sizes(self) -> DataFrame:
+        """Near-duplicate component size distribution."""
+        return self._q("neardup_component_sizes")
+
     def drift_psi(self) -> DataFrame:
         """Per-token population-stability-index drift contributions."""
         return self._q("token_psi_drift")
