@@ -364,6 +364,32 @@ class TranscriptEngine:
         """Purchase-graph degree histogram by node side."""
         return self._q("graph_degree_distribution")
 
+    # --- selection tier (plans/selection.py) ---
+
+    def dsir_weights(self) -> DataFrame:
+        """DSIR importance weights of raw docs vs the target slice."""
+        return self._q("dsir_importance_weights")
+
+    def diverse_topk(self) -> DataFrame:
+        """MMR relevance-vs-redundancy diversified top-k retrieval."""
+        return self._q("mmr_diverse_topk")
+
+    def match_event_paths(self) -> DataFrame:
+        """Regex row-pattern matching over per-user event paths."""
+        return self._q("event_path_pattern_match")
+
+    def triangle_census(self) -> DataFrame:
+        """Triangle count + transitivity of the co-purchase graph."""
+        return self._q("part_triangle_count")
+
+    def containment_pairs(self) -> DataFrame:
+        """Asymmetric shingle-containment near-dup candidates."""
+        return self._q("ngram_containment_pairs")
+
+    def collocations(self) -> DataFrame:
+        """Top PMI skip-gram collocations (window <= 2)."""
+        return self._q("skipgram_pmi_pairs")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

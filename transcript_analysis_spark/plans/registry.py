@@ -69,6 +69,7 @@ def _load_all() -> None:
         warehouse,
         sketches,
         graph,
+        selection,
     )
 
 
@@ -81,6 +82,10 @@ def _load_all() -> None:
 # rotate to the back. Within each tier, registration (file) order is
 # kept for determinism.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # red in the round-4 harness (dtype-kind hash skew, fixed since:
+    # the oracle's windowed SUM is now CAST AS BIGINT) — surfaced
+    # first so the fix earns a green harness row this round
+    "session_windows_per_user",
     # new this round (no harness row yet)
     "cms_heavy_hitters",
     "inverted_phrase_search",
@@ -144,6 +149,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "binned_quantile_estimate",
     "dataset_card_summary",
     "neardup_component_sizes",
+    # new this round, added after the 50-row window filled: judge-
+    # verified now, driver-checked next round
+    "dsir_importance_weights",
+    "mmr_diverse_topk",
+    "event_path_pattern_match",
+    "part_triangle_count",
+    "ngram_containment_pairs",
+    "skipgram_pmi_pairs",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",
@@ -159,7 +172,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_topk_probe",
     "tumbling_hourly_event_stats",
     "sliding_10min_event_stats",
-    "session_windows_per_user",
     "event_type_transitions",
     "vtt_timestamp_parse",
     "stale_events_cleanup",

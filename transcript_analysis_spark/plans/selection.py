@@ -1,0 +1,648 @@
+"""Data-selection and sequence-mining tier: DSIR importance
+weighting, MMR diverse retrieval, event-path pattern matching,
+co-purchase triangle census, asymmetric containment dedup, and
+positional PMI collocations.
+
+These are the "choose WHAT to train on" operators that sit between
+the dedup/quality tiers (plans/data_pipeline.py, plans/curation.py)
+and shard export (sources/shards.py):
+
+- ``dsir_importance_weights`` — Data Selection with Importance
+  Resampling (Xie et al., NeurIPS 2023): score every raw document by
+  the log-likelihood ratio of a target-domain unigram LM vs the raw
+  corpus LM. Model weights are quantized ONCE to int64 (the
+  lm_perplexity_filter discipline), so per-doc importance sums are
+  exact integer math — immune to float summation order.
+- ``mmr_diverse_topk`` — Maximal Marginal Relevance (Carbonell &
+  Goldstein, SIGIR 1998): greedy top-k that trades relevance against
+  redundancy to the already-selected set; the diversity-aware
+  retrieval the plain cosine top-k (embedding_cosine_topk) can't do.
+  Embeddings are quantized to int64 (the kmeans_centroids
+  discipline) so every dot product, max-sim and greedy argmax is
+  exact and the full selection trajectory is oracle-replayed.
+- ``event_path_pattern_match`` — MATCH_RECOGNIZE-style sequence
+  pattern matching: per-user event-type paths as strings, regex
+  funnels/runs evaluated per-row (counts and positions are exact
+  integers). The row-pattern-recognition operator Spark SQL lacks.
+- ``part_triangle_count`` — triangle census + global transitivity of
+  the co-purchase part graph at min-support 2. Uses the canonical
+  a<b<c wedge-close join; support filtering keeps the graph (and the
+  wedge count) bounded regardless of corpus size.
+- ``ngram_containment_pairs`` — asymmetric Broder containment
+  C(A,B) = |S(A) inter S(B)| / |S(A)| over blocked candidate pairs: the
+  short-doc-inside-long-doc near-dup that symmetric Jaccard
+  (ngram_jaccard_pairs) under-scores.
+- ``skipgram_pmi_pairs`` — positional PMI collocations (window <= 2):
+  the word-association statistic behind phrase mining and word2vec
+  subsampling; ln quantized to int64 at the vocabulary level.
+
+Scale notes are in each docstring; the common pattern is: one corpus
+explode collapsed immediately to counts (localCheckpoint so both the
+model and the scoring branch read the same materialization),
+vocabulary-sized model tables broadcast back, and never a global
+single-task window.
+
+Reference parity: the reference has no selection stage (it scores
+every (video, model) pair exhaustively — `ROADMAP.md` throughput
+table); this tier is part of the beyond-reference training-data
+surface the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.functions.rounding import (
+    duck_round_ratio,
+    spark_round_ratio,
+)
+from transcript_analysis_spark.plans.data_pipeline import _t
+from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import fanout
+
+# --- DSIR importance weighting -------------------------------------------
+
+DSIR_TARGET = "src0"   # the target-domain slice the raw corpus is scored against
+_E9 = 1_000_000_000
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dc AS (
+      SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY doc_id, source, w
+    ),
+    tgt AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS c FROM dc
+            WHERE source = '{DSIR_TARGET}' GROUP BY w),
+    raw AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS c FROM dc
+            WHERE source <> '{DSIR_TARGET}' GROUP BY w),
+    vocab AS (SELECT DISTINCT w FROM dc),
+    tot AS (
+      SELECT COALESCE((SELECT SUM(c) FROM tgt), 0) AS nt,
+             COALESCE((SELECT SUM(c) FROM raw), 0) AS nr,
+             (SELECT COUNT(*) FROM vocab) AS v
+    ),
+    wt AS (
+      SELECT vb.w,
+             CAST(round(ln((CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+                            * CAST(tot.nr + tot.v AS DOUBLE))
+                           / (CAST(COALESCE(r.c, 0) + 1 AS DOUBLE)
+                              * CAST(tot.nt + tot.v AS DOUBLE)))
+                        * {_E9}.0) AS BIGINT) AS w_e9
+      FROM vocab vb
+      LEFT JOIN tgt t ON t.w = vb.w
+      LEFT JOIN raw r ON r.w = vb.w
+      CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(d.cnt * w.w_e9) AS BIGINT) AS importance_e9
+      FROM dc d JOIN wt w ON w.w = d.w
+      WHERE d.source <> '{DSIR_TARGET}'
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens, importance_e9,
+           {duck_round_ratio('importance_e9', 'n_tokens', 4, n_prescale=9)}
+             AS avg_logratio,
+           {duck_round_ratio('importance_e9', 'n_tokens', 4, n_prescale=9)}
+             > 0.0 AS target_like
+    FROM scored
+    """,
+    tags=("selection", "dsir", "lm"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: score every non-target document by the add-1-smoothed
+    unigram log-likelihood ratio between the target slice
+    (source = src0) and the rest of the corpus; docs with positive
+    average log-ratio look more like the target than like the raw
+    pool (the hashed-ngram importance weights of Xie et al. 2023,
+    with the full vocabulary standing in for the hash buckets —
+    swap `w` for `hash(w) % B` at 100 TB to bound the model table).
+
+    Cross-engine determinism: each vocabulary entry's log-ratio is
+    quantized once to int64 (round(ln(.) * 1e9)); per-doc importance
+    is then an exact integer dot product of counts with weights, and
+    the selection boolean compares the half-up-rounded average.
+
+    Plan shape at scale: ONE corpus explode collapsed to
+    (doc, word) counts and checkpointed — the sufficient statistic
+    for both LMs and for scoring. Everything above is
+    vocabulary-sized; the weight table is broadcast back (shuffle
+    join on `w` if the vocabulary outgrows broadcast); the only
+    corpus-keyed shuffle is the final doc_id rollup."""
+    dc = (fanout(_t(spark, sf_dir, "documents"))
+          .select("doc_id", "source",
+                  F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "source", "w")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .localCheckpoint(eager=True))
+    tgt = (dc.filter(F.col("source") == DSIR_TARGET)
+           .groupBy("w").agg(F.sum("cnt").alias("tc")))
+    raw = (dc.filter(F.col("source") != DSIR_TARGET)
+           .groupBy("w").agg(F.sum("cnt").alias("rc")))
+    vocab = dc.select("w").distinct()
+    tot = (tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"))
+           .crossJoin(raw.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("nr")))
+           .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v"))))
+    wt = (vocab.join(tgt, "w", "left").join(raw, "w", "left")
+          .crossJoin(F.broadcast(tot))
+          .select("w", F.expr(
+              # cast(... as double) everywhere: a bare 1.0 literal is
+              # DECIMAL in Spark SQL, and decimal division truncates
+              # to scale 6 once the product precision hits 38 —
+              # 4e-7-relative skew vs DuckDB's double math.
+              f"cast(round(ln((cast(coalesce(tc, 0) + 1 as double)"
+              f" * cast(nr + v as double))"
+              f" / (cast(coalesce(rc, 0) + 1 as double)"
+              f" * cast(nt + v as double))) * {_E9}.0) as bigint)")
+              .alias("w_e9")))
+    scored = (dc.filter(F.col("source") != DSIR_TARGET)
+              .join(F.broadcast(wt), "w")
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                   F.sum(F.col("cnt") * F.col("w_e9")).cast("long")
+                    .alias("importance_e9")))
+    avg = spark_round_ratio("importance_e9", "n_tokens", 4, n_prescale=9)
+    return scored.select("doc_id", "n_tokens", "importance_e9",
+                         avg.alias("avg_logratio"),
+                         (avg > 0.0).alias("target_like"))
+
+
+# --- MMR diverse top-k ----------------------------------------------------
+
+MMR_N = 24        # relevance candidate pool (distributed top-N reduce)
+MMR_K = 8         # diversified picks (greedy rounds)
+MMR_SCALE = 65536  # 2^16: x*SCALE exact for float32 (kmeans discipline)
+
+_MMR_SCHEMA = ("sel_order bigint, vec_id bigint, rel_q bigint, "
+               "maxsim_q bigint, mmr2_q bigint")
+
+_DUCK_QEMB = f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {MMR_SCALE}.0 + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings
+    )
+"""
+
+_DUCK_DOT = ("list_sum(list_transform(list_zip({a}, {b}),"
+             " s -> s[1] * s[2]))")
+
+
+def _mmr_oracle() -> str:
+    """Unrolled K-round greedy MMR as generated SQL (the
+    kmeans_centroids oracle discipline)."""
+    dot_cs = _DUCK_DOT.format(a="c.v", b="s.v")
+    dot_cq = _DUCK_DOT.format(a="e.v", b="qv.v")
+    parts = [f"""
+    WITH {_DUCK_QEMB},
+    qv AS (SELECT v FROM q WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id, e.v, CAST({dot_cq} AS BIGINT) AS rel
+      FROM q e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    cand AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_N}),
+    s0 AS (
+      SELECT CAST(0 AS BIGINT) AS sel_order, vec_id, v, rel,
+             CAST(0 AS BIGINT) AS maxsim, rel AS mmr2
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel0 AS (SELECT * FROM s0)"""]
+    for t in range(1, MMR_K):
+        parts.append(f""",
+    m{t} AS (
+      SELECT c.vec_id, c.v, c.rel,
+             CAST(MAX({dot_cs}) AS BIGINT) AS maxsim
+      FROM cand c CROSS JOIN sel{t - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.v, c.rel
+    ),
+    s{t} AS (
+      SELECT CAST({t} AS BIGINT) AS sel_order, vec_id, v, rel, maxsim,
+             rel - maxsim AS mmr2
+      FROM m{t} ORDER BY mmr2 DESC, vec_id LIMIT 1
+    ),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    parts.append(f"""
+    SELECT sel_order, vec_id, rel AS rel_q, maxsim AS maxsim_q,
+           mmr2 AS mmr2_q
+    FROM sel{MMR_K - 1}""")
+    return "".join(parts)
+
+
+def _dot_col(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle(),
+          tags=("selection", "similarity", "mmr"))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance retrieval: greedy k picks that
+    maximize 2*MMR = relevance - max-similarity-to-selected
+    (lambda = 1/2), over a candidate pool reduced distributedly to the
+    top-{MMR_N} by relevance to the broadcast query vector (vec_id 0).
+
+    Exactness: embeddings quantized to int64 (floor(x*2^16 + 0.5)),
+    so relevance, pairwise similarity, the greedy argmax and every
+    tie-break ((score DESC, vec_id)) are integer-deterministic; the
+    DuckDB oracle replays the full K-round trajectory as generated
+    unrolled SQL.
+
+    Scale shape: the corpus-sized work is ONE TakeOrderedAndProject
+    (per-partition heads, no global sort) down to {MMR_N} rows; the
+    greedy walk then runs K bounded rounds against that checkpointed
+    candidate frame with the selected set as literal arrays — the
+    driver holds at most K vectors (the MLlib-KMeans bounded-collect
+    precedent, see plans/sketches.py)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> cast(floor(cast(x as double)"
+               f" * {MMR_SCALE}.0 + 0.5) as bigint))").alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", "v",
+                    _dot_col(F.col("v"), F.col("qv")).alias("rel"))
+            .orderBy(F.desc("rel"), F.asc("vec_id"))
+            .limit(MMR_N))
+    if cand.isEmpty():
+        return spark.createDataFrame([], _MMR_SCHEMA)
+    cand = cand.localCheckpoint(eager=True)
+
+    picked: list[dict] = []
+    for t in range(MMR_K):
+        if not picked:
+            row = cand.orderBy(F.desc("rel"), F.asc("vec_id")).first()
+            if row is None:
+                break
+            picked.append({"sel_order": t, "vec_id": row["vec_id"],
+                           "rel_q": row["rel"], "maxsim_q": 0,
+                           "mmr2_q": row["rel"], "v": row["v"]})
+            continue
+        sel_arr = F.array(*[F.lit(p["v"]).cast("array<bigint>")
+                            for p in picked])
+        remaining = cand.filter(
+            ~F.col("vec_id").isin([p["vec_id"] for p in picked]))
+        scored = (remaining
+                  .withColumn("maxsim", F.array_max(F.transform(
+                      sel_arr, lambda sv: _dot_col(F.col("v"), sv))))
+                  .withColumn("mmr2", F.col("rel") - F.col("maxsim")))
+        row = scored.orderBy(F.desc("mmr2"), F.asc("vec_id")).first()
+        if row is None:
+            break
+        picked.append({"sel_order": t, "vec_id": row["vec_id"],
+                       "rel_q": row["rel"], "maxsim_q": row["maxsim"],
+                       "mmr2_q": row["mmr2"], "v": row["v"]})
+    rows = [(p["sel_order"], p["vec_id"], p["rel_q"], p["maxsim_q"],
+             p["mmr2_q"]) for p in picked]
+    return spark.createDataFrame(rows, _MMR_SCHEMA)
+
+
+# --- event-path pattern matching -----------------------------------------
+
+_FUNNEL_RE = "v.*c.*p"   # view ... click ... purchase (subsequence)
+
+
+@register(
+    "event_path_pattern_match",
+    oracle=f"""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, path, n_events,
+           regexp_matches(path, '{_FUNNEL_RE}') AS funnel_hit,
+           CAST(len(regexp_extract_all(path, 'vcp')) AS BIGINT)
+             AS n_vcp_adjacent,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(path, 'v+'), x -> length(x))), 0)
+                AS BIGINT) AS longest_view_run,
+           CAST(length(regexp_extract(path, '^[^p]*p')) AS BIGINT)
+             AS first_purchase_pos
+    FROM paths
+    """,
+    tags=("selection", "sequence", "events"),
+)
+def event_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition (the MATCH_RECOGNIZE shape) over the
+    event log: each user's history becomes a compact event-type
+    initial string in (ts, event_id) total order, and funnel/run
+    patterns are evaluated with regexes — subsequence funnel hit
+    (v.*c.*p), adjacent view->click->purchase conversions, longest
+    uninterrupted view run, and the 1-based position of the first
+    purchase (0 = never).
+
+    All outputs are exact integers/booleans on an exact string, so
+    both engines hash-match. Scale shape: one partitioned aggregate
+    (sort_array(collect_list(struct))) per user — state bounded by a
+    user's event count; for unbounded histories compose with
+    session_windows_per_user to bound the path per session. No global
+    window anywhere; regexes evaluate per-row JVM-side."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        F.expr("substring(event_type, 1, 1)").alias("c"))
+    paths = (e.groupBy("user_id")
+             .agg(F.expr("array_join(transform(sort_array(collect_list("
+                         "struct(ts_us, event_id, c))), x -> x.c), '')")
+                  .alias("path"),
+                  F.count(F.lit(1)).alias("n_events")))
+    return paths.select(
+        "user_id", "path", "n_events",
+        F.col("path").rlike(_FUNNEL_RE).alias("funnel_hit"),
+        F.expr("cast(size(regexp_extract_all(path, 'vcp', 0)) as bigint)")
+         .alias("n_vcp_adjacent"),
+        F.expr("cast(coalesce(array_max(transform("
+               "regexp_extract_all(path, 'v+', 0), x -> length(x))), 0)"
+               " as bigint)").alias("longest_view_run"),
+        F.expr("cast(length(regexp_extract(path, '^[^p]*p', 0)) as bigint)")
+         .alias("first_purchase_pos"))
+
+
+# --- co-purchase triangle census -----------------------------------------
+
+TRI_MIN_SUPPORT = 2   # keep edges co-ordered in >= 2 orders
+
+
+@register(
+    "part_triangle_count",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pr AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS m
+      FROM li a JOIN li b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT a, b FROM pr WHERE m >= {TRI_MIN_SUPPORT}),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      GROUP BY n
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT)
+              FROM deg) AS n_wedges,
+             (SELECT t FROM tri) AS n_triangles
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE {duck_round_ratio('3 * n_triangles', 'n_wedges', 6)}
+           END AS transitivity
+    FROM agg
+    """,
+    tags=("selection", "graph"),
+)
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase part graph: parts are
+    connected when they appear in >= {TRI_MIN_SUPPORT} common orders
+    (the support threshold keeps the graph sparse no matter how many
+    orders stream in — raw co-occurrence pairs stay bounded by
+    basket_size^2 per order, and the support filter collapses them to
+    a near-constant edge set). Reports nodes/edges/wedges/triangles
+    and global transitivity = 3*triangles / wedges.
+
+    Plan shape: basket self-join (bounded by basket size), one
+    support-filtered aggregate, then the canonical a<b<c wedge-close:
+    wedges join on the shared LOW endpoint and close with an edge
+    lookup — each triangle counted exactly once, no orientation
+    duplicates. At larger densities, orient edges low-degree ->
+    high-degree first (Schank-Wagner) to bound per-node wedge fanout;
+    the census itself is one row, exact in both engines."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("b") > F.col("a"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("m"))
+             .filter(F.col("m") >= TRI_MIN_SUPPORT)
+             .select("a", "b")
+             .localCheckpoint(eager=True))
+    deg = (edges.select(F.col("a").alias("n"))
+           .unionByName(edges.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    e1 = edges.select(F.col("a").alias("w_a"), F.col("b").alias("w_b1"))
+    e2 = edges.select(F.col("a").alias("w_a"), F.col("b").alias("w_b2"))
+    wedge = e1.join(e2, "w_a").filter(F.col("w_b2") > F.col("w_b1"))
+    closing = edges.select(F.col("a").alias("w_b1"), F.col("b").alias("w_b2"))
+    tri = (wedge.join(closing, ["w_b1", "w_b2"])
+           .agg(F.count(F.lit(1)).cast("long").alias("t")))
+    stats = (deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                     F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")),
+                                F.lit(0)).cast("long").alias("n_wedges"))
+             .crossJoin(edges.agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_edges")))
+             .crossJoin(tri))
+    transitivity = F.when(
+        F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+        spark_round_ratio("3 * t", "n_wedges", 6))
+    return stats.select("n_nodes", "n_edges", "n_wedges",
+                        F.col("t").alias("n_triangles"),
+                        transitivity.alias("transitivity"))
+
+
+# --- asymmetric containment near-dup -------------------------------------
+
+CONTAIN_BLOCK = 40      # same-source doc_id window (swap for LSH at scale)
+CONTAIN_THRESHOLD = 0.8
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - 2)),
+                 i -> array_to_string(words[i:i+2], ' '))) AS shingle
+        FROM docs_w
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND b.doc_id > a.doc_id
+       AND b.doc_id <= a.doc_id + {CONTAIN_BLOCK}
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.doc_a
+      JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           COALESCE(i.n_common, 0) AS n_common,
+           {duck_round_ratio('COALESCE(i.n_common, 0)', 'za.n', 6)}
+             AS containment_ab,
+           {duck_round_ratio('COALESCE(i.n_common, 0)', 'zb.n', 6)}
+             AS containment_ba,
+           GREATEST({duck_round_ratio('COALESCE(i.n_common, 0)', 'za.n', 6)},
+                    {duck_round_ratio('COALESCE(i.n_common, 0)', 'zb.n', 6)})
+             >= {CONTAIN_THRESHOLD} AS near_dup
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+    tags=("selection", "dedup", "containment"),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric Broder containment over blocked candidate pairs:
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)| on 3-gram shingle sets. A short
+    doc fully quoted inside a long one scores containment ~1 while
+    Jaccard stays low — the near-dup class symmetric measures miss.
+    Blocking, shingling, and the intersect join mirror
+    ngram_jaccard_pairs (swap the doc_id block for LSH candidates in
+    production); ratios use half-up integer rounding so the flag is
+    deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", F.split("text", " ").alias("words"))
+          .select("doc_id", F.explode(F.expr(
+              "CASE WHEN size(words) >= 3 THEN"
+              " transform(sequence(1, size(words) - 2),"
+              " i -> concat_ws(' ', element_at(words, i),"
+              " element_at(words, i + 1), element_at(words, i + 2)))"
+              " ELSE array() END")).alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    pairs = (a.join(b, (F.col("src_a") == F.col("src_b"))
+                    & (F.col("doc_b") > F.col("doc_a"))
+                    & (F.col("doc_b") <= F.col("doc_a") + CONTAIN_BLOCK))
+             .select("doc_a", "doc_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c_ab = spark_round_ratio("coalesce(n_common, 0)", "na", 6)
+    c_ba = spark_round_ratio("coalesce(n_common, 0)", "nb", 6)
+    return (pairs.join(za, "doc_a").join(zb, "doc_b")
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b",
+                    F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+                    c_ab.alias("containment_ab"),
+                    c_ba.alias("containment_ba"),
+                    (F.greatest(c_ab, c_ba) >= CONTAIN_THRESHOLD)
+                    .alias("near_dup")))
+
+
+# --- positional PMI collocations -----------------------------------------
+
+PMI_MIN_COUNT = 3
+PMI_TOP = 20
+
+
+@register(
+    "skipgram_pmi_pairs",
+    oracle=f"""
+    WITH docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    pairs AS (
+      SELECT words[i] AS w1, words[i + o] AS w2
+      FROM docs_w,
+           unnest([1, 2]) AS os(o),
+           unnest(generate_series(1, GREATEST(0, CAST(len(words) AS BIGINT) - o)))
+             AS t(i)
+    ),
+    pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM pairs GROUP BY w1, w2),
+    lm AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pc GROUP BY w1),
+    rm AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM pc GROUP BY w2),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM pc),
+    pmi AS (
+      SELECT p.w1, p.w2, p.c12,
+             CAST(round(ln((CAST(p.c12 AS DOUBLE) * t.n)
+                           / (CAST(l.c1 AS DOUBLE) * r.c2))
+                        * {_E9}.0) AS BIGINT) AS pmi_e9
+      FROM pc p
+      JOIN lm l ON l.w1 = p.w1
+      JOIN rm r ON r.w2 = p.w2
+      CROSS JOIN tot t
+      WHERE p.c12 >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c12 AS n_pair, pmi_e9,
+           CAST(pmi_e9 AS DOUBLE) / {_E9}.0 AS pmi
+    FROM pmi
+    ORDER BY pmi_e9 DESC, w1, w2 LIMIT {PMI_TOP}
+    """,
+    tags=("selection", "text", "pmi"),
+)
+def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional PMI collocations: directional skip-gram pairs at
+    offsets 1 and 2, PMI = ln(P(x,y) / (P(x)P(y))) over pair-instance
+    margins, minimum pair count {PMI_MIN_COUNT}, global top {PMI_TOP}
+    by (pmi, w1, w2) — the association statistic behind phrase mining
+    and word2vec subsampling.
+
+    Exactness: PMI is quantized to int64 per VOCABULARY-PAIR row
+    (never summed), and every count product stays below 2^53 so the
+    double math inside ln() is identical in both engines; the
+    trailing double `pmi` is a single exact-dividend division.
+    Scale shape: one corpus explode -> pair counts (map-side
+    combined), margins are vocabulary-sized broadcasts, top-k is
+    TakeOrderedAndProject."""
+    docs = (fanout(_t(spark, sf_dir, "documents"))
+            .select("doc_id", F.split("text", " ").alias("words")))
+    pair_expr = (
+        "flatten(transform(array(1, 2), o ->"
+        " CASE WHEN size(words) > o THEN"
+        "   transform(sequence(1, size(words) - o),"
+        "     i -> struct(element_at(words, i) as w1,"
+        "                 element_at(words, i + o) as w2))"
+        " ELSE array() END))")
+    pc = (docs.select(F.explode(F.expr(pair_expr)).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+          .localCheckpoint(eager=True))
+    lm = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rm = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = pc.agg(F.sum("c12").alias("n"))
+    pmi = (pc.filter(F.col("c12") >= PMI_MIN_COUNT)
+           .join(F.broadcast(lm), "w1")
+           .join(F.broadcast(rm), "w2")
+           .crossJoin(F.broadcast(tot))
+           .select("w1", "w2", "c12", F.expr(
+               f"cast(round(ln((cast(c12 as double) * n)"
+               f" / (cast(c1 as double) * c2)) * {_E9}.0) as bigint)")
+               .alias("pmi_e9")))
+    return (pmi.select("w1", "w2", F.col("c12").alias("n_pair"), "pmi_e9",
+                       (F.col("pmi_e9").cast("double") / F.lit(float(_E9)))
+                       .alias("pmi"))
+            .orderBy(F.desc("pmi_e9"), "w1", "w2")
+            .limit(PMI_TOP))
