@@ -222,3 +222,74 @@ def test_pmi_matches_python_replay(spark):
            for r in selection.skipgram_pmi_pairs(spark, SF_SMOKE)
            .orderBy(F.desc("pmi_e9"), "w1", "w2").collect()]
     assert got == expect
+
+
+# --- session paths --------------------------------------------------------
+
+def test_session_paths_match_python_sessionizer(spark):
+    """Top paths equal a pure-Python replay of the 30-min-gap
+    sessionizer over the raw events."""
+    from collections import Counter
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    paths: Counter = Counter()
+    users_per_path: dict[str, set] = {}
+    for uid, evs in by_user.items():
+        evs = sorted(evs, key=lambda e: (e.ts, e.event_id))
+        cur, last_us = [], None
+        for e in evs:
+            ts_us = int(e.ts.timestamp() * 1e6) if hasattr(e.ts, "timestamp") \
+                else int(e.ts)
+            if last_us is not None and \
+                    ts_us - last_us > selection.PATH_GAP_US:
+                p = "".join(cur)
+                paths[p] += 1
+                users_per_path.setdefault(p, set()).add(uid)
+                cur = []
+            cur.append(e.event_type[0])
+            last_us = ts_us
+        if cur:
+            p = "".join(cur)
+            paths[p] += 1
+            users_per_path.setdefault(p, set()).add(uid)
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [(p, n, len(users_per_path[p]), len(p))
+              for p, n in ranked[:selection.PATH_TOP]]
+    got = [(r.path, r.n_sessions, r.n_users, r.path_len)
+           for r in selection.top_session_paths(spark, SF_SMOKE)
+           .orderBy(F.desc("n_sessions"), "path").collect()]
+    assert got == expect
+
+
+# --- point-in-time join ---------------------------------------------------
+
+def test_pit_join_matches_python_asof(spark):
+    """Every purchase carries the status of the latest PRIOR
+    non-purchase event run — replayed in Python, including the
+    run-start `since` (a purchase inside a status run must NOT reset
+    it) and NULL for purchases before any status."""
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    expect = {}
+    for uid, evs in by_user.items():
+        evs = sorted(evs, key=lambda e: (e.ts, e.event_id))
+        state, since = None, None
+        for e in evs:
+            ts_us = int(e.ts.timestamp() * 1e6)
+            if e.event_type == "purchase":
+                expect[e.event_id] = (uid, state, since)
+            else:
+                if e.event_type != state:
+                    state, since = e.event_type, ts_us
+    got = {r.event_id: (r.user_id, r.state_at_purchase, r.state_since_us)
+           for r in selection.scd2_point_in_time_join(spark, SF_SMOKE)
+           .collect()}
+    assert got == expect
+    # every purchase appears exactly once (left join, no interval dup)
+    n_purchases = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+                   .filter(F.col("event_type") == "purchase").count())
+    assert len(got) == n_purchases

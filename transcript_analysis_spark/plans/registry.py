@@ -157,6 +157,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "ngram_containment_pairs",
     "skipgram_pmi_pairs",
+    "top_session_paths",
+    "scd2_point_in_time_join",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -646,3 +646,199 @@ def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("pmi"))
             .orderBy(F.desc("pmi_e9"), "w1", "w2")
             .limit(PMI_TOP))
+
+
+# --- sessionized path mining ---------------------------------------------
+
+PATH_GAP_US = 1_800 * 1_000_000   # 30-min inactivity gap (microseconds)
+PATH_TOP = 15
+
+
+@register(
+    "top_session_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, substr(event_type, 1, 1) AS c,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, c, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > {PATH_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, c, ts_us,
+             CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(c, '' ORDER BY ts_us, event_id) AS path
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(length(path) AS BIGINT) AS path_len
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+    """,
+    tags=("selection", "sequence", "session"),
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path mining: cut each user's event stream into
+    30-minute-gap sessions (the session_windows_per_user boundaries,
+    here under the (ts, event_id) total order so the path STRING is
+    deterministic, not just the aggregates), render each session as
+    its event-type-initial path, and report the top {PATH_TOP} most
+    common session paths corpus-wide — the navigation-pattern report
+    behind funnel design.
+
+    Scale shape: two user-partitioned windows (lag + running flag
+    sum), one (user, session) aggregate, then a path-keyed count with
+    map-side partials; final top-k is TakeOrderedAndProject. Path
+    state is bounded by the session gap, not user lifetime."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("substring(event_type, 1, 1)").alias("c"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts_us").over(w).isNull()
+               | (F.col("ts_us") - F.lag("ts_us").over(w) > PATH_GAP_US),
+               1).otherwise(0))
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    paths = (sessions.groupBy("user_id", "session_id")
+             .agg(F.expr("array_join(transform(sort_array(collect_list("
+                         "struct(ts_us, event_id, c))), x -> x.c), '')")
+                  .alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"))
+            .withColumn("path_len", F.length("path").cast("long"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(PATH_TOP))
+
+
+# --- point-in-time (SCD2) join -------------------------------------------
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH status AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    runs AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM status
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    run_ids AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CAST(SUM(is_change) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS run_id
+      FROM runs
+    ),
+    intervals AS (
+      SELECT user_id, event_type AS state,
+             MIN(ts_us) AS valid_from_us,
+             LEAD(MIN(ts_us)) OVER (
+               PARTITION BY user_id ORDER BY MIN(ts_us)) AS valid_to_us
+      FROM run_ids GROUP BY user_id, event_type, run_id
+    ),
+    purchases AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, ROUND(p.value, 2) AS value,
+           i.state AS state_at_purchase,
+           i.valid_from_us AS state_since_us
+    FROM purchases p
+    LEFT JOIN intervals i
+      ON i.user_id = p.user_id
+     AND i.valid_from_us <= p.ts_us
+     AND (i.valid_to_us IS NULL OR p.ts_us < i.valid_to_us)
+    """,
+    tags=("selection", "warehouse", "temporal"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: enrich every purchase with the user's SCD2
+    status (their latest non-purchase event run) valid AT the purchase
+    timestamp — the fact-to-dimension-history lookup every warehouse
+    with SCD2 dimensions needs (and the canonical leak-free
+    feature-store pattern: never joins a status from the future).
+
+    The Spark plan does NOT build intervals and range-join (the
+    oracle's derivation): it runs the AS-OF shape — union status
+    changes and purchases into one (ts_us, event_id)-ordered stream
+    per user and carry the last seen status forward with one window
+    pass (last_value IGNORE NULLS). One shuffle on user_id, no
+    interval explosion, bounded state. The two derivations agreeing is
+    the point: the oracle proves the as-of rewrite implements interval
+    semantics exactly (same discipline as asof_purchase_context vs
+    DuckDB's native ASOF JOIN).
+
+    A status and a purchase never share (ts_us, event_id); the total
+    order makes same-microsecond ties deterministic: a status event
+    with a LOWER event_id than a same-instant purchase is visible to
+    it, a higher one is not."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"))
+    # Run-change detection happens on the STATUS stream alone (a
+    # purchase between two same-status events must not restart the
+    # run — the oracle's intervals are runs over status events only);
+    # each run START emits a (state, since) struct, mid-run rows emit
+    # NULL so the carried struct stays pinned to the run start.
+    wlag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    status = (e.filter(F.col("event_type") != "purchase")
+              .select("user_id", "ts_us", "event_id",
+                      F.col("event_type").alias("status"))
+              .withColumn(
+                  "status_change",
+                  F.when(F.lag("status", 1).over(wlag).isNull()
+                         | (F.lag("status", 1).over(wlag)
+                            != F.col("status")),
+                         F.struct(F.col("status").alias("state"),
+                                  F.col("ts_us").alias("since"))))
+              .select("user_id", "ts_us", "event_id", "status_change",
+                      F.lit(None).cast("double").alias("value"),
+                      F.lit(0).alias("is_fact")))
+    change_type = status.schema["status_change"].dataType
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts_us", "event_id",
+                         F.lit(None).cast(change_type)
+                          .alias("status_change"),
+                         "value", F.lit(1).alias("is_fact")))
+    unioned = status.unionByName(purchases)
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.withColumn(
+        "cur", F.last("status_change", ignorenulls=True).over(w))
+    return (carried.filter(F.col("is_fact") == 1)
+            .select("event_id", "user_id", "ts_us",
+                    F.round("value", 2).alias("value"),
+                    F.col("cur.state").alias("state_at_purchase"),
+                    F.col("cur.since").alias("state_since_us")))
