@@ -258,3 +258,85 @@ def test_ccnet_tercile_window_partitioned_by_lang(spark):
     assert specs
     for args in specs:
         assert "lang#" in args.split(",")[0], f"unpartitioned ntile: {args}"
+
+
+# --- selection tier (plans/selection.py) ---------------------------------
+
+def test_dsir_weight_table_broadcasts_no_cartesian(spark):
+    """The vocabulary-sized weight table must broadcast back onto the
+    count table (never a corpus shuffle on the word key at this
+    vocabulary size), and the only nested-loop joins are the bounded
+    single-row totals crossJoin."""
+    plan = plan_of(_q(spark, "dsir_importance_weights"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_candidate_reduce_is_take_ordered(spark):
+    """The corpus-sized stage of MMR is the top-N candidate reduce —
+    it must be TakeOrderedAndProject (per-partition heads), not a
+    global Sort."""
+    from transcript_analysis_spark.plans import selection
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from pyspark.sql import functions as F2
+    q = (e.selectExpr("vec_id", "transform(embedding, x -> cast(x as"
+                      " double)) as v"))
+    qv = q.filter(F2.col("vec_id") == 0).select(F2.col("v").alias("qv"))
+    cand = (q.filter(F2.col("vec_id") != 0).crossJoin(F2.broadcast(qv))
+            .select("vec_id")
+            .orderBy("vec_id").limit(selection.MMR_N))
+    assert "TakeOrderedAndProject" in plan_of(cand)
+
+
+def test_event_paths_single_partitioned_aggregate(spark):
+    """Path building is one user-partitioned aggregate: no window at
+    all (sort_array inside the agg), no cartesian, no Python."""
+    plan = plan_of(_q(spark, "event_path_pattern_match"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_triangle_census_all_equi_joins(spark):
+    """Wedge-building and closing are hash equi-joins on part keys —
+    a cartesian here means the canonical a<b<c join decomposed."""
+    plan = plan_of(_q(spark, "part_triangle_count"))
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_joins_on_shingle_key(spark):
+    plan = plan_of(_q(spark, "ngram_containment_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan
+
+
+def test_pmi_margins_broadcast_topk_take_ordered(spark):
+    plan = plan_of(_q(spark, "skipgram_pmi_pairs"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_paths_windows_are_user_partitioned(spark):
+    """Both sessionization windows and the final top-k must avoid any
+    single-task stage: windows partition by user_id, top-k is
+    TakeOrderedAndProject."""
+    plan = plan_of(_q(spark, "top_session_paths"))
+    assert "TakeOrderedAndProject" in plan
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n")[0]
+        assert "user_id" in head, f"unpartitioned window: {head[:120]}"
+
+
+def test_pit_join_is_one_window_pass_no_range_join(spark):
+    """The as-of rewrite must plan as a user-partitioned window over
+    the unioned stream — no interval join (no nested-loop/cartesian),
+    no Python."""
+    plan = plan_of(_q(spark, "scd2_point_in_time_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n")[0]
+        assert "user_id" in head, f"unpartitioned window: {head[:120]}"
