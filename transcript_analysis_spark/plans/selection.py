@@ -137,12 +137,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized; the weight table is broadcast back (shuffle
     join on `w` if the vocabulary outgrows broadcast); the only
     corpus-keyed shuffle is the final doc_id rollup."""
-    dc = (fanout(_t(spark, sf_dir, "documents"))
-          .select("doc_id", "source",
-                  F.explode(F.split("text", " ")).alias("w"))
-          .groupBy("doc_id", "source", "w")
-          .agg(F.count(F.lit(1)).alias("cnt"))
+    dc = (doc_word_counts(fanout(_t(spark, sf_dir, "documents")))
           .localCheckpoint(eager=True))
+    wt = dsir_weight_table(dc)
+    return dsir_score(dc.filter(F.col("source") != DSIR_TARGET), wt)
+
+
+def doc_word_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w, cnt) unigram counts of a (doc_id, source,
+    text) frame — the sufficient statistic DSIR fitting and scoring
+    share. Shared with streaming/dsir_store.py."""
+    return (docs
+            .select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("doc_id", "source", "w")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def dsir_weight_table(dc: DataFrame) -> DataFrame:
+    """(w, w_e9) int64-quantized log-likelihood-ratio weights fit on a
+    full-corpus count frame (target slice = DSIR_TARGET source)."""
     tgt = (dc.filter(F.col("source") == DSIR_TARGET)
            .groupBy("w").agg(F.sum("cnt").alias("tc")))
     raw = (dc.filter(F.col("source") != DSIR_TARGET)
@@ -151,19 +165,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = (tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"))
            .crossJoin(raw.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("nr")))
            .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v"))))
-    wt = (vocab.join(tgt, "w", "left").join(raw, "w", "left")
-          .crossJoin(F.broadcast(tot))
-          .select("w", F.expr(
-              # cast(... as double) everywhere: a bare 1.0 literal is
-              # DECIMAL in Spark SQL, and decimal division truncates
-              # to scale 6 once the product precision hits 38 —
-              # 4e-7-relative skew vs DuckDB's double math.
-              f"cast(round(ln((cast(coalesce(tc, 0) + 1 as double)"
-              f" * cast(nr + v as double))"
-              f" / (cast(coalesce(rc, 0) + 1 as double)"
-              f" * cast(nt + v as double))) * {_E9}.0) as bigint)")
-              .alias("w_e9")))
-    scored = (dc.filter(F.col("source") != DSIR_TARGET)
+    return (vocab.join(tgt, "w", "left").join(raw, "w", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("w", F.expr(
+                # cast(... as double) everywhere: a bare 1.0 literal is
+                # DECIMAL in Spark SQL, and decimal division truncates
+                # to scale 6 once the product precision hits 38 —
+                # 4e-7-relative skew vs DuckDB's double math.
+                f"cast(round(ln((cast(coalesce(tc, 0) + 1 as double)"
+                f" * cast(nr + v as double))"
+                f" / (cast(coalesce(rc, 0) + 1 as double)"
+                f" * cast(nt + v as double))) * {_E9}.0) as bigint)")
+                .alias("w_e9")))
+
+
+def dsir_score(dc_docs: DataFrame, wt: DataFrame) -> DataFrame:
+    """Score a (doc_id, w, cnt) count frame against a weight table:
+    exact integer importance sums + the half-up-rounded average and
+    selection flag. Out-of-vocabulary words contribute 0 (inner
+    join)."""
+    scored = (dc_docs
               .join(F.broadcast(wt), "w")
               .groupBy("doc_id")
               .agg(F.sum("cnt").cast("long").alias("n_tokens"),
@@ -200,23 +221,29 @@ _DUCK_DOT = ("list_sum(list_transform(list_zip({a}, {b}),"
 
 def _mmr_oracle() -> str:
     """Unrolled K-round greedy MMR as generated SQL (the
-    kmeans_centroids oracle discipline)."""
+    kmeans_centroids oracle discipline). Every chain CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and sel{{t}}
+    referencing sel{{t-1}} twice (union + NOT IN) would otherwise
+    re-expand the whole chain exponentially — 2^K quantization passes
+    over the corpus."""
     dot_cs = _DUCK_DOT.format(a="c.v", b="s.v")
     dot_cq = _DUCK_DOT.format(a="e.v", b="qv.v")
+    qemb = _DUCK_QEMB.replace("q AS (", "q AS MATERIALIZED (", 1)
     parts = [f"""
-    WITH {_DUCK_QEMB},
-    qv AS (SELECT v FROM q WHERE vec_id = 0),
-    rel AS (
+    WITH {qemb},
+    qv AS MATERIALIZED (SELECT v FROM q WHERE vec_id = 0),
+    rel AS MATERIALIZED (
       SELECT e.vec_id, e.v, CAST({dot_cq} AS BIGINT) AS rel
       FROM q e CROSS JOIN qv WHERE e.vec_id <> 0
     ),
-    cand AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_N}),
+    cand AS MATERIALIZED (
+      SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_N}),
     s0 AS (
       SELECT CAST(0 AS BIGINT) AS sel_order, vec_id, v, rel,
              CAST(0 AS BIGINT) AS maxsim, rel AS mmr2
       FROM cand ORDER BY rel DESC, vec_id LIMIT 1
     ),
-    sel0 AS (SELECT * FROM s0)"""]
+    sel0 AS MATERIALIZED (SELECT * FROM s0)"""]
     for t in range(1, MMR_K):
         parts.append(f""",
     m{t} AS (
@@ -231,7 +258,8 @@ def _mmr_oracle() -> str:
              rel - maxsim AS mmr2
       FROM m{t} ORDER BY mmr2 DESC, vec_id LIMIT 1
     ),
-    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
     parts.append(f"""
     SELECT sel_order, vec_id, rel AS rel_q, maxsim AS maxsim_q,
            mmr2 AS mmr2_q
@@ -275,9 +303,12 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _dot_col(F.col("v"), F.col("qv")).alias("rel"))
             .orderBy(F.desc("rel"), F.asc("vec_id"))
             .limit(MMR_N))
+    # checkpoint BEFORE the emptiness probe so the corpus-sized
+    # candidate reduce runs once, not once for the probe and once for
+    # the checkpoint
+    cand = cand.localCheckpoint(eager=True)
     if cand.isEmpty():
         return spark.createDataFrame([], _MMR_SCHEMA)
-    cand = cand.localCheckpoint(eager=True)
 
     picked: list[dict] = []
     for t in range(MMR_K):
@@ -842,3 +873,133 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 2).alias("value"),
                     F.col("cur.state").alias("state_at_purchase"),
                     F.col("cur.since").alias("state_since_us")))
+
+
+# --- minhash estimate accuracy -------------------------------------------
+
+MH_BLOCK = 40   # same-source doc_id window (the jaccard/containment block)
+
+
+def _mh_est_oracle() -> str:
+    from transcript_analysis_spark.plans.data_pipeline import (
+        _DUCK_SHINGLES, MINHASH_A, MINHASH_B, MOD, duck_char_hash)
+    mins = ", ".join(f"MIN(({a} * h + {b}) % {MOD}) AS mh{i}"
+                     for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+    k = len(MINHASH_A)
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(k))
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS MATERIALIZED (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, {mins}, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hashed GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND b.doc_id > a.doc_id
+       AND b.doc_id <= a.doc_id + {MH_BLOCK}
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN hashed ha ON ha.doc_id = p.doc_a
+      JOIN hashed hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             COALESCE(i.n_common, 0) AS n_common,
+             CAST({matches} AS BIGINT) AS n_match_components,
+             sa.n AS na, sb.n AS nb
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    )
+    SELECT doc_a, doc_b, n_common, n_match_components,
+           {duck_round_ratio('n_common', 'na + nb - n_common', 6)}
+             AS jaccard_exact,
+           {duck_round_ratio('n_match_components', str(k), 6)}
+             AS jaccard_est,
+           ROUND(ABS({duck_round_ratio('n_match_components', str(k), 6)}
+                     - {duck_round_ratio('n_common', 'na + nb - n_common', 6)}),
+                 6) AS abs_err
+    FROM scored
+    """
+
+
+@register("minhash_jaccard_estimate_error", oracle=_mh_est_oracle(),
+          tags=("selection", "dedup", "sketch"))
+def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy-as-an-operator: for every blocked candidate
+    pair, the MinHash Jaccard ESTIMATE (fraction of equal signature
+    components) next to the exact shingle Jaccard and the absolute
+    error. Because the signatures use the portable polynomial hash
+    family (plans/data_pipeline.py MINHASH_A/B), the estimate itself
+    is deterministic and oracle-checked — the same discipline that
+    made the CMS/HLL/histogram estimates first-class outputs. The
+    error column is what you monitor when tuning signature width K
+    against a dedup threshold.
+
+    Plan shape: shingle-hash table computed ONCE (checkpoint) feeds
+    both the signature aggregate and the exact-intersect join; pair
+    generation is the bounded same-source block (LSH candidates in
+    production)."""
+    from transcript_analysis_spark.plans.data_pipeline import (
+        MINHASH_A, MINHASH_B, MOD, _t as _t2, spark_char_hash)
+    k = len(MINHASH_A)
+    d = _t2(spark, sf_dir, "documents")
+    hashed = (d.select("doc_id", F.split("text", " ").alias("words"))
+              .select("doc_id", F.explode(F.expr(
+                  "CASE WHEN size(words) >= 3 THEN"
+                  " transform(sequence(1, size(words) - 2),"
+                  " i -> concat_ws(' ', element_at(words, i),"
+                  " element_at(words, i + 1), element_at(words, i + 2)))"
+                  " ELSE array() END")).alias("shingle"))
+              .distinct()
+              .select("doc_id", F.expr(spark_char_hash("shingle")).alias("h"))
+              .localCheckpoint(eager=True))
+    sig = (hashed.groupBy("doc_id")
+           .agg(*[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD)
+                  .alias(f"mh{i}")
+                  for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))],
+                F.count(F.lit(1)).cast("long").alias("n")))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    pairs = (a.join(b, (F.col("src_a") == F.col("src_b"))
+                    & (F.col("doc_b") > F.col("doc_a"))
+                    & (F.col("doc_b") <= F.col("doc_a") + MH_BLOCK))
+             .select("doc_a", "doc_b"))
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (pairs.join(ha, "doc_a").join(hb, ["doc_b", "h"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common_raw")))
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+                    F.col("n").alias("na"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+                    F.col("n").alias("nb"))
+    match_expr = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(k))
+    scored = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+              .join(inter, ["doc_a", "doc_b"], "left")
+              .select("doc_a", "doc_b",
+                      F.coalesce(F.col("n_common_raw"), F.lit(0))
+                       .alias("n_common"),
+                      F.expr(f"cast({match_expr} as bigint)")
+                       .alias("n_match_components"),
+                      "na", "nb"))
+    j_exact = spark_round_ratio("n_common", "na + nb - n_common", 6)
+    j_est = spark_round_ratio("n_match_components", str(k), 6)
+    return scored.select(
+        "doc_a", "doc_b", "n_common", "n_match_components",
+        j_exact.alias("jaccard_exact"),
+        j_est.alias("jaccard_est"),
+        F.round(F.abs(j_est - j_exact), 6).alias("abs_err"))
