@@ -390,6 +390,23 @@ class TranscriptEngine:
         """Top PMI skip-gram collocations (window <= 2)."""
         return self._q("skipgram_pmi_pairs")
 
+    def session_paths(self) -> DataFrame:
+        """Most common sessionized event paths corpus-wide."""
+        return self._q("top_session_paths")
+
+    def point_in_time_join(self) -> DataFrame:
+        """Purchases enriched with the SCD2 state valid at their ts."""
+        return self._q("scd2_point_in_time_join")
+
+    def minhash_accuracy(self) -> DataFrame:
+        """MinHash Jaccard estimate vs exact, with absolute error."""
+        return self._q("minhash_jaccard_estimate_error")
+
+    def apply_changes(self) -> DataFrame:
+        """Replay the CDC change feed onto the old snapshot (MERGE
+        round-trip: apply(old, diff(old, new)) == new)."""
+        return self._q("cdc_apply_changes")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

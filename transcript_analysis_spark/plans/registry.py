@@ -160,6 +160,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_session_paths",
     "scd2_point_in_time_join",
     "minhash_jaccard_estimate_error",
+    "cdc_apply_changes",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

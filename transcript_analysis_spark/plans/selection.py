@@ -115,6 +115,7 @@ _E9 = 1_000_000_000
              > 0.0 AS target_like
     FROM scored
     """,
+    headline=True,
     tags=("selection", "dsir", "lm"),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

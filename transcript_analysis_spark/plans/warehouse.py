@@ -1086,3 +1086,49 @@ def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(cast(lead_days as double),"
                                 " 0.95)"), 4).alias("p95_days"),
                  F.max("lead_days").cast("bigint").alias("max_days")))
+
+
+# --- CDC apply (inverse of the snapshot diff) ----------------------------
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CASE WHEN o_orderkey % 103 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 107 <> 0
+    """,
+    tags=("warehouse", "cdc"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the inverse of `orders_snapshot_diff`: replay the
+    change feed (added / removed / changed) onto the old snapshot and
+    emit the reconstructed new snapshot. The Spark side composes the
+    REGISTERED diff query (so the feed cannot drift from it), while
+    the oracle simply states the target snapshot — the cross-engine
+    hash therefore proves the round trip apply(old, diff(old, new))
+    == new, which is the correctness contract of any MERGE-based
+    downstream sync (reference parity: island_worker.py's
+    INSERT ... ON CONFLICT apply loop, done as one declarative plan).
+
+    Plan shape: one full-outer join on the snapshot key (the same
+    shuffle the diff itself needs; bucketed-by-key snapshots make
+    both shuffle-free), per-row CASE arbitration, O(snapshot) output
+    with the feed side broadcast when churn is small."""
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 101 != 0)
+            .select("o_orderkey", "o_totalprice"))
+    feed = orders_snapshot_diff(spark, sf_dir)
+    j = old.alias("o").join(
+        feed.alias("d"),
+        F.col("o.o_orderkey") == F.col("d.o_orderkey"), "full_outer")
+    return (j.filter(F.coalesce(F.col("d.change_type"), F.lit("keep"))
+                     != "removed")
+            .select(
+                F.coalesce("o.o_orderkey", "d.o_orderkey")
+                 .alias("o_orderkey"),
+                F.round(
+                    F.when(F.col("d.change_type").isin("added", "changed"),
+                           F.col("d.new_price"))
+                     .otherwise(F.col("o.o_totalprice")), 2)
+                 .alias("o_totalprice")))
