@@ -82,3 +82,47 @@ def test_zorder_layout_preserves_rows(spark, tmp_path):
     a = {r[0] for r in orders.select("o_orderkey").collect()}
     b = {r[0] for r in back.select("o_orderkey").collect()}
     assert a == b
+
+
+def _file_minmax(path: str, col: str) -> list[tuple]:
+    import glob
+    import pyarrow.parquet as pq
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_range_sorted_write_produces_disjoint_sorted_files(spark, tmp_path):
+    """Files carry disjoint, ordered key ranges (footer-verified) and
+    each file is internally sorted — a globally-ordered export with no
+    single-task sort."""
+    from transcript_analysis_spark.sources.layout import range_sorted_write
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "sorted")
+    range_sorted_write(docs, ["n_chars", "doc_id"], out, n_files=8)
+
+    spans = _file_minmax(out, "n_chars")
+    assert len(spans) >= 2
+    # non-overlapping ascending ranges across files
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # internally sorted + nothing lost
+    import glob
+    import pyarrow.parquet as pq
+    total = 0
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        t = pq.read_table(f, columns=["n_chars"]).to_pydict()["n_chars"]
+        assert t == sorted(t)
+        total += len(t)
+    assert total == docs.count()

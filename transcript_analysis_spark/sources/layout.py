@@ -46,3 +46,24 @@ def zorder_write(df: DataFrame, col_a: str, col_b: str, path: str,
      .sortWithinPartitions(_ZCOL)
      .drop(_ZCOL)
      .write.mode("overwrite").parquet(path))
+
+
+def range_sorted_write(df: DataFrame, order_cols: list[str], path: str,
+                       n_files: int = 16) -> None:
+    """Totally-ordered export: `repartitionByRange` samples the key
+    distribution and assigns each output file one contiguous,
+    non-overlapping key range; `sortWithinPartitions` orders rows
+    inside each file. The result reads back globally sorted by file
+    index — without ever running a single-task global sort — and
+    parquet footer min/max stats on the leading key are DISJOINT
+    across files, so a point/range predicate opens at most the files
+    whose range it intersects.
+
+    This is the curriculum-order / time-ordered shard export: a
+    trainer streaming files in name order sees documents in
+    difficulty/time order, and each file is independently a sorted
+    run. One-column counterpart of ``zorder_write`` (which trades
+    total order on one key for simultaneous locality on two)."""
+    (df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
+     .sortWithinPartitions(*order_cols)
+     .write.mode("overwrite").parquet(path))
