@@ -402,6 +402,11 @@ class TranscriptEngine:
         """MinHash Jaccard estimate vs exact, with absolute error."""
         return self._q("minhash_jaccard_estimate_error")
 
+    def selection_plan(self) -> DataFrame:
+        """One selection decision per raw doc: dedup keep-list, then
+        DSIR target gate, survivors with their split."""
+        return self._q("dsir_selection_plan")
+
     def apply_changes(self) -> DataFrame:
         """Replay the CDC change feed onto the old snapshot (MERGE
         round-trip: apply(old, diff(old, new)) == new)."""

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "minhash_jaccard_estimate_error",
     "cdc_apply_changes",
+    "dsir_selection_plan",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -1004,3 +1004,100 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
         j_exact.alias("jaccard_exact"),
         j_est.alias("jaccard_est"),
         F.round(F.abs(j_est - j_exact), 6).alias("abs_err"))
+
+
+# --- composite: the selection decision per document ----------------------
+
+def _register_selection_plan() -> None:
+    # composed from the registered component oracles / shared CTE
+    # generators so the composite can never drift from its stages
+    # (the corpus_release_prep discipline applied to selection)
+    from transcript_analysis_spark.plans.curation import (
+        _duck_lsh_component_ctes,
+        dataset_split_assignment,
+    )
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    dsir_oracle = _REGISTRY["dsir_importance_weights"].oracle
+    spl_oracle = _REGISTRY["dataset_split_assignment"].oracle
+
+    @register(
+        "dsir_selection_plan",
+        oracle=f"""
+        WITH RECURSIVE {_duck_lsh_component_ctes()},
+        member AS (
+          SELECT c.component_id, c.doc_id, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, ROW_NUMBER() OVER (
+                   PARTITION BY component_id
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM member
+        ),
+        dropped AS (SELECT doc_id FROM ranked WHERE rk > 1),
+        dsir AS ({dsir_oracle}),
+        spl AS ({spl_oracle})
+        SELECT s.doc_id, p.split, s.avg_logratio,
+               CASE WHEN dr.doc_id IS NOT NULL THEN 'dedup_drop'
+                    WHEN NOT s.target_like THEN 'off_target'
+                    ELSE 'selected' END AS decision,
+               CASE WHEN dr.doc_id IS NOT NULL THEN FALSE
+                    WHEN NOT s.target_like THEN FALSE
+                    ELSE TRUE END AS selected
+        FROM dsir s
+        JOIN spl p ON p.doc_id = s.doc_id
+        LEFT JOIN dropped dr ON dr.doc_id = s.doc_id
+        """,
+        tags=("selection", "composite"),
+    )
+    def dsir_selection_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The selection tier as ONE decision per raw document:
+        near-duplicates drop first (the LSH-component keep-list —
+        only the longest doc of each component survives), then
+        off-target docs (DSIR average log-ratio <= 0), and survivors
+        carry their deterministic train/val/test split. Precedence is
+        contractual: a duplicate reads 'dedup_drop' even if it is
+        also off-target — dedup verdicts must not depend on model
+        scores, or re-fitting the target LM silently changes the
+        dedup output.
+
+        Every stage is the REGISTERED query (components from the same
+        large-star/small-star contraction and LSH candidate pairs the
+        dedup tier uses; the oracle is composed from the registered
+        oracles and the shared component-CTE generator), so the
+        composite cannot drift from its parts. All joins are
+        doc_id-keyed; the component labels are bounded by the pair
+        set, so the extra work over plain DSIR is O(duplicates)."""
+        from transcript_analysis_spark.operators.components import (
+            connected_components,
+        )
+        from transcript_analysis_spark.plans.data_pipeline import (
+            minhash_lsh_candidate_pairs,
+        )
+        dsir = dsir_importance_weights(spark, sf_dir)
+        spl = dataset_split_assignment(spark, sf_dir).select("doc_id", "split")
+        pairs = minhash_lsh_candidate_pairs(spark, sf_dir)
+        labels = connected_components(
+            pairs.selectExpr("doc_a as u", "doc_b as v"))
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        members = labels.join(docs, labels["n"] == docs["doc_id"])
+        kept = (members.groupBy("label")
+                .agg(F.max(F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"))).alias("best"))
+                .select("label",
+                        (-F.col("best.neg_id")).alias("kept_doc_id")))
+        dropped = (members.join(kept, "label")
+                   .filter(F.col("doc_id") != F.col("kept_doc_id"))
+                   .select("doc_id", F.lit(True).alias("is_dup_drop")))
+        j = (dsir.join(spl, "doc_id")
+             .join(dropped, "doc_id", "left"))
+        decision = (F.when(F.col("is_dup_drop"), F.lit("dedup_drop"))
+                    .when(~F.col("target_like"), F.lit("off_target"))
+                    .otherwise(F.lit("selected")))
+        return j.select("doc_id", "split", "avg_logratio",
+                        decision.alias("decision"),
+                        (decision == "selected").alias("selected"))
+
+
+_register_selection_plan()
