@@ -412,6 +412,14 @@ class TranscriptEngine:
         round-trip: apply(old, diff(old, new)) == new)."""
         return self._q("cdc_apply_changes")
 
+    def rank_normalize(self) -> DataFrame:
+        """Per-group percentile-rank normalization onto [0, 1]."""
+        return self._q("quantile_rank_normalize")
+
+    def langid_eval(self) -> DataFrame:
+        """Confusion matrix of the registered language-ID heuristic."""
+        return self._q("langid_confusion_matrix")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

@@ -1156,3 +1156,74 @@ def _bind_neardup_sizes_oracle() -> None:
 
 
 _bind_neardup_sizes_oracle()
+
+
+# --- language-ID evaluation (confusion matrix) ---------------------------
+
+def _register_langid_eval() -> None:
+    # composed from the registered classifier so the eval cannot
+    # drift from the model it grades
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    pred_oracle = _REGISTRY["language_id_heuristic"].oracle
+
+    @register(
+        "langid_confusion_matrix",
+        oracle=f"""
+        WITH pred AS ({pred_oracle}),
+        cells AS (
+          SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred GROUP BY labeled_lang, pred_lang
+        ),
+        row_tot AS (
+          SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+          FROM cells GROUP BY labeled_lang
+        ),
+        col_tot AS (
+          SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_predicted
+          FROM cells GROUP BY pred_lang
+        )
+        SELECT c.labeled_lang, c.pred_lang, c.n,
+               {duck_round_ratio('c.n', 'r.n_labeled', 6)} AS recall_share,
+               {duck_round_ratio('c.n', 'p.n_predicted', 6)}
+                 AS precision_share
+        FROM cells c
+        JOIN row_tot r ON r.labeled_lang = c.labeled_lang
+        JOIN col_tot p ON p.pred_lang = c.pred_lang
+        """,
+        tags=("curation", "eval"),
+    )
+    def langid_confusion_matrix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """Classifier-evaluation-as-an-operator: the confusion matrix
+        of the registered language-ID heuristic against the labeled
+        lang column, each cell carrying its share of the true class
+        (the diagonal's share IS per-class recall) and of the
+        predicted class (precision). Composes the REGISTERED
+        classifier query on both sides, so the eval grades exactly
+        the model the engine ships.
+
+        All ratios are exact integer counts through half-up rounding.
+        One aggregate over the classifier output + two class-sized
+        broadcast joins — the eval costs one pass regardless of
+        corpus size."""
+        from transcript_analysis_spark.plans.data_pipeline import (
+            language_id_heuristic,
+        )
+        pred = language_id_heuristic(spark, sf_dir)
+        cells = (pred.groupBy("labeled_lang", "pred_lang")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        row_tot = (cells.groupBy("labeled_lang")
+                   .agg(F.sum("n").cast("long").alias("n_labeled")))
+        col_tot = (cells.groupBy("pred_lang")
+                   .agg(F.sum("n").cast("long").alias("n_predicted")))
+        return (cells
+                .join(F.broadcast(row_tot), "labeled_lang")
+                .join(F.broadcast(col_tot), "pred_lang")
+                .select("labeled_lang", "pred_lang", "n",
+                        spark_round_ratio("n", "n_labeled", 6)
+                        .alias("recall_share"),
+                        spark_round_ratio("n", "n_predicted", 6)
+                        .alias("precision_share")))
+
+
+_register_langid_eval()

@@ -162,6 +162,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_jaccard_estimate_error",
     "cdc_apply_changes",
     "dsir_selection_plan",
+    "quantile_rank_normalize",
+    "langid_confusion_matrix",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

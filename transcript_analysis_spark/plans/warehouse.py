@@ -1132,3 +1132,51 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("d.new_price"))
                      .otherwise(F.col("o.o_totalprice")), 2)
                  .alias("o_totalprice")))
+
+
+# --- per-group percentile-rank normalization -----------------------------
+
+@register(
+    "quantile_rank_normalize",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_custkey, c_nationkey,
+             ROUND(c_acctbal, 2) AS acctbal,
+             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+               AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+      FROM customer
+    )
+    SELECT c_custkey, c_nationkey, acctbal,
+           CAST(rk AS BIGINT) AS rk, n,
+           CASE WHEN n <= 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE {duck_round_ratio('rk - 1', 'n - 1', 6)}
+           END AS pct_rank
+    FROM ranked
+    """,
+    tags=("warehouse", "stats", "normalize"),
+)
+def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile-rank normalization — the rank-based
+    feature transform (maps any skewed per-group distribution onto
+    [0, 1], robust to outliers where z-scoring is not): within each
+    nation, a customer's balance becomes (rank-1)/(n-1) with RANK
+    semantics for ties, so equal balances normalize identically.
+
+    All inputs to the ratio are exact integers (rank, group size), so
+    the half-up-rounded output is engine-deterministic. Every window
+    is group-partitioned — no global sort, no single-task stage; at
+    scale this is one shuffle on the group key."""
+    from pyspark.sql import Window
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = c.select(
+        "c_custkey", "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"))
+    pct = F.when(F.col("n") <= 1, F.lit(0.0)).otherwise(
+        spark_round_ratio("rk - 1", "n - 1", 6))
+    return ranked.select("c_custkey", "c_nationkey", "acctbal",
+                         "rk", "n", pct.alias("pct_rank"))
