@@ -156,3 +156,29 @@ def test_final_round_facade(engine):
     assert engine.dedup_cluster_sizes().count() > 0
     assert engine.rfm_segments().count() > 0
     assert engine.zipf_fit().collect()[0].zipf_slope < 0
+
+
+def test_selection_tier_facade(engine):
+    assert engine.dsir_weights().columns[-1] == "target_like"
+    mmr = engine.diverse_topk().collect()
+    assert len(mmr) > 0
+    assert engine.match_event_paths().count() > 0
+    assert engine.session_paths().count() > 0
+    pit = engine.point_in_time_join()
+    assert "state_at_purchase" in pit.columns
+    tri = engine.triangle_census().collect()[0]
+    assert tri.n_triangles >= 0
+    assert engine.containment_pairs().count() > 0
+    assert engine.collocations().count() > 0
+    assert engine.minhash_accuracy().count() > 0
+    assert engine.apply_changes().count() > 0
+    plan_cols = set(engine.selection_plan().columns)
+    assert {"decision", "selected", "split"} <= plan_cols
+    assert engine.rank_normalize().count() > 0
+    assert engine.langid_eval().count() > 0
+
+
+def test_explain_facade(engine):
+    out = engine.explain("brand_revenue")
+    assert "broadcast hash join" in out        # audit note
+    assert "BroadcastHashJoin" in out          # raw plan

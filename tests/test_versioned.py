@@ -144,3 +144,46 @@ def test_write_and_swap_cleans_tmp_on_failure(spark, tmp_path):
         sinks.write_and_swap(df, path)
     assert not glob.glob(f"{path}__rewrite_tmp_*")
     assert not os.path.exists(f"{path}__rewrite_lock")
+
+
+def test_diff_versions_emits_churn_only(spark, tmp_path):
+    """CDC between two committed snapshots: added/removed/changed
+    classified correctly, unchanged rows absent, O(churn) output."""
+    from transcript_analysis_spark.sources.versioned import (
+        commit_version,
+        diff_versions,
+    )
+    root = str(tmp_path / "tbl")
+    v1 = commit_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, val string"), root)
+    v2 = commit_version(
+        spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "k int, val string"), root)
+    rows = {r.k: r for r in diff_versions(spark, root, v1, v2,
+                                          ["k"]).collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].change_type == "removed" and rows[1].old_val == "a"
+    assert rows[3].change_type == "changed" and rows[3].new_val == "C"
+    assert rows[4].change_type == "added" and rows[4].new_val == "d"
+
+
+def test_diff_versions_null_safe_compare(spark, tmp_path):
+    """NULL -> NULL is unchanged; NULL -> value and value -> NULL are
+    changes (the eqNullSafe contract)."""
+    from transcript_analysis_spark.sources.versioned import (
+        commit_version,
+        diff_versions,
+    )
+    root = str(tmp_path / "tbl")
+    v1 = commit_version(
+        spark.createDataFrame(
+            [(1, None), (2, "x"), (3, None)], "k int, val string"), root)
+    v2 = commit_version(
+        spark.createDataFrame(
+            [(1, None), (2, None), (3, "y")], "k int, val string"), root)
+    rows = {r.k: r for r in diff_versions(spark, root, v1, v2,
+                                          ["k"]).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2].change_type == "changed" and rows[2].new_val is None
+    assert rows[3].change_type == "changed" and rows[3].new_val == "y"

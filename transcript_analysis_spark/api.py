@@ -479,6 +479,21 @@ class TranscriptEngine:
             self._views_registered = True
         return self.spark.sql(query)
 
+    def explain(self, name: str) -> str:
+        """Executed physical plan of a registered query plus the
+        automated scale-audit notes (pushdown, broadcasts,
+        cartesians, Python stages) from tools/plan_audit.py — the
+        first thing to read when a query is slower than expected."""
+        df = self.query(name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        try:
+            import importlib
+            audit = importlib.import_module("tools.plan_audit").audit
+            notes = "\n".join(f"- {n}" for n in audit(plan))
+        except ImportError:   # tools/ not shipped alongside the package
+            notes = ""
+        return f"{notes}\n\n{plan}"
+
     def query(self, name: str) -> DataFrame:
         """Any registered query by name (the full engine surface)."""
         return self._q(name)

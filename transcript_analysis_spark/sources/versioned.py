@@ -164,3 +164,45 @@ def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
     for v in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_version_dir(root, v)), True)
     return doomed
+
+
+def diff_versions(spark: SparkSession, root: str, v_old: int, v_new: int,
+                  keys: list[str]) -> DataFrame:
+    """Change-data-capture between two committed snapshots of a
+    versioned table: one full-outer join on the primary key emitting
+    added / removed / changed rows (the `orders_snapshot_diff` shape
+    applied to the time-travel store — together with
+    `cdc_apply_changes` this closes the loop: any consumer can sync
+    from version v_old to v_new by applying this feed). Unchanged
+    rows are filtered before materialization, so output is O(churn).
+
+    Non-key columns are compared null-safely (`<=>`); the result
+    carries every non-key column twice (old_/new_ prefixes)."""
+    old = read_snapshot(spark, root, v_old).alias("o")
+    new = read_snapshot(spark, root, v_new).alias("n")
+    non_keys = [c for c in old.columns if c not in keys]
+    from pyspark.sql import functions as F
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = c if cond is None else (cond & c)
+    j = old.join(new, cond, "full_outer")
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    changed = None
+    for c in non_keys:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = d if changed is None else (changed | d)
+    if changed is None:
+        changed = F.lit(False)
+    out_cols = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+                for k in keys]
+    out_cols.append(
+        F.when(~old_present, F.lit("added"))
+         .when(~new_present, F.lit("removed"))
+         .otherwise(F.lit("changed")).alias("change_type"))
+    for c in non_keys:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return (j.filter(~old_present | ~new_present | changed)
+            .select(*out_cols))
