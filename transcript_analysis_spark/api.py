@@ -420,6 +420,10 @@ class TranscriptEngine:
         """Confusion matrix of the registered language-ID heuristic."""
         return self._q("langid_confusion_matrix")
 
+    def embedding_outliers(self) -> DataFrame:
+        """Distance-to-centroid semantic outlier flags per vector."""
+        return self._q("embedding_outlier_scores")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

@@ -164,6 +164,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_selection_plan",
     "quantile_rank_normalize",
     "langid_confusion_matrix",
+    "embedding_outlier_scores",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -787,3 +787,71 @@ def binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q", "est")
             .join(F.broadcast(exact_long), "q")
             .select(F.col("q").alias("quantile"), "est", "exact"))
+
+
+# --- embedding outlier scores (distance-to-centroid anomaly) -------------
+
+_OUT_SCHEMA = ("vec_id bigint, cid bigint, dist2 bigint, "
+               "med_dist2 double, outlier boolean")
+
+
+def _outlier_oracle() -> str:
+    return f"""
+    WITH {_km_chain()},
+    d AS (
+      SELECT a.vec_id, a.cid,
+             list_sum(list_transform(list_zip(q.v, c.v),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist2
+      FROM a{KM_T - 1} a
+      JOIN q ON q.vec_id = a.vec_id
+      JOIN c{KM_T} c ON c.cid = a.cid
+    ),
+    med AS (
+      SELECT cid, quantile_cont(dist2, 0.5) AS med_dist2
+      FROM d GROUP BY cid
+    )
+    SELECT d.vec_id, CAST(d.cid AS BIGINT) AS cid,
+           CAST(d.dist2 AS BIGINT) AS dist2,
+           m.med_dist2,
+           CAST(d.dist2 AS DOUBLE) > 4.0 * m.med_dist2 AS outlier
+    FROM d JOIN med m ON m.cid = d.cid
+    """
+
+
+@register("embedding_outlier_scores", oracle=_outlier_oracle(),
+          tags=("clustering", "embedding", "quality"))
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier detection: every vector's squared distance to
+    its FINAL k-means centroid, the per-cluster median of those
+    distances, and an outlier flag at 2x the median distance
+    (4x squared) — the embedding-space garbage filter that catches
+    what text heuristics can't (mojibake, wrong-modality payloads,
+    encoder failures all land far from every centroid).
+
+    Shares the exact-arithmetic Lloyd machinery: assignments and
+    centroids come from the same quantized int64 trajectory the
+    kmeans_centroids oracle replays, distances are exact integers,
+    and the median (linear interpolation over int64, at worst one
+    .5 term — exact in double) plus the 4x-median comparison are
+    engine-deterministic. Plan: distances are per-row math against
+    the K-row broadcast centroid table; the only shuffles are the
+    K-sized median aggregate and its broadcast back."""
+    centroids, assigned = _lloyd(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    cent = spark.createDataFrame(
+        [(cid, v) for cid, v in centroids], "cid int, cv array<bigint>")
+    d = (assigned.join(F.broadcast(cent), "cid")
+         .select("vec_id", "cid",
+                 F.aggregate(
+                     F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+                 .alias("dist2")))
+    med = d.groupBy("cid").agg(
+        F.expr("percentile(dist2, 0.5)").alias("med_dist2"))
+    return (d.join(F.broadcast(med), "cid")
+            .select("vec_id", F.col("cid").cast("long").alias("cid"),
+                    F.col("dist2").cast("long").alias("dist2"),
+                    "med_dist2",
+                    (F.col("dist2").cast("double")
+                     > F.lit(4.0) * F.col("med_dist2")).alias("outlier")))
