@@ -700,3 +700,53 @@ def test_backoff_orders_surprise(spark, tmp_path):
            .collect()}
     assert out[51]["n_oov"] == out[51]["n_bigrams"]
     assert out[51]["avg_nll"] > out[50]["avg_nll"]
+
+
+def test_pii_text_scrub_on_constructed_fixtures(spark):
+    """The corpus has no PII, so the scrubbing semantics are pinned
+    here on constructed rows: every class masked, counts exact,
+    clean text free of the original identifiers."""
+    from transcript_analysis_spark.plans.curation import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+    rows = [
+        (1, "contact alice.smith+x@example.org or bob@mail.co today"),
+        (2, "server 192.168.0.1 and 10.0.255.3 rebooted"),
+        (3, "call +14155550123 now"),
+        (4, "mixed a@b.io via 8.8.8.8 at +4915112345678 end"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", clean.alias("text_clean"),
+        F.expr(f"size(regexp_extract_all(text, '{PII_EMAIL_RE}', 0))")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{PII_IP_RE}', 0))")
+        .alias("n_ips"),
+        F.expr(f"size(regexp_extract_all(text, '{PII_PHONE_RE}', 0))")
+        .alias("n_phones")).collect()}
+    assert out[1].text_clean == "contact <EMAIL> or <EMAIL> today"
+    assert out[1].n_emails == 2
+    assert out[2].text_clean == "server <IP> and <IP> rebooted"
+    assert out[2].n_ips == 2
+    assert out[3].text_clean == "call <PHONE> now"
+    assert out[3].n_phones == 1
+    assert out[4].text_clean == "mixed <EMAIL> via <IP> at <PHONE> end"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (1, 1, 1)
+    assert out[5].text_clean == rows[4][1]
+
+
+def test_pii_scrub_query_is_no_op_on_clean_corpus(spark):
+    """On the synthetic corpus the scrub must be a provable no-op —
+    the no-false-positive guarantee a release pipeline needs."""
+    from transcript_analysis_spark.plans.curation import pii_text_scrub
+    out = pii_text_scrub(spark, "/root/testdata/sf0.001")
+    assert out.filter((F.col("n_emails") > 0) | (F.col("n_ips") > 0)
+                      | (F.col("n_phones") > 0)).count() == 0

@@ -424,6 +424,10 @@ class TranscriptEngine:
         """Distance-to-centroid semantic outlier flags per vector."""
         return self._q("embedding_outlier_scores")
 
+    def scrub_pii(self) -> DataFrame:
+        """Email/IP/phone scrubbing with per-doc audit counts."""
+        return self._q("pii_text_scrub")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

@@ -1227,3 +1227,55 @@ def _register_langid_eval() -> None:
 
 
 _register_langid_eval()
+
+
+# --- PII text scrubbing ---------------------------------------------------
+
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-z][a-z]+"
+PII_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_PHONE_RE = "[+][0-9]{7,15}"
+
+
+@register(
+    "pii_text_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_clean,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM documents
+    """,
+    tags=("curation", "pii", "text"),
+)
+def pii_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrubbing — the C4/RefinedWeb release pass:
+    emails, IPv4 addresses and international phone numbers replaced
+    with typed placeholders, with per-doc match counts for the
+    release audit. Patterns avoid regex features where Java (Spark)
+    and RE2 (DuckDB) semantics could diverge (no word boundaries, no
+    backreferences, explicit character classes only) — divergence
+    here would mean the audit count and the scrub disagree.
+
+    Map-only per-row JVM regex; zero shuffle. The synthetic corpus
+    contains no PII (counts are 0 and text_clean == text — itself a
+    useful no-false-positive check); the scrubbing semantics are
+    pinned on constructed fixtures in tests/test_curation.py."""
+    d = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    count = lambda pat: F.expr(  # noqa: E731
+        f"cast(size(regexp_extract_all(text, '{pat}', 0)) as bigint)")
+    return d.select("doc_id", clean.alias("text_clean"),
+                    count(PII_EMAIL_RE).alias("n_emails"),
+                    count(PII_IP_RE).alias("n_ips"),
+                    count(PII_PHONE_RE).alias("n_phones"))

@@ -165,6 +165,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quantile_rank_normalize",
     "langid_confusion_matrix",
     "embedding_outlier_scores",
+    "pii_text_scrub",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",
