@@ -35,6 +35,16 @@ and shard export (sources/shards.py):
 - ``skipgram_pmi_pairs`` — positional PMI collocations (window <= 2):
   the word-association statistic behind phrase mining and word2vec
   subsampling; ln quantized to int64 at the vocabulary level.
+- ``top_session_paths`` — sessionized path mining: 30-min-gap
+  sessions rendered as event-type path strings, global top-k.
+- ``scd2_point_in_time_join`` — the leak-free fact-to-dim-history
+  lookup: Spark runs the as-of rewrite, the oracle independently
+  range-joins derived intervals; their agreement proves the rewrite.
+- ``minhash_jaccard_estimate_error`` — sketch accuracy as an
+  operator: the MinHash estimate itself is oracle-checked.
+- ``dsir_selection_plan`` — the tier as ONE decision per document
+  (dedup keep-list > DSIR gate > split), composed from the
+  registered stage queries on both engine sides.
 
 Scale notes are in each docstring; the common pattern is: one corpus
 explode collapsed immediately to counts (localCheckpoint so both the
