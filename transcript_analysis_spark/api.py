@@ -428,6 +428,10 @@ class TranscriptEngine:
         """Email/IP/phone scrubbing with per-doc audit counts."""
         return self._q("pii_text_scrub")
 
+    def sample_per_stratum(self) -> DataFrame:
+        """Exactly-k-per-language reproducible bottom-k-hash sample."""
+        return self._q("stratified_exact_k_sample")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

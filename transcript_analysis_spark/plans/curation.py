@@ -1279,3 +1279,51 @@ def pii_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     count(PII_EMAIL_RE).alias("n_emails"),
                     count(PII_IP_RE).alias("n_ips"),
                     count(PII_PHONE_RE).alias("n_phones"))
+
+
+# --- stratified exact-k sampling -----------------------------------------
+
+STRAT_K = 10   # docs kept per language stratum
+
+
+@register(
+    "stratified_exact_k_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             {duck_char_hash("text || '|stratk'")} AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, hk,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hk, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {STRAT_K}
+    """,
+    tags=("curation", "sampling"),
+)
+def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: within each language, keep the
+    k documents with the smallest salted content hashes — the
+    bottom-k-sketch semantics of `uniform_hash_sample` applied PER
+    GROUP. Reproducible across engines and runs, stable under corpus
+    growth (a kept doc is only ever displaced by a new smaller-hash
+    doc, never by reshuffling), and salt-decorrelated from the split/
+    sample/fingerprint hashes.
+
+    One group-partitioned window on the hash order — no global sort;
+    at scale this is one shuffle on the stratum key, and the
+    per-group top-k could swap to an aggregate min-k sketch if group
+    row counts are extreme."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang",
+        F.expr(spark_char_hash("text || '|stratk'")).alias("hk"))
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= STRAT_K)
+            .select("doc_id", "lang", "rk"))

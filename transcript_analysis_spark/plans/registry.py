@@ -166,6 +166,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "langid_confusion_matrix",
     "embedding_outlier_scores",
     "pii_text_scrub",
+    "stratified_exact_k_sample",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",
