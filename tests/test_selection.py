@@ -290,3 +290,19 @@ def test_pit_join_matches_python_asof(spark):
     n_purchases = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
                    .filter(F.col("event_type") == "purchase").count())
     assert len(got) == n_purchases
+
+
+# --- minhash estimate accuracy -------------------------------------------
+
+def test_minhash_estimate_grid_and_exact_dup_property(spark):
+    """Estimates live on the k-step grid (m/8), identical shingle
+    sets estimate exactly 1 (identical signatures), and the reported
+    abs_err is |est - exact| of the row's own columns."""
+    rows = selection.minhash_jaccard_estimate_error(spark, SF_SMOKE).collect()
+    assert rows
+    grid = {round(m / 8, 6) for m in range(9)}
+    for r in rows:
+        assert r.jaccard_est in grid
+        assert abs(r.abs_err - abs(r.jaccard_est - r.jaccard_exact)) < 1e-9
+        if r.jaccard_exact == 1.0:
+            assert r.jaccard_est == 1.0 and r.n_match_components == 8

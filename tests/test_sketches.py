@@ -101,3 +101,21 @@ def test_binned_quantile_within_bin_width(spark):
     width = (hi - lo) / sketches.QSK_BINS
     for r in rows:
         assert abs(r.est - r.exact) <= width
+
+
+def test_embedding_outliers_cover_corpus_and_flag_far_points(spark):
+    """Every vector scored once; flags are exactly dist2 > 4x the
+    cluster median; a median-based threshold can never flag the
+    majority of a cluster."""
+    from transcript_analysis_spark.plans.sketches import (
+        embedding_outlier_scores,
+    )
+    rows = embedding_outlier_scores(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    by_cid: dict[int, list] = {}
+    for r in rows:
+        assert r.outlier == (float(r.dist2) > 4.0 * r.med_dist2)
+        by_cid.setdefault(r.cid, []).append(r)
+    for g in by_cid.values():
+        assert sum(1 for r in g if r.outlier) <= len(g) / 2

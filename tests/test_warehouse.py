@@ -73,3 +73,27 @@ def test_conversion_funnel_bounds(spark):
     assert 0.0 <= r.conversion_pct <= 100.0
     if r.n_converted:
         assert 0 < r.min_lag_us <= r.max_lag_us <= warehouse.CONV_WINDOW_US
+
+
+def test_quantile_rank_normalize_bounds(spark):
+    """pct_rank spans [0, 1] within every multi-member group, rank 1
+    exists per group, ties share a normalized value."""
+    from transcript_analysis_spark.plans.warehouse import (
+        quantile_rank_normalize,
+    )
+    rows = quantile_rank_normalize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.c_nationkey, []).append(r)
+    for g in by_group.values():
+        assert min(r.rk for r in g) == 1
+        assert all(0.0 <= r.pct_rank <= 1.0 for r in g)
+        if len(g) > 1:
+            assert max(r.pct_rank for r in g) == 1.0
+            assert min(r.pct_rank for r in g) == 0.0
+        vals: dict[float, float] = {}
+        for r in g:
+            if r.acctbal in vals:
+                assert vals[r.acctbal] == r.pct_rank
+            vals[r.acctbal] = r.pct_rank
