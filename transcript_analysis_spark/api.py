@@ -432,6 +432,10 @@ class TranscriptEngine:
         """Exactly-k-per-language reproducible bottom-k-hash sample."""
         return self._q("stratified_exact_k_sample")
 
+    def temperature_mixture(self) -> DataFrame:
+        """Temperature-scaled (n^(1/T)) source mixture weights."""
+        return self._q("temperature_mixture_plan")
+
     def learn_bpe(self, n_merges: int = 10) -> list:
         """Learn BPE merges over the corpus (operators/bpe.py);
         returns the merge table rows in learned order."""

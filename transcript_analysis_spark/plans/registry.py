@@ -167,6 +167,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_outlier_scores",
     "pii_text_scrub",
     "stratified_exact_k_sample",
+    "temperature_mixture_plan",
     # never harness-checked (streaming_batch + data_pipeline tail)
     "mllib_lsh_similar_pairs",
     "eightvalues_axis_scores",

@@ -47,6 +47,10 @@ from transcript_analysis_spark.plans.data_pipeline import (
     duck_char_hash,
     spark_char_hash,
 )
+from transcript_analysis_spark.functions.rounding import (
+    duck_round_ratio,
+    spark_round_ratio,
+)
 from transcript_analysis_spark.sources.tables import fanout
 from transcript_analysis_spark.plans.registry import register
 
@@ -803,3 +807,70 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  (F.max("ck") - F.min("ck")).alias("custkey_span"),
                  (F.max("dd") - F.min("dd")).alias("day_span")))
+
+
+# --- temperature-scaled mixture ------------------------------------------
+
+TEMP_T = 2            # temperature: weights ~ n^(1/T); T=2 => sqrt (IEEE-exact)
+TEMP_SCALE = 1_000_000
+
+
+@register(
+    "temperature_mixture_plan",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, available_tokens,
+             CAST(round(sqrt(CAST(available_tokens AS DOUBLE))
+                        * {TEMP_SCALE}) AS BIGINT) AS w_q
+      FROM avail
+    ),
+    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wsum FROM scaled)
+    SELECT s.source, s.available_tokens, s.w_q,
+           {duck_round_ratio('s.w_q', 't.wsum', 6)} AS mix_weight,
+           {duck_round_ratio(f's.w_q * {MIX_TOKEN_BUDGET}',
+                             't.wsum * s.available_tokens', 6)}
+             AS sample_rate,
+           {duck_round_ratio(f's.w_q * {MIX_TOKEN_BUDGET}',
+                             't.wsum * s.available_tokens', 6)} > 1.0
+             AS upsampled
+    FROM scaled s CROSS JOIN tot t
+    """,
+    tags=("mixture", "training-prep"),
+)
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the UniMax / multilingual
+    T-sampling move): each source's share is proportional to
+    available_tokens^(1/T), flattening the natural distribution so
+    scarce domains are upsampled and huge ones downweighted — the
+    data-driven counterpart of corpus_mixture_plan's hand-set
+    weights.
+
+    T = {TEMP_T} makes the power a square root, which IEEE 754
+    requires to be correctly rounded — so sqrt is bit-identical in
+    both engines, and quantizing each source's scaled weight to int64
+    BEFORE the normalizing sum removes the float-summation-order
+    hazard entirely (sum of int64 is exact). Rates come out of the
+    shared half-up integer-ratio rounding. One corpus aggregate + a
+    source-count-sized cross join with the one-row total."""
+    avail = (_t(spark, sf_dir, "documents")
+             .groupBy("source")
+             .agg(F.sum(F.size(F.split("text", " "))).cast("long")
+                  .alias("available_tokens")))
+    scaled = avail.select(
+        "source", "available_tokens",
+        F.expr(f"cast(round(sqrt(cast(available_tokens as double))"
+               f" * {TEMP_SCALE}) as bigint)").alias("w_q"))
+    tot = scaled.agg(F.sum("w_q").cast("long").alias("wsum"))
+    rate = spark_round_ratio(f"w_q * {MIX_TOKEN_BUDGET}",
+                             "wsum * available_tokens", 6)
+    return (scaled.crossJoin(F.broadcast(tot))
+            .select("source", "available_tokens", "w_q",
+                    spark_round_ratio("w_q", "wsum", 6).alias("mix_weight"),
+                    rate.alias("sample_rate"),
+                    (rate > 1.0).alias("upsampled")))
