@@ -268,3 +268,24 @@ def test_read_json_source_quarantines_corrupt_records(spark, tmp_path):
     assert not ingest._parsed.storageLevel.useMemory
     ingest.release()
     assert not ingest._parsed.storageLevel.useDisk
+
+
+def test_delete_by_key_rewrites_and_short_circuits(spark, tmp_path):
+    from transcript_analysis_spark.sources.sinks import delete_by_key
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "k int, val string").write.parquet(path)
+
+    victims = spark.createDataFrame([(2,), (4,), (99,)], "k int")
+    n = delete_by_key(spark, path, victims, ["k"])
+    assert n == 2
+    left = {r.k for r in spark.read.parquet(path).collect()}
+    assert left == {1, 3}
+
+    # no-match delete is a no-op (no rewrite churn)
+    import glob
+    files_before = sorted(glob.glob(f"{path}/part-*"))
+    assert delete_by_key(spark, path,
+                         spark.createDataFrame([(42,)], "k int"), ["k"]) == 0
+    assert sorted(glob.glob(f"{path}/part-*")) == files_before

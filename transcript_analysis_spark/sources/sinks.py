@@ -272,3 +272,28 @@ def read_json_source(spark: SparkSession, path: str, schema,
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return JsonIngest(df, good, bad)
+
+
+def delete_by_key(spark: SparkSession, path: str, keys_df: DataFrame,
+                  keys: list[str]) -> int:
+    """Targeted delete on plain parquet — the right-to-be-forgotten /
+    retention rewrite: drop every row whose key appears in `keys_df`
+    and atomically swap the rewritten table in (same
+    `write_and_swap` lock + crash-recovery discipline as
+    `upsert_by_key`; with Delta/Iceberg this is DELETE WHERE).
+    Returns the number of rows removed.
+
+    The key set is deduplicated and joined anti-side (broadcast when
+    small — the usual GDPR case is a handful of subjects against a
+    huge table), so the rewrite is one distributed anti-join, never a
+    driver-side key list. Zero matches short-circuits: no rewrite,
+    no churn."""
+    existing = spark.read.parquet(path)
+    victims = keys_df.select(*keys).dropDuplicates(keys)
+    n_before = existing.count()
+    kept = existing.join(victims, keys, "left_anti")
+    n_after = kept.count()
+    if n_after == n_before:
+        return 0
+    write_and_swap(kept, path)
+    return n_before - n_after
