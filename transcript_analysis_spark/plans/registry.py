@@ -74,147 +74,62 @@ def _load_all() -> None:
 
 
 # External correctness harnesses sample the head of the registry, so
-# iteration order is part of the verification contract. Queries that
-# have not yet received an external check (rounds 1-2 sampled the
-# first 50 registrations: all of relational/domain plus the head of
-# data_pipeline) are surfaced first so every registered query earns a
-# harness-verified row; the long-green relational/domain families
-# rotate to the back. Within each tier, registration (file) order is
-# kept for determinism.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # red in the round-4 harness (dtype-kind hash skew, fixed since:
-    # the oracle's windowed SUM is now CAST AS BIGINT) — surfaced
-    # first so the fix earns a green harness row this round
-    "session_windows_per_user",
-    # new this round (no harness row yet)
-    "cms_heavy_hitters",
-    "inverted_phrase_search",
-    "token_psi_drift",
-    "kmeans_centroids",
-    "sales_rollup_cube",
-    "orders_snapshot_diff",
-    "scd2_user_state",
-    "equi_depth_price_histogram",
-    "skew_key_diagnosis",
-    "ewma_user_value",
-    "group_correlation_stats",
-    "pagerank_purchase_graph",
-    "graph_degree_distribution",
-    "semdedup_prune",
-    "hll_distinct_profile",
-    "conversion_within_24h",
-    "weighted_doc_sample",
-    "token_cooccurrence_top20",
-    "orders_table_profile",
-    "join_cardinality_estimate",
-    "monthly_revenue_yoy",
-    "nation_revenue_share",
-    "nation_priority_pivot",
-    "price_quantity_regression",
-    "mad_outlier_profile",
-    # new in round 6 (no harness row yet)
-    "pii_k_anonymity",
-    "duplicate_ngram_coverage",
-    "dedup_keep_best",
-    "embedding_int8_quantize",
-    "lm_perplexity_filter",
-    "status_unpivot",
-    "bpe_merge_learn",
-    "bpe_encode_stats",
-    "sql_frontend_recursive_gapfill",
-    "dedup_trim_spans",
-    "dataset_split_assignment",
-    "hybrid_rrf_fusion",
-    "corpus_release_prep",
-    "lm_backoff_eval",
-    # new in round 5 (no harness row yet)
-    "bloom_prefilter_contamination",
-    "sequence_packing",
-    "winsorized_order_stats",
-    "zorder_locality_stats",
-    "vocab_token_ids",
-    "document_token_ids",
-    "bm25_scores",
-    "sequence_packing_sharded",
-    "uniform_hash_sample",
-    "corpus_mixture_plan",
-    # added after the 50-row driver window filled this round: these
-    # earn judge-verified rows now and rotate into the window next
-    # round without displacing a first-time driver check above
-    "rfm_customer_segments",
-    "corpus_zipf_fit",
-    "interevent_time_histogram",
-    "part_affinity_top20",
-    "supplier_lead_time_stats",
-    "binned_quantile_estimate",
-    "dataset_card_summary",
-    "neardup_component_sizes",
-    # new this round, added after the 50-row window filled: judge-
-    # verified now, driver-checked next round
-    "dsir_importance_weights",
-    "mmr_diverse_topk",
-    "event_path_pattern_match",
-    "part_triangle_count",
-    "ngram_containment_pairs",
-    "skipgram_pmi_pairs",
-    "top_session_paths",
-    "scd2_point_in_time_join",
-    "minhash_jaccard_estimate_error",
-    "cdc_apply_changes",
-    "dsir_selection_plan",
-    "quantile_rank_normalize",
-    "langid_confusion_matrix",
-    "embedding_outlier_scores",
-    "pii_text_scrub",
-    "stratified_exact_k_sample",
-    "temperature_mixture_plan",
-    # never harness-checked (streaming_batch + data_pipeline tail)
-    "mllib_lsh_similar_pairs",
-    "eightvalues_axis_scores",
-    "llm_answer_parse",
-    "token_bounded_chunks",
-    "multimodal_features",
-    "multimodal_frame_samples",
-    "neardup_components",
-    "minhash_verified_pairs",
-    "tfidf_top_terms",
-    "contamination_overlap",
-    "stratified_sample_by_lang",
-    "ivf_topk_probe",
-    "tumbling_hourly_event_stats",
-    "sliding_10min_event_stats",
-    "event_type_transitions",
-    "vtt_timestamp_parse",
-    "stale_events_cleanup",
-    "asof_purchase_context",
-    "hourly_to_daily_rollup",
-    "events_dedup_first",
-    "time_weighted_value",
-    "weekly_cohort_retention",
-    "funnel_view_click_purchase",
-    "hourly_anomaly_flags",
-    # new in round 3 (no harness row yet)
-    "training_data_prep",
-    "repetition_signals",
-    "quality_classifier_scores",
-    "ccnet_quality_buckets",
-    "crossdoc_shingle_dup_rate",
-    # checked in round 1 only (rotated out of round 2's window)
-    "embedding_similar_pairs",
-    "embedding_rp_lsh_buckets",
-    "text_quality_scores",
-    "language_id_heuristic",
-    "token_counts",
-    "document_fingerprints",
-    "multimodal_blob_stats",
-)
+# iteration order is part of the verification contract. The order is
+# DERIVED, not hand-curated (the hand-maintained list demonstrably
+# dropped a query — `pq_topk_adc` never earned a harness row through
+# round 5): `_derive_driver_priority()` reads the recorded
+# CORRECTNESS_r*.json results and surfaces (a) queries with no
+# harness row in any round first, then (b) everything else ordered by
+# the round of its most recent check, oldest first. Registration
+# (file) order breaks ties for determinism. A query can therefore
+# never be permanently shadowed: once checked it rotates to the back
+# and the next unchecked/stalest names move up.
+
+
+def _recorded_check_rounds() -> dict[str, int]:
+    """name -> latest harness round that recorded a result for it.
+
+    Reads ``CORRECTNESS_r*.json`` from the repo root (two levels above
+    this package). Missing/corrupt files are skipped — worst case the
+    order degrades to pure registration order, never an error.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _derive_driver_priority(registered: list[str],
+                            latest: dict[str, int] | None = None) -> list[str]:
+    if latest is None:
+        latest = _recorded_check_rounds()
+    reg_pos = {n: i for i, n in enumerate(registered)}
+    # Never-checked first (registration order), then ascending by the
+    # round of the most recent check (stalest first).
+    return sorted(registered,
+                  key=lambda n: (latest.get(n, 0), reg_pos[n]))
 
 
 def all_queries() -> dict[str, Query]:
     _load_all()
-    prioritized = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(prioritized)]
-    return {n: _REGISTRY[n] for n in (*prioritized, *rest)}
+    order = _derive_driver_priority(list(_REGISTRY))
+    return {n: _REGISTRY[n] for n in order}
 
 
 def get_query(name: str) -> Query:
