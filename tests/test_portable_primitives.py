@@ -118,3 +118,56 @@ def test_round_ratio_duck_equals_spark_on_boundaries(spark):
         dv = con.execute(
             f"SELECT {duck_round_ratio(str(n), str(d), k)}").fetchone()[0]
         assert sv == dv == exact_round_half_up(n, d, k), (n, d, k, sv, dv)
+
+
+def test_round_ratio_wide_overflow_regime(spark):
+    """The int64-overflow regime the ADVICE flagged: with
+    w_q = round(sqrt(tokens)*1e6), 2*(w_q*budget)*1e6 exceeds int64
+    once tokens > ~53k. The wide (DECIMAL(38,0)/HUGEINT) variants must
+    stay exact there — checked three-way vs Fraction ground truth —
+    while also agreeing with the bigint variants in the small regime.
+    """
+    import duckdb
+    from transcript_analysis_spark.functions.rounding import (
+        duck_round_ratio_wide, spark_round_ratio_wide)
+    con = duckdb.connect()
+    B = 20_000
+    # tokens per source: small regime, just past the int64 cliff,
+    # sf1-ish, and a 100TB-ish 10^13-token source
+    for tokens, wsum_sources in [(1_000, 5), (60_000, 5),
+                                 (5_000_000, 7), (10**13, 12)]:
+        import math
+        w_q = round(math.sqrt(tokens) * 1e6)
+        wsum = w_q * wsum_sources          # symmetric sources
+        n, d = w_q * B, wsum * tokens
+        exp = exact_round_half_up(n, d, 6)
+        sv = (spark.range(1)
+              .select(spark_round_ratio_wide(
+                  f"cast({w_q} as decimal(38,0)) * {B}",
+                  f"cast({wsum} as decimal(38,0)) * {tokens}", 6)
+                  .alias("v")).first().v)
+        dv = con.execute(
+            "SELECT " + duck_round_ratio_wide(
+                f"CAST({w_q} AS HUGEINT) * {B}",
+                f"CAST({wsum} AS HUGEINT) * {tokens}", 6)).fetchone()[0]
+        assert sv == dv == exp, (tokens, sv, dv, exp)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=-10**27, max_value=10**27),
+       d=st.integers(min_value=1, max_value=10**27),
+       digits=st.sampled_from([2, 4, 6]))
+def test_round_ratio_wide_matches_fraction(spark, n, d, digits):
+    """Property check across 128-bit magnitudes (quotient capped to
+    int64 by construction: |n/d| <= 10^6 here)."""
+    from transcript_analysis_spark.functions.rounding import (
+        spark_round_ratio_wide)
+    if abs(n) // d > 10**6:        # keep the rounded quotient in int64
+        n = n % (d * 10**6 + 1)
+    sv = (spark.range(1)
+          .select(spark_round_ratio_wide(
+              f"cast({n} as decimal(38,0))",
+              f"cast({d} as decimal(38,0))", digits).alias("v"))
+          .first().v)
+    assert sv == exact_round_half_up(n, d, digits), (n, d, digits, sv)

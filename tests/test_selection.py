@@ -292,6 +292,54 @@ def test_pit_join_matches_python_asof(spark):
     assert len(got) == n_purchases
 
 
+def test_pit_join_same_microsecond_tie_semantics(spark, tmp_path):
+    """The generated corpus has no status/purchase pair sharing a
+    microsecond, so the (ts_us, event_id) tie-break was latent: this
+    fixture forces collisions on BOTH interval bounds and pins the
+    contract — a status with lower event_id than a same-instant
+    purchase is visible to it, a higher one is not — on the Spark
+    plan AND the DuckDB oracle (whose intervals now carry
+    lexicographic (ts_us, event_id) bounds)."""
+    import duckdb
+
+    from transcript_analysis_spark.plans.registry import get_query
+
+    t0 = 1_000_000_000_000_000
+    t1, t2 = t0 + 1_000, t0 + 2_000
+    rows = [
+        (1, t0, 1, "signup", 0.0),
+        (10, t1, 1, "active", 0.0),
+        (9, t1, 1, "purchase", 5.0),     # same us, eid < status 10
+        (11, t1, 1, "purchase", 6.0),    # same us, eid > status 10
+        (0, t0 - 5, 1, "purchase", 7.0),  # before any status
+        (20, t2, 1, "idle", 0.0),
+        (19, t2, 1, "purchase", 8.0),    # ties the 'active' TO-bound
+        (21, t2, 1, "purchase", 9.0),    # after the 'idle' FROM-bound
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, "
+              "event_type string, value double")
+    (df.select("event_id", F.timestamp_micros("ts_us").alias("ts"),
+               "user_id", "event_type", "value",
+               F.lit("{}").alias("props"))
+       .coalesce(1).write.parquet(f"{tmp_path}/events.parquet"))
+
+    expect = {9: ("signup", t0), 11: ("active", t1), 0: (None, None),
+              19: ("active", t1), 21: ("idle", t2)}
+
+    got = {r.event_id: (r.state_at_purchase, r.state_since_us)
+           for r in selection.scd2_point_in_time_join(
+               spark, str(tmp_path)).collect()}
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet/*.parquet'")
+    oracle = get_query("scd2_point_in_time_join").oracle
+    duck = {r[0]: (r[4], r[5]) for r in con.execute(oracle).fetchall()}
+    assert duck == expect
+
+
 # --- minhash estimate accuracy -------------------------------------------
 
 def test_minhash_estimate_grid_and_exact_dup_property(spark):

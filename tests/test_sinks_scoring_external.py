@@ -289,3 +289,20 @@ def test_delete_by_key_rewrites_and_short_circuits(spark, tmp_path):
     assert delete_by_key(spark, path,
                          spark.createDataFrame([(42,)], "k int"), ["k"]) == 0
     assert sorted(glob.glob(f"{path}/part-*")) == files_before
+
+
+def test_delete_by_key_rejects_null_keys(spark, tmp_path):
+    """ADVICE r5: NULL never equi-matches, so a null-keyed victim row
+    silently deleted nothing while reporting success — for a
+    right-to-be-forgotten primitive that must be a loud error, and
+    the table must be left untouched."""
+    import pytest
+    from transcript_analysis_spark.sources.sinks import delete_by_key
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")],
+                          "k int, val string").write.parquet(path)
+    victims = spark.createDataFrame(
+        [(None,), (2,)], "k int")
+    with pytest.raises(ValueError, match="NULL"):
+        delete_by_key(spark, path, victims, ["k"])
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}

@@ -94,6 +94,102 @@ def test_versioned_vacuum_keeps_recent_reclaims_old(spark, tmp_path):
         versioned.read_snapshot(spark, root, 1)
 
 
+def test_versioned_stale_base_commit_rejected(spark, tmp_path):
+    """The lost-update scenario, forced: writers A and B both merge
+    against v1; A commits v2; B's commit (still based on v1) must be
+    REJECTED, not silently erase A's row. This is the ACID property
+    the reference inherits from Postgres (island_worker.py
+    INSERT..ON CONFLICT under MVCC)."""
+    root = str(tmp_path / "vt")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), root)
+    base = versioned.latest_version(spark, root)
+    snap = versioned.read_snapshot(spark, root, base)
+    merged_a = snap.unionByName(
+        spark.createDataFrame([(2, "from_A")], ["k", "v"]))
+    merged_b = snap.unionByName(
+        spark.createDataFrame([(3, "from_B")], ["k", "v"]))
+    assert versioned.commit_version(merged_a, root, base_version=base) == 2
+    with pytest.raises(versioned.StaleBaseError):
+        versioned.commit_version(merged_b, root, base_version=base)
+    # A's row is intact; B's never became visible
+    assert _rows(versioned.read_snapshot(spark, root)) == \
+        [(1, "a"), (2, "from_A")]
+
+
+def test_versioned_interleaved_upserts_lose_no_rows(spark, tmp_path):
+    """Full interleave through the public upsert: B reads v1, A
+    upserts (v2 commits), then B's stale first attempt is refused and
+    its retry path re-merges — the final table holds BOTH writers'
+    rows. We force the interleave deterministically by replaying B's
+    stale merge through commit_version, then letting
+    upsert_by_key_versioned retry from scratch."""
+    root = str(tmp_path / "vt")
+    versioned.upsert_by_key_versioned(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), root, ["k"])
+    base = versioned.latest_version(spark, root)
+    snap = versioned.read_snapshot(spark, root, base)
+    stale_b = snap.unionByName(
+        spark.createDataFrame([(3, "c")], ["k", "v"]))
+    # A wins the race
+    versioned.upsert_by_key_versioned(
+        spark.createDataFrame([(2, "b")], ["k", "v"]), root, ["k"])
+    # B's in-flight merge is now stale -> one forced loser
+    with pytest.raises(versioned.StaleBaseError):
+        versioned.commit_version(stale_b, root, base_version=base)
+    # B retries through the upsert API: re-reads, re-merges, commits
+    versioned.upsert_by_key_versioned(
+        spark.createDataFrame([(3, "c")], ["k", "v"]), root, ["k"])
+    assert _rows(versioned.read_snapshot(spark, root)) == \
+        [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_versioned_empty_table_base_check(spark, tmp_path):
+    """base_version=None means 'I merged against an empty table';
+    if someone committed meanwhile, that commit must also be
+    refused."""
+    root = str(tmp_path / "vt")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert versioned.commit_version(df, root, base_version=None) == 1
+    with pytest.raises(versioned.StaleBaseError):
+        versioned.commit_version(df, root, base_version=None)
+
+
+def test_diff_versions_schema_mismatch_raises(spark, tmp_path):
+    """ADVICE r5: a non-key column present in old but dropped in new
+    used to surface as an opaque AnalysisException; now a clear
+    ValueError names the divergent columns. Bad key names too."""
+    root = str(tmp_path / "vt")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a", 1.0)], ["k", "v", "extra"]), root)
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), root)
+    with pytest.raises(ValueError, match="extra"):
+        versioned.diff_versions(spark, root, 1, 2, ["k"])
+    with pytest.raises(ValueError, match="nope"):
+        versioned.diff_versions(spark, root, 1, 2, ["nope"])
+
+
+def test_diff_versions_null_key_classified_once(spark, tmp_path):
+    """ADVICE r5: a NULL primary-key row was previously reported both
+    'added' and 'removed' (plain-equality join). With null-safe key
+    join + marker-column presence it diffs like any other row."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("k", IntegerType(), True),
+                         StructField("v", StringType(), True)])
+    root = str(tmp_path / "vt")
+    versioned.commit_version(
+        spark.createDataFrame([(None, "old"), (1, "x")], schema), root)
+    versioned.commit_version(
+        spark.createDataFrame([(None, "new"), (1, "x")], schema), root)
+    out = versioned.diff_versions(spark, root, 1, 2, ["k"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k is None and r.change_type == "changed"
+    assert r.old_v == "old" and r.new_v == "new"
+
+
 # --- hardened write_and_swap / upsert_by_key ---------------------------
 
 def test_write_and_swap_lock_enforced_and_released(spark, tmp_path):

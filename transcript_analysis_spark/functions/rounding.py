@@ -63,3 +63,40 @@ def duck_round_ratio(n: str, d: str, digits: int,
             f"((2 * abs(CAST(({n}) AS BIGINT)) * {nm} + ({d}) * {dm})"
             f" // (2 * ({d}) * {dm})) "
             f"AS DOUBLE) / {s})")
+
+
+# --- wide variants: DECIMAL(38,0) / HUGEINT -------------------------------
+#
+# The bigint variants above overflow once 2*|n|*10^digits exceeds
+# ~9.2e18 — e.g. temperature_mixture_plan's sample_rate numerator
+# w_q * budget with w_q = round(sqrt(tokens)*1e6) blows past int64 as
+# soon as one source holds >~53k tokens (Spark non-ANSI would wrap
+# SILENTLY while DuckDB errors). The wide variants run the identical
+# half-up algebra in 128-bit integers: Spark DECIMAL(38,0) (whose
+# `div` returns the exact integral quotient) and DuckDB HUGEINT.
+# Headroom is ~1e37 on both engines — safe past 10^13-token sources.
+#
+# Caller contract: if n or d is itself a PRODUCT that can exceed
+# int64, cast its first factor wide in the expression you pass in
+# (e.g. ``cast(w_q as decimal(38,0)) * budget``) so the
+# multiplication happens in 128-bit from the start. The rounded
+# quotient itself must fit int64 (Spark's decimal `div` returns
+# BIGINT) — true for any ratio rounded to <= 12 digits.
+
+
+def spark_round_ratio_wide(n: str, d: str, digits: int) -> Column:
+    s = 10 ** digits
+    q = (f"(CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
+         f"((2 * abs(cast(({n}) as decimal(38,0))) * {s}"
+         f" + cast(({d}) as decimal(38,0)))"
+         f" div (2 * cast(({d}) as decimal(38,0))))")
+    return (F.expr(q).cast("double") / F.lit(float(s)))
+
+
+def duck_round_ratio_wide(n: str, d: str, digits: int) -> str:
+    s = 10 ** digits
+    return (f"(CAST((CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
+            f"((2 * abs(CAST(({n}) AS HUGEINT)) * {s}"
+            f" + CAST(({d}) AS HUGEINT))"
+            f" // (2 * CAST(({d}) AS HUGEINT))) "
+            f"AS DOUBLE) / {s})")

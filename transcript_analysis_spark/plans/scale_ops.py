@@ -49,7 +49,9 @@ from transcript_analysis_spark.plans.data_pipeline import (
 )
 from transcript_analysis_spark.functions.rounding import (
     duck_round_ratio,
+    duck_round_ratio_wide,
     spark_round_ratio,
+    spark_round_ratio_wide,
 )
 from transcript_analysis_spark.sources.tables import fanout
 from transcript_analysis_spark.plans.registry import register
@@ -832,12 +834,12 @@ TEMP_SCALE = 1_000_000
     ),
     tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wsum FROM scaled)
     SELECT s.source, s.available_tokens, s.w_q,
-           {duck_round_ratio('s.w_q', 't.wsum', 6)} AS mix_weight,
-           {duck_round_ratio(f's.w_q * {MIX_TOKEN_BUDGET}',
-                             't.wsum * s.available_tokens', 6)}
+           {duck_round_ratio_wide('s.w_q', 't.wsum', 6)} AS mix_weight,
+           {duck_round_ratio_wide(f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
+                                  'CAST(t.wsum AS HUGEINT) * s.available_tokens', 6)}
              AS sample_rate,
-           {duck_round_ratio(f's.w_q * {MIX_TOKEN_BUDGET}',
-                             't.wsum * s.available_tokens', 6)} > 1.0
+           {duck_round_ratio_wide(f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
+                                  'CAST(t.wsum AS HUGEINT) * s.available_tokens', 6)} > 1.0
              AS upsampled
     FROM scaled s CROSS JOIN tot t
     """,
@@ -855,9 +857,14 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires to be correctly rounded — so sqrt is bit-identical in
     both engines, and quantizing each source's scaled weight to int64
     BEFORE the normalizing sum removes the float-summation-order
-    hazard entirely (sum of int64 is exact). Rates come out of the
-    shared half-up integer-ratio rounding. One corpus aggregate + a
-    source-count-sized cross join with the one-row total."""
+    hazard (sum of int64 is exact). The rate/weight rounding runs in
+    128-bit integers (DECIMAL(38,0) div / HUGEINT //): the bigint
+    half-up form would overflow 2*w_q*budget*10^6 once a source holds
+    >~53k tokens — Spark (non-ANSI) wrapping silently where DuckDB
+    errors. The wide form is exact past 10^13-token sources
+    (tests/test_scale_ops.py overflow-regime case). One corpus
+    aggregate + a source-count-sized cross join with the one-row
+    total."""
     avail = (_t(spark, sf_dir, "documents")
              .groupBy("source")
              .agg(F.sum(F.size(F.split("text", " "))).cast("long")
@@ -867,10 +874,12 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(round(sqrt(cast(available_tokens as double))"
                f" * {TEMP_SCALE}) as bigint)").alias("w_q"))
     tot = scaled.agg(F.sum("w_q").cast("long").alias("wsum"))
-    rate = spark_round_ratio(f"w_q * {MIX_TOKEN_BUDGET}",
-                             "wsum * available_tokens", 6)
+    rate = spark_round_ratio_wide(
+        f"cast(w_q as decimal(38,0)) * {MIX_TOKEN_BUDGET}",
+        "cast(wsum as decimal(38,0)) * available_tokens", 6)
     return (scaled.crossJoin(F.broadcast(tot))
             .select("source", "available_tokens", "w_q",
-                    spark_round_ratio("w_q", "wsum", 6).alias("mix_weight"),
+                    spark_round_ratio_wide("w_q", "wsum", 6)
+                    .alias("mix_weight"),
                     rate.alias("sample_rate"),
                     (rate > 1.0).alias("upsampled")))

@@ -801,12 +801,22 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS run_id
       FROM runs
     ),
+    run_first AS (
+      -- first status row of each run under the TOTAL order
+      -- (ts_us, event_id): its pair is the interval's from-key, so
+      -- same-microsecond ties stay deterministic end-to-end
+      SELECT user_id, event_type, ts_us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM run_ids
+    ),
     intervals AS (
       SELECT user_id, event_type AS state,
-             MIN(ts_us) AS valid_from_us,
-             LEAD(MIN(ts_us)) OVER (
-               PARTITION BY user_id ORDER BY MIN(ts_us)) AS valid_to_us
-      FROM run_ids GROUP BY user_id, event_type, run_id
+             ts_us AS valid_from_us, event_id AS valid_from_eid,
+             LEAD(ts_us) OVER w2 AS valid_to_us,
+             LEAD(event_id) OVER w2 AS valid_to_eid
+      FROM run_first WHERE rn = 1
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
     purchases AS (
       SELECT user_id, event_id, value,
@@ -819,8 +829,13 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM purchases p
     LEFT JOIN intervals i
       ON i.user_id = p.user_id
-     AND i.valid_from_us <= p.ts_us
-     AND (i.valid_to_us IS NULL OR p.ts_us < i.valid_to_us)
+     AND (i.valid_from_us < p.ts_us
+          OR (i.valid_from_us = p.ts_us
+              AND i.valid_from_eid < p.event_id))
+     AND (i.valid_to_us IS NULL
+          OR p.ts_us < i.valid_to_us
+          OR (p.ts_us = i.valid_to_us
+              AND p.event_id < i.valid_to_eid))
     """,
     tags=("selection", "warehouse", "temporal"),
 )
@@ -844,7 +859,11 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     A status and a purchase never share (ts_us, event_id); the total
     order makes same-microsecond ties deterministic: a status event
     with a LOWER event_id than a same-instant purchase is visible to
-    it, a higher one is not."""
+    it, a higher one is not. The oracle's interval bounds carry
+    (ts_us, event_id) PAIRS compared lexicographically, so both
+    derivations pin the identical tie semantics — exercised by a
+    same-microsecond fixture in tests/test_selection.py (the
+    generated corpus happens to contain no such collision)."""
     from pyspark.sql import Window
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value",

@@ -287,9 +287,27 @@ def delete_by_key(spark: SparkSession, path: str, keys_df: DataFrame,
     small — the usual GDPR case is a handful of subjects against a
     huge table), so the rewrite is one distributed anti-join, never a
     driver-side key list. Zero matches short-circuits: no rewrite,
-    no churn."""
+    no churn.
+
+    NULL key values in `keys_df` are REJECTED, not silently dropped:
+    a plain anti-join never matches NULL = NULL, so a null-keyed
+    victim row would quietly delete nothing while the caller believes
+    the subject was erased — the worst failure mode for a
+    right-to-be-forgotten primitive. Callers with legitimately
+    nullable keys must resolve them to concrete values first."""
+    from pyspark.sql import functions as F
     existing = spark.read.parquet(path)
     victims = keys_df.select(*keys).dropDuplicates(keys)
+    null_cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    n_null = victims.filter(null_cond).count()
+    if n_null:
+        raise ValueError(
+            f"delete_by_key: {n_null} victim row(s) carry NULL in key "
+            f"columns {keys}; NULL never equi-matches, so these rows "
+            f"would be silently ignored. Filter or resolve them first.")
     n_before = existing.count()
     kept = existing.join(victims, keys, "left_anti")
     n_after = kept.count()

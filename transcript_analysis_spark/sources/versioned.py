@@ -90,6 +90,15 @@ class ConcurrentWriterError(RuntimeError):
     """A second writer hit the table's write lock."""
 
 
+class StaleBaseError(ConcurrentWriterError):
+    """The table advanced past the snapshot this commit merged
+    against — committing would silently drop the interleaved writer's
+    changes (the classic lost update). Re-read, re-merge, retry."""
+
+
+_UNCHECKED = object()   # sentinel: commit without a base-version check
+
+
 def _with_write_lock(spark: SparkSession, root: str):
     jvm, fs, jroot = _fs(spark, root)
     fs.mkdirs(jroot)
@@ -101,15 +110,37 @@ def _with_write_lock(spark: SparkSession, root: str):
     return jvm, fs, lock
 
 
-def commit_version(df: DataFrame, root: str) -> int:
+def commit_version(df: DataFrame, root: str,
+                   base_version: int | None | object = _UNCHECKED) -> int:
     """Write `df` as the table's next version and make it visible.
     Returns the committed version number. Crash before the marker
     leaves an invisible orphan dir (reclaimed by vacuum), never a
-    half-visible table."""
+    half-visible table.
+
+    `base_version` turns the commit into an optimistic-concurrency
+    transaction (the Delta/Iceberg commit-conflict check; the ACID
+    property the reference inherits from Postgres MVCC +
+    `INSERT ... ON CONFLICT`, island_worker.py:114-127): pass the
+    version the new contents were DERIVED from (None for "table was
+    empty") and the commit is rejected with :class:`StaleBaseError`
+    if another writer has committed since — the check runs under the
+    write lock, so check+publish is atomic. Without it, two
+    read-merge-write cycles can interleave and the second silently
+    erases the first's rows even though each individual commit is
+    serialized."""
     spark = df.sparkSession
     jvm, fs, lock = _with_write_lock(spark, root)
     try:
         versions = _list_versions(jvm, fs, root)
+        if base_version is not _UNCHECKED:
+            committed = [x for x, ok in versions.items() if ok]
+            latest = max(committed) if committed else None
+            if latest != base_version:
+                raise StaleBaseError(
+                    f"commit against stale base: table {root} is at "
+                    f"version {latest}, but this merge was derived from "
+                    f"{base_version}. Re-read the latest snapshot, "
+                    f"re-merge, and retry.")
         v = max(versions, default=0) + 1
         vdir = _version_dir(root, v)
         df.write.mode("error").parquet(vdir)
@@ -122,25 +153,48 @@ def commit_version(df: DataFrame, root: str) -> int:
 
 
 def upsert_by_key_versioned(df: DataFrame, root: str, keys: list[str],
-                            do_update: bool = True) -> int:
+                            do_update: bool = True,
+                            max_retries: int = 5) -> int:
     """S4 idempotent upsert with snapshot isolation: merge against the
     latest committed version, commit the result as a NEW version.
     Readers holding any committed snapshot are undisturbed (their
     files are immutable); `ON CONFLICT DO UPDATE` when `do_update`,
     `DO NOTHING` otherwise. Same merge plan as `sinks.upsert_by_key`
-    — two distributed writes, zero driver materialization."""
+    — two distributed writes, zero driver materialization.
+
+    Concurrency: the commit carries the base version it merged
+    against, so an interleaved writer cannot be silently overwritten
+    — the loser's commit is rejected (:class:`StaleBaseError`, or
+    :class:`ConcurrentWriterError` if it collides with the lock
+    window itself) and automatically retried against the fresh
+    snapshot, up to `max_retries` times with jittered backoff. Net
+    effect: serializable read-merge-write, no lost updates — what the
+    reference gets from Postgres row locks."""
+    import random
+    import time
+
     spark = df.sparkSession
     incoming = df.dropDuplicates(keys)
-    v = latest_version(spark, root)
-    if v is None:
-        return commit_version(incoming, root)
-    existing = read_snapshot(spark, root, v)
-    if do_update:
-        merged = existing.join(incoming, keys, "left_anti").unionByName(incoming)
-    else:
-        merged = existing.unionByName(
-            incoming.join(existing, keys, "left_anti"))
-    return commit_version(merged, root)
+    last_err: Exception | None = None
+    for attempt in range(max_retries + 1):
+        v = latest_version(spark, root)
+        if v is None:
+            merged = incoming
+        else:
+            existing = read_snapshot(spark, root, v)
+            if do_update:
+                merged = (existing.join(incoming, keys, "left_anti")
+                          .unionByName(incoming))
+            else:
+                merged = existing.unionByName(
+                    incoming.join(existing, keys, "left_anti"))
+        try:
+            return commit_version(merged, root, base_version=v)
+        except ConcurrentWriterError as e:   # includes StaleBaseError
+            last_err = e
+            if attempt < max_retries:
+                time.sleep(0.05 * (2 ** attempt) * (0.5 + random.random()))
+    raise last_err  # type: ignore[misc]
 
 
 def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
@@ -176,19 +230,41 @@ def diff_versions(spark: SparkSession, root: str, v_old: int, v_new: int,
     from version v_old to v_new by applying this feed). Unchanged
     rows are filtered before materialization, so output is O(churn).
 
-    Non-key columns are compared null-safely (`<=>`); the result
-    carries every non-key column twice (old_/new_ prefixes)."""
-    old = read_snapshot(spark, root, v_old).alias("o")
-    new = read_snapshot(spark, root, v_new).alias("n")
-    non_keys = [c for c in old.columns if c not in keys]
+    Key columns are joined null-safely (`<=>`) and side presence is
+    derived from literal marker columns, so a row with a NULL key
+    value is still classified correctly (a plain-equality join would
+    report it simultaneously 'added' and 'removed'). Non-key columns
+    are compared null-safely too; the result carries every non-key
+    column twice (old_/new_ prefixes). Schemas of the two snapshots
+    must match by column name — a dropped or renamed column raises a
+    clear error up front instead of an opaque AnalysisException from
+    the join."""
     from pyspark.sql import functions as F
+    old = read_snapshot(spark, root, v_old)
+    new = read_snapshot(spark, root, v_new)
+    missing = [k for k in keys if k not in old.columns or k not in new.columns]
+    if missing:
+        raise ValueError(
+            f"diff_versions: key column(s) {missing} absent from "
+            f"v{v_old} columns {old.columns} / v{v_new} columns {new.columns}")
+    if set(old.columns) != set(new.columns):
+        only_old = sorted(set(old.columns) - set(new.columns))
+        only_new = sorted(set(new.columns) - set(old.columns))
+        raise ValueError(
+            f"diff_versions: snapshot schemas differ — columns only in "
+            f"v{v_old}: {only_old}; only in v{v_new}: {only_new}. Diff "
+            f"requires matching column sets (project first to compare).")
+    old = old.withColumn("__old_present", F.lit(True)).alias("o")
+    new = new.withColumn("__new_present", F.lit(True)).alias("n")
+    non_keys = [c for c in old.columns
+                if c not in keys and c != "__old_present"]
     cond = None
     for k in keys:
-        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = c if cond is None else (cond & c)
     j = old.join(new, cond, "full_outer")
-    old_present = F.col(f"o.{keys[0]}").isNotNull()
-    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    old_present = F.col("o.__old_present").isNotNull()
+    new_present = F.col("n.__new_present").isNotNull()
     changed = None
     for c in non_keys:
         d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
