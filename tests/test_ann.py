@@ -87,3 +87,45 @@ def test_pq_rerank_recall_vs_brute_force(spark):
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
     for r in got:
         assert abs(r.exact_dist - round(d2(vecs[r.vec_id]), 6)) < 1e-9
+
+
+def test_ann_recall_report_floors_at_bench_scale(spark):
+    """VERDICT r5 item 2 done-criterion: the registered recall report,
+    run at the BENCH scale (sf0.1, 5000 vectors), must show IVF and
+    PQ clearing their recall floors, every candidate set genuinely
+    sub-corpus (the whole point of an index), and the recall column
+    arithmetically consistent with its own hit counts. Deterministic:
+    all three variants are exact integer/fixed-arithmetic pipelines."""
+    from transcript_analysis_spark.plans import all_queries
+    rows = {r.variant: r for r in
+            all_queries()["ann_recall_report"].fn(
+                spark, "/root/testdata/sf0.1").collect()}
+    assert set(rows) == {"rp_lsh_bucket", "ivf_nprobe2", "pq_adc_rerank"}
+    n_corpus = (spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet").count() - 1)
+    for r in rows.values():
+        assert r.k == 10
+        assert 0 < r.n_candidates < n_corpus / 5, (
+            f"{r.variant} candidate set is not sub-corpus: "
+            f"{r.n_candidates}/{n_corpus}")
+        assert r.recall_at_k == r.n_hits / 10
+    assert rows["ivf_nprobe2"].recall_at_k >= 0.2
+    assert rows["pq_adc_rerank"].recall_at_k >= 0.5
+
+
+def test_mllib_lsh_recall_floor_vs_brute_force(spark):
+    """The MLlib LSH variant cannot join the oracle-checked report
+    (seeded JVM RNG is not SQL-reproducible), so its recall evidence
+    lives here, against the same brute-force ground truth."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.collect()
+    q = [float(x) for x in next(r for r in rows if r.vec_id == 0).embedding]
+    brute = sorted((r for r in rows if r.vec_id != 0),
+                   key=lambda r: (math.sqrt(sum(
+                       (float(a) - b) ** 2
+                       for a, b in zip(r.embedding, q))), r.vec_id))[:10]
+    got = approx_nearest_neighbors(emb.filter(F.col("vec_id") != 0), q,
+                                   k=10, bucket_length=4.0, num_tables=5)
+    recall = len({r.vec_id for r in got.collect()}
+                 & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.6, f"MLlib LSH recall collapsed: {recall}"

@@ -1879,3 +1879,299 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label", "approx_dist",
                     F.round(F.expr(exact), 6).alias("exact_dist"))
             .orderBy("exact_dist", "vec_id").limit(10))
+
+
+ANN_K = 10
+
+_DUCK_L2 = ("ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(generate_series(1, CAST(len({a}) AS BIGINT)), "
+            "d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))), "
+            "(acc, x) -> acc + x), 6)")
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             {_DUCK_COS.format(a='e.v', b='q.qv', d=6)} AS cosine,
+             {_DUCK_L2.format(a='e.v', b='q.qv')} AS l2
+      FROM emb e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    gt_cos AS (SELECT vec_id FROM scored
+               ORDER BY cosine DESC, vec_id LIMIT {ANN_K}),
+    gt_l2 AS (SELECT vec_id FROM scored ORDER BY l2, vec_id LIMIT {ANN_K}),
+    proj AS (
+      SELECT vec_id,
+             p.j,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(len(v) AS BIGINT)),
+                 d -> v[d] * (CAST(((p.j * 64 + d) * 2654435761) % 1000 AS DOUBLE)
+                              / 500.0 - 1.0))),
+               (a, b) -> a + b) AS dot
+      FROM emb CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    cand_rp AS (
+      SELECT b.vec_id FROM buckets b CROSS JOIN qb
+      WHERE b.bucket = qb.qbucket AND b.vec_id <> 0
+    ),
+    rp_top AS (
+      SELECT s.vec_id FROM cand_rp c JOIN scored s USING (vec_id)
+      ORDER BY s.cosine DESC, s.vec_id LIMIT {ANN_K}
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id % 53 = 1
+    ),
+    top_cents AS (
+      SELECT cent_id FROM cents CROSS JOIN q
+      ORDER BY {_DUCK_COS.format(a='cv', b='qv', d=9)} DESC, cent_id
+      LIMIT 2
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DUCK_COS.format(a='e.v', b='c.cv', d=9)} DESC,
+                        c.cent_id) AS rk
+      FROM emb e CROSS JOIN cents c
+    ),
+    cand_ivf AS (
+      SELECT vec_id FROM assign
+      WHERE rk = 1 AND vec_id <> 0
+        AND cent_id IN (SELECT cent_id FROM top_cents)
+    ),
+    ivf_top AS (
+      SELECT s.vec_id FROM cand_ivf c JOIN scored s USING (vec_id)
+      ORDER BY s.cosine DESC, s.vec_id LIMIT {ANN_K}
+    ),
+    seeds AS (
+      SELECT vec_id AS code, v AS sv FROM emb ORDER BY vec_id LIMIT 4
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    cb AS (
+      SELECT s, code, sv[8*s+1 : 8*s+8] AS c
+      FROM seeds CROSS JOIN subs
+    ),
+    dqt AS (
+      SELECT s, code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 8),
+                 t -> (qv[8*s+t] - c[t]) * (qv[8*s+t] - c[t]))),
+               (acc, x) -> acc + x) AS dq
+      FROM cb CROSS JOIN q
+    ),
+    enc AS (
+      SELECT e.vec_id, cb.s, cb.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 8),
+                 t -> (e.v[8*cb.s+t] - cb.c[t]) * (e.v[8*cb.s+t] - cb.c[t]))),
+               (acc, x) -> acc + x) AS dv
+      FROM emb e CROSS JOIN cb WHERE e.vec_id <> 0
+    ),
+    enc_win AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, s ORDER BY dv, code) AS rn
+      FROM enc
+    ),
+    adc AS (
+      SELECT w.vec_id, w.s, d.dq
+      FROM enc_win w JOIN dqt d ON w.s = d.s AND w.code = d.code
+      WHERE w.rn = 1
+    ),
+    adc_per AS (
+      SELECT vec_id,
+             MAX(CASE WHEN s = 0 THEN dq END) AS d0,
+             MAX(CASE WHEN s = 1 THEN dq END) AS d1,
+             MAX(CASE WHEN s = 2 THEN dq END) AS d2,
+             MAX(CASE WHEN s = 3 THEN dq END) AS d3,
+             MAX(CASE WHEN s = 4 THEN dq END) AS d4,
+             MAX(CASE WHEN s = 5 THEN dq END) AS d5,
+             MAX(CASE WHEN s = 6 THEN dq END) AS d6,
+             MAX(CASE WHEN s = 7 THEN dq END) AS d7
+      FROM adc GROUP BY vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id FROM adc_per
+      ORDER BY ROUND(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6), vec_id
+      LIMIT 100
+    ),
+    pq_top AS (
+      SELECT s.vec_id FROM shortlist c JOIN scored s USING (vec_id)
+      ORDER BY s.l2, s.vec_id LIMIT {ANN_K}
+    ),
+    report AS (
+      SELECT 'rp_lsh_bucket' AS variant, 'cosine' AS metric,
+             CAST((SELECT COUNT(*) FROM cand_rp) AS BIGINT)
+               AS n_candidates,
+             CAST((SELECT COUNT(*) FROM rp_top t
+                   JOIN gt_cos g USING (vec_id)) AS BIGINT) AS n_hits
+      UNION ALL
+      SELECT 'ivf_nprobe2', 'cosine',
+             CAST((SELECT COUNT(*) FROM cand_ivf) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM ivf_top t
+                   JOIN gt_cos g USING (vec_id)) AS BIGINT)
+      UNION ALL
+      SELECT 'pq_adc_rerank', 'l2',
+             CAST((SELECT COUNT(*) FROM shortlist) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM pq_top t
+                   JOIN gt_l2 g USING (vec_id)) AS BIGINT)
+    )
+    SELECT variant, metric, CAST({ANN_K} AS BIGINT) AS k,
+           n_candidates, n_hits,
+           {duck_round_ratio('n_hits', str(ANN_K), 6)} AS recall_at_k
+    FROM report
+    """,
+    tags=("similarity", "ann", "X15", "report"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evidence for every SQL-derivable ANN index variant —
+    the report a user needs to CHOOSE an index (reference parity: its
+    production retrieval is a pgvector HNSW cosine index,
+    setup_vector_db.py:147-155, picked without published recall; this
+    engine instead publishes the tradeoff). One row per variant:
+    candidate-set size (the cost proxy — how much of the corpus the
+    probe touches) and recall@{ANN_K} against the metric-matched
+    brute-force ground truth (cosine for the LSH/IVF retrieval paths,
+    L2 for PQ — mixing metrics would conflate index quality with
+    metric mismatch).
+
+    Variants: `rp_lsh_bucket` (candidates = the query's 8-bit
+    random-projection bucket, exact cosine within), `ivf_nprobe2`
+    (top-2 centroid buckets, exact cosine within — exactly
+    `ivf_topk_probe`'s pipeline), `pq_adc_rerank` (ADC top-100
+    shortlist re-ranked by exact L2 — exactly `pq_topk_adc`'s). The
+    seeded MLlib LSH variant cannot appear here (JVM RNG is not
+    SQL-reproducible); its recall floor is pinned against the same
+    brute force in tests/test_ann.py.
+
+    All recall arithmetic is exact integers (hit counts vs a
+    deterministically tie-broken ground-truth set; the ratio goes
+    through the shared half-up integer rounding), so the report
+    itself is oracle-checked — the numbers are evidence, not
+    estimates. At 100 TB every branch keeps its source query's plan
+    shape (broadcast codebooks/centroids/query, TakeOrdered heads,
+    bounded windows); the ground-truth brute-force scan is the one
+    deliberately exhaustive branch, which is the point of an offline
+    recall audit."""
+    from pyspark.sql.window import Window
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    l2 = ("round(aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+          " 0D, (acc, t) -> acc + t), 6)")
+    scored = (e.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(q))
+              .select("vec_id",
+                      F.expr(_spark_cos("v", "qv", 6)).alias("cosine"),
+                      F.expr(l2).alias("l2")))
+    gt_cos = (scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+              .limit(ANN_K).select("vec_id"))
+    gt_l2 = (scored.orderBy(F.asc("l2"), F.asc("vec_id"))
+             .limit(ANN_K).select("vec_id"))
+
+    # RP-LSH: same bucket fold as embedding_rp_lsh_buckets, for all
+    # vectors including the query
+    planes = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    pdot = ("aggregate(transform(sequence(1, size(v)),"
+            " d -> element_at(v, d)"
+            "      * (cast(((j * 64 + d) * 2654435761) % 1000 as double)"
+            "         / 500.0 - 1.0)),"
+            " 0D, (a, b) -> a + b)")
+    buckets = (e.crossJoin(F.broadcast(planes))
+               .select("vec_id", "j", F.expr(pdot).alias("dot"))
+               .groupBy("vec_id")
+               .agg(F.sum(F.when(F.col("dot") > 0,
+                                 F.pow(F.lit(2), F.col("j")).cast("long"))
+                          .otherwise(F.lit(0))).cast("long").alias("bucket")))
+    qb = (buckets.filter(F.col("vec_id") == 0)
+          .select(F.col("bucket").alias("qbucket")))
+    cand_rp = (buckets.filter(F.col("vec_id") != 0)
+               .crossJoin(F.broadcast(qb))
+               .filter(F.col("bucket") == F.col("qbucket"))
+               .select("vec_id"))
+    rp_top = (cand_rp.join(scored, "vec_id")
+              .orderBy(F.desc("cosine"), F.asc("vec_id"))
+              .limit(ANN_K).select("vec_id"))
+
+    # IVF: same probe as ivf_topk_probe
+    cents = (e.filter(F.col("vec_id") % 53 == 1)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cv")))
+    top_cents = (cents.crossJoin(F.broadcast(q))
+                 .select("cent_id",
+                         F.expr(_spark_cos("cv", "qv", 9)).alias("cos_qc"))
+                 .orderBy(F.desc("cos_qc"), F.asc("cent_id"))
+                 .limit(2).select("cent_id"))
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_vc"), F.asc("cent_id"))
+    cand_ivf = (e.crossJoin(F.broadcast(cents))
+                .withColumn("cos_vc", F.expr(_spark_cos("v", "cv", 9)))
+                .withColumn("rk", F.row_number().over(wv))
+                .filter((F.col("rk") == 1) & (F.col("vec_id") != 0))
+                .join(F.broadcast(top_cents), "cent_id")
+                .select("vec_id"))
+    ivf_top = (cand_ivf.join(scored, "vec_id")
+               .orderBy(F.desc("cosine"), F.asc("vec_id"))
+               .limit(ANN_K).select("vec_id"))
+
+    # PQ: same codebook/ADC shortlist as pq_topk_adc
+    seeds = (e.orderBy("vec_id").limit(4)
+             .select(F.col("vec_id").alias("code"), F.col("v").alias("sv")))
+    subs = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    cb = (seeds.crossJoin(F.broadcast(subs))
+          .select("s", "code", F.expr("slice(sv, 8*s+1, 8)").alias("c")))
+
+    def subdist(vec: str) -> str:
+        return (f"aggregate(zip_with(slice({vec}, 8*s+1, 8), c,"
+                f" (x, y) -> (x - y) * (x - y)),"
+                f" 0D, (acc, t) -> acc + t)")
+
+    dqt = (cb.crossJoin(F.broadcast(q))
+           .select("s", "code", F.expr(subdist("qv")).alias("dq")))
+    wp = Window.partitionBy("vec_id", "s").orderBy("dv", "code")
+    enc = (e.filter(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(cb))
+           .select("vec_id", "s", "code", F.expr(subdist("v")).alias("dv"))
+           .withColumn("rn", F.row_number().over(wp))
+           .filter(F.col("rn") == 1))
+    adc = enc.join(F.broadcast(dqt), ["s", "code"])
+    per = adc.groupBy("vec_id").agg(
+        *[F.max(F.when(F.col("s") == i, F.col("dq"))).alias(f"d{i}")
+          for i in range(8)])
+    total = sum((F.col(f"d{i}") for i in range(1, 8)), F.col("d0"))
+    shortlist = (per.select("vec_id", F.round(total, 6).alias("approx_dist"))
+                 .orderBy("approx_dist", "vec_id").limit(100)
+                 .select("vec_id"))
+    pq_top = (shortlist.join(scored, "vec_id")
+              .orderBy(F.asc("l2"), F.asc("vec_id"))
+              .limit(ANN_K).select("vec_id"))
+
+    def report_row(variant: str, metric: str, cand: DataFrame,
+                   top: DataFrame, gt: DataFrame) -> DataFrame:
+        ncand = cand.agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_candidates"))
+        nhits = (top.join(gt, "vec_id")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        return (ncand.crossJoin(nhits)
+                .select(F.lit(variant).alias("variant"),
+                        F.lit(metric).alias("metric"),
+                        F.lit(ANN_K).cast("long").alias("k"),
+                        "n_candidates", "n_hits",
+                        spark_round_ratio("n_hits", str(ANN_K), 6)
+                        .alias("recall_at_k")))
+
+    return (report_row("rp_lsh_bucket", "cosine", cand_rp, rp_top, gt_cos)
+            .unionByName(report_row("ivf_nprobe2", "cosine",
+                                    cand_ivf, ivf_top, gt_cos))
+            .unionByName(report_row("pq_adc_rerank", "l2",
+                                    shortlist, pq_top, gt_l2)))
