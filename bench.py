@@ -35,10 +35,17 @@ def main() -> None:
     queries = {name: q for name, q in all_queries().items() if q.headline}
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
+        # Isolate queries from each other's heap garbage: with 20+
+        # headliners in one JVM, later queries inherit the earlier
+        # ones' GC debt (r4->r5 analysis: ngram_model_score drifted
+        # +13% on an unchanged plan purely from session pressure as
+        # the headline count grew 13->21). One full GC between
+        # queries restores a comparable starting heap.
+        spark._jvm.System.gc()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache OS pages)
         best = None
-        for _ in range(3):  # min-of-3 steady-state runs (shields the
+        for _ in range(5):  # min-of-5 steady-state runs (shields the
             t0 = time.time()  # metric from one-off system contention;
             # r2->r3 analysis showed single-query wall time swinging
             # 3.1-9.1s under ambient load on an unchanged plan)

@@ -1,0 +1,46 @@
+"""The bench regression gate (tools/release_check.py step 4)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "release_check",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "release_check.py"))
+release_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and release_check)
+
+
+def test_gate_flags_25pct_drift_on_slow_queries():
+    prev = {"ngram_model_score": 2.518, "islands_flagship": 2.0}
+    cur = {"ngram_model_score": 3.2, "islands_flagship": 2.1}
+    v = release_check.bench_regressions(cur, prev)
+    assert len(v) == 1 and v[0].startswith("ngram_model_score")
+    # the intentionally-failed dry run the r5 verdict asked for: the
+    # actual r4->r5 drift (2.518 -> 2.855, +13%) stays under the 25%
+    # gate, but a 2.518 -> 3.2 (+27%) drift trips it
+    assert release_check.bench_regressions(
+        {"ngram_model_score": 2.855}, {"ngram_model_score": 2.518}) == []
+
+
+def test_gate_exempts_new_and_subnoise_queries():
+    prev = {"fast_q": 0.2, "old_q": 1.0}
+    cur = {"fast_q": 0.45, "brand_new_q": 9.9, "old_q": 1.1}
+    assert release_check.bench_regressions(cur, prev) == []
+
+
+def test_latest_recorded_bench_reads_highest_round():
+    name, queries = release_check.latest_recorded_bench()
+    assert name.startswith("BENCH_r")
+    assert queries and all(isinstance(v, float) for v in queries.values())
+    # highest recorded round wins (r5 ships with the repo)
+    import glob
+    import re
+    rounds = sorted(int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+                    for p in glob.glob(os.path.join(
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))), "BENCH_r*.json")))
+    assert name == f"BENCH_r{rounds[-1]:02d}.json" or \
+        name == f"BENCH_r{rounds[-1]}.json"

@@ -5,9 +5,14 @@ order, with a single PASS/FAIL verdict:
    queries()/oracle_sql() counts line up;
 2. oracle sweep: every registered query vs its DuckDB oracle at the
    given scale factor (tools/check_correctness.py);
-3. bench: headline wall times (bench.py), printed for the record.
+3. bench: headline wall times (bench.py), printed for the record;
+4. bench regression gate: each headline query compared against the
+   most recent recorded BENCH_r*.json — >25% slower on a query that
+   took >=0.5 s fails the gate (the r4->r5 ngram_model_score drift
+   would have been caught at commit time). New queries pass
+   automatically; sub-0.5 s queries are exempt (pure noise regime).
 
-Usage: python tools/release_check.py [sf_dir]
+Usage: python tools/release_check.py [sf_dir] [--no-bench-gate]
 (default /root/testdata/sf0.01; bench always runs at
 $SPARK_GRAFT_SF_DIR or its sf0.1 default).
 Exit code 0 = releasable.
@@ -15,15 +20,60 @@ Exit code 0 = releasable.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+BENCH_DRIFT_TOLERANCE = 0.25   # fail a query >25% slower than last round
+BENCH_GATE_FLOOR_SEC = 0.5     # ignore sub-noise-floor queries
+
+
+def latest_recorded_bench() -> tuple[str, dict[str, float]] | None:
+    """(filename, per-query seconds) of the highest-round
+    BENCH_r*.json at the repo root, or None if none recorded yet."""
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, path)
+    if best is None:
+        return None
+    try:
+        data = json.loads(open(best[1]).read())
+        # the driver wraps bench.py's JSON line under "parsed"; accept
+        # both that shape and a raw bench.py line saved directly
+        inner = data.get("parsed", data)
+        return os.path.basename(best[1]), dict(inner.get("queries", {}))
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def bench_regressions(current: dict[str, float],
+                      previous: dict[str, float]) -> list[str]:
+    """Human-readable violation list: queries >=BENCH_GATE_FLOOR_SEC
+    that drifted more than BENCH_DRIFT_TOLERANCE past last round."""
+    out = []
+    for name, now in sorted(current.items()):
+        then = previous.get(name)
+        if then is None or then < BENCH_GATE_FLOOR_SEC:
+            continue
+        if now > then * (1.0 + BENCH_DRIFT_TOLERANCE):
+            out.append(f"{name}: {then:.3f}s -> {now:.3f}s "
+                       f"(+{(now / then - 1) * 100:.0f}%)")
+    return out
+
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--no-bench-gate"]
+    gate_enabled = "--no-bench-gate" not in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     env = dict(os.environ, PYTHONPATH=ROOT)
     failures = []
 
@@ -34,12 +84,12 @@ def main() -> None:
     import __spark_entry__ as e
     n_rows = e.entry(spark).count()
     nq, no = len(e.queries()), len(e.oracle_sql())
-    print(f"[1/3] entry smoke: rows={n_rows} queries={nq} oracles={no}")
+    print(f"[1/4] entry smoke: rows={n_rows} queries={nq} oracles={no}")
     if n_rows <= 0 or no > nq:
         failures.append("entry smoke")
     spark.stop()
 
-    print(f"[2/3] oracle sweep at {sf_dir} ...")
+    print(f"[2/4] oracle sweep at {sf_dir} ...")
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools/check_correctness.py"),
          sf_dir], env=env, capture_output=True, text=True)
@@ -48,7 +98,7 @@ def main() -> None:
     if r.returncode != 0:
         failures.append("oracle sweep")
 
-    print("[3/3] bench ...")
+    print("[3/4] bench ...")
     b = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        env=env, capture_output=True, text=True)
     bench_lines = [ln for ln in b.stdout.splitlines()
@@ -56,6 +106,29 @@ def main() -> None:
     print(bench_lines[-1] if bench_lines else "(no bench output)")
     if b.returncode != 0 or not bench_lines:
         failures.append("bench")
+
+    print("[4/4] bench regression gate ...")
+    prev = latest_recorded_bench()
+    if not gate_enabled:
+        print("  (disabled via --no-bench-gate)")
+    elif not bench_lines:
+        print("  (skipped: no bench output)")
+    elif prev is None:
+        print("  (skipped: no recorded BENCH_r*.json baseline)")
+    else:
+        baseline_name, prev_q = prev
+        cur_q = json.loads(bench_lines[-1]).get("queries", {})
+        violations = bench_regressions(cur_q, prev_q)
+        if violations:
+            print(f"  REGRESSIONS vs {baseline_name} "
+                  f"(> {BENCH_DRIFT_TOLERANCE:.0%} on >= "
+                  f"{BENCH_GATE_FLOOR_SEC}s queries):")
+            for v in violations:
+                print(f"    {v}")
+            failures.append("bench regression gate")
+        else:
+            print(f"  OK vs {baseline_name}: no query drifted "
+                  f"> {BENCH_DRIFT_TOLERANCE:.0%}")
 
     if failures:
         print(f"RELEASE CHECK FAILED: {failures}")
