@@ -138,6 +138,80 @@ def test_pickled_model_import_roundtrip(spark, tmp_path):
     _roundtrip_scores_match(spark, table, model, docs)
 
 
+# --- smoothing modes (VERDICT r5 item 5) --------------------------------
+
+def test_lidstone_smoothing_probabilities_and_floor():
+    """Lidstone (c+g)/(denom+g*V) with V = unigram vocabulary, and
+    the unknown-word floor g/(total+g*V) — the NLTK Lidstone family
+    contract an imported model may carry."""
+    corpus = [["a", "b", "c"], ["a", "b", "d"]]
+    m = NGramModel.train(corpus, n=2, smoothing="lidstone", gamma=0.5)
+    v = 4                                  # {a,b,c,d}
+    # P(b|a) = (2+0.5)/(2+0.5*4)
+    assert m.score("b", ("a",)) == round(math.log10(2.5 / 4.0), 9)
+    # unseen bigram -> alpha * lidstone unigram (a: 2 of 6 tokens)
+    exp = round(round(math.log10((2 + 0.5) / (6 + 0.5 * v)), 9)
+                + math.log10(0.4), 9)
+    assert m.score("a", ("c",)) == exp
+    # fully unseen word -> raw unknown mass, flat (no alpha)
+    assert m.score("zzz", ("a",)) == round(math.log10(0.5 / 8.0), 9)
+    assert m.floor == round(math.log10(0.5 / 8.0), 9)
+
+
+def test_absolute_discount_smoothing():
+    corpus = [["a", "b", "c"], ["a", "b", "d"]]
+    m = NGramModel.train(corpus, n=2, smoothing="absolute", discount=0.75)
+    # P(b|a) = (2-0.75)/2 ; singleton P(c|b) = (1-0.75)/2
+    assert m.score("b", ("a",)) == round(math.log10(1.25 / 2), 9)
+    assert m.score("c", ("b",)) == round(math.log10(0.25 / 2), 9)
+    # discounting never produces non-positive probabilities
+    assert all(lp < 0 or lp == 0.0 for lp in m.logprobs.values())
+    # unseen word: reference floor unchanged for non-lidstone modes
+    assert m.score("zzz", ("a",)) == -7.0
+    import pytest
+    with pytest.raises(ValueError):
+        NGramModel.train(corpus, smoothing="kneser-ney")
+
+
+def test_smoothed_model_import_roundtrip(spark, tmp_path):
+    """The r5-verdict done-criterion: train-with-smoothing must equal
+    the scored IMPORT of the equivalent table — so NLTK-style models
+    trained under Lidstone and in-engine training meet at the same
+    numbers. The floor travels with the model object; the table path
+    receives it explicitly (tables carry only observed grams)."""
+    from transcript_analysis_spark.operators.scoring import \
+        score_with_ngram_table
+    from transcript_analysis_spark.sources import model_import as mi
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(15)
+    model = NGramModel.train(
+        [r.text.split(" ") for r in docs.limit(8).collect()],
+        smoothing="lidstone", gamma=0.5)
+    blob = str(tmp_path / "model.pkl")
+    out = str(tmp_path / "model_table.parquet")
+    mi.export_model_pickle(model, blob)
+    mi.import_pickled_model(blob, model_id=11, out_path=out)
+    table = mi.load_model_table(spark, out, model_id=11)
+    via_table = {r.doc_id: r.score for r in
+                 score_with_ngram_table(docs, table,
+                                        floor=model.floor).collect()}
+    via_bcast = {r.doc_id: r.score for r in
+                 score_with_broadcast_model(docs, model).collect()}
+    assert via_table == via_bcast
+    # absolute-discount mode round-trips through the same path
+    m2 = NGramModel.train(
+        [r.text.split(" ") for r in docs.limit(8).collect()],
+        smoothing="absolute")
+    mi.export_model_pickle(m2, str(tmp_path / "m2.pkl"))
+    mi.import_pickled_model(str(tmp_path / "m2.pkl"), model_id=12,
+                            out_path=str(tmp_path / "t2.parquet"))
+    t2 = mi.load_model_table(spark, str(tmp_path / "t2.parquet"),
+                             model_id=12)
+    assert ({r.doc_id: r.score
+             for r in score_with_ngram_table(docs, t2).collect()} ==
+            {r.doc_id: r.score
+             for r in score_with_broadcast_model(docs, m2).collect()})
+
+
 def test_arpa_model_import_roundtrip(spark, tmp_path):
     from transcript_analysis_spark.sources import model_import as mi
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(15)

@@ -37,34 +37,74 @@ class NGramModel:
     """Picklable n-gram model: ngram-tuple -> logprob, with
     stupid-backoff scoring. The broadcast-able stand-in for the
     reference's 480 MB pickled NLTK LM (`model_table.model_data`,
-    `sql/schema.sql:85-90`)."""
+    `sql/schema.sql:85-90`).
 
-    def __init__(self, logprobs: dict[tuple[str, ...], float]):
+    `floor` is the all-orders-missed score: FLOOR_LOGPROB for MLE /
+    absolute-discount training (the reference contract), or the
+    smoothing's own unknown-word mass for Lidstone — flat, with no
+    backoff penalty (the alpha penalty models backing off between
+    OBSERVED orders; an unseen word never entered any order)."""
+
+    def __init__(self, logprobs: dict[tuple[str, ...], float],
+                 floor: float = FLOOR_LOGPROB):
         self.logprobs = logprobs
+        self.floor = floor
 
     @classmethod
-    def train(cls, corpus: list[list[str]], n: int = N_GRAM_SIZE) -> "NGramModel":
-        """MLE counts for orders 1..n with left-padding, log10 probs."""
+    def train(cls, corpus: list[list[str]], n: int = N_GRAM_SIZE,
+              smoothing: str = "mle", gamma: float = 0.5,
+              discount: float = 0.75) -> "NGramModel":
+        """Counts for orders 1..n with left-padding, log10 probs.
+
+        `smoothing` selects the probability estimate — the knob the
+        reference's pickled NLTK LMs bake in at training time
+        (`client/async_processing_client.py:177-179`), so imported
+        models and in-engine training can be made to MATCH
+        (round-trip-tested in tests/test_sinks_scoring_external.py):
+
+        - "mle":      c / denom (the SURVEY §7.3 default contract);
+        - "lidstone": (c + gamma) / (denom + gamma * V) with V the
+          unigram vocabulary size (NLTK Lidstone/Laplace family;
+          gamma=1 is Laplace). Sets `floor` to the unknown mass
+          log10(gamma / (total + gamma * V));
+        - "absolute": (c - discount) / denom for every observed gram
+          (0 < discount < 1, so counts of 1 keep positive mass); the
+          freed mass is served by the existing stupid-backoff chain
+          rather than an interpolated lower-order term.
+        """
+        if smoothing not in ("mle", "lidstone", "absolute"):
+            raise ValueError(f"unknown smoothing: {smoothing!r}")
         counts: dict[tuple[str, ...], int] = {}
         ctx_counts: dict[tuple[str, ...], int] = {}
         total = 0
+        vocab: set[str] = set()
         for words in corpus:
             padded = [PAD_TOKEN] * (n - 1) + words
             total += len(words)
+            vocab.update(words)
             for order in range(1, n + 1):
                 for i in range(n - 1, len(padded)):
                     gram = tuple(padded[i - order + 1:i + 1])
                     counts[gram] = counts.get(gram, 0) + 1
                     ctx_counts[gram[:-1]] = ctx_counts.get(gram[:-1], 0) + 1
         logprobs = {}
+        v = len(vocab)
         for gram, c in counts.items():
             denom = ctx_counts[gram[:-1]] if gram[:-1] else total
-            logprobs[gram] = round(math.log10(c / denom), 9)
-        return cls(logprobs)
+            if smoothing == "lidstone":
+                p = (c + gamma) / (denom + gamma * v)
+            elif smoothing == "absolute":
+                p = (c - discount) / denom
+            else:
+                p = c / denom
+            logprobs[gram] = round(math.log10(p), 9)
+        floor = (round(math.log10(gamma / (total + gamma * v)), 9)
+                 if smoothing == "lidstone" else FLOOR_LOGPROB)
+        return cls(logprobs, floor=floor)
 
     def score(self, word: str, context: tuple[str, ...]) -> float:
         """Stupid-backoff: try (ctx, word), back off to shorter
-        contexts with an alpha penalty, floor at FLOOR_LOGPROB."""
+        contexts with an alpha penalty, floor at `self.floor`."""
         penalty = 0.0
         for start in range(len(context) + 1):
             gram = tuple(context[start:]) + (word,)
@@ -72,7 +112,7 @@ class NGramModel:
             if lp is not None:
                 return round(lp + penalty, 9)
             penalty += math.log10(BACKOFF_ALPHA)
-        return FLOOR_LOGPROB
+        return getattr(self, "floor", FLOOR_LOGPROB)
 
     def score_words(self, words: list[str], n: int = N_GRAM_SIZE) -> list[float]:
         """Per-word score array — one score per word, context = the
@@ -105,7 +145,8 @@ def score_with_ngram_table(docs: DataFrame, table: DataFrame,
                            text_col: str = "text",
                            id_col: str = "doc_id",
                            n: int = N_GRAM_SIZE,
-                           out_col: str = "score") -> DataFrame:
+                           out_col: str = "score",
+                           floor: float = FLOOR_LOGPROB) -> DataFrame:
     """Option A scoring: explode per-word n-gram keys, LEFT JOIN the
     model table once per back-off order, coalesce down the chain with
     accumulated alpha penalties, reassemble the per-word score array
@@ -146,7 +187,7 @@ def score_with_ngram_table(docs: DataFrame, table: DataFrame,
                F.round(F.col(f"lp{k}") + F.lit(penalties[n - k]), 9))
         for k in range(n, 0, -1)
     ]
-    score = F.coalesce(*branches, F.lit(FLOOR_LOGPROB))
+    score = F.coalesce(*branches, F.lit(floor))
     scored = joined.select(id_col, "pos", score.alias("s"))
     return (scored.groupBy(id_col)
             .agg(F.expr("transform(array_sort(collect_list(struct(pos, s))),"

@@ -332,6 +332,149 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_ngrams")))
 
 
+LIDSTONE_GAMMA = 0.5    # exactly representable in binary — both
+                        # engines form bit-identical (c + 0.5) and
+                        # (denom + 0.5 * V) doubles before log10
+
+
+@register(
+    "lidstone_model_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             unnest(string_split(d.text, ' '))                 AS word,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+      FROM documents d
+    ),
+    bi AS (
+      SELECT t1.doc_id, t1.source, t1.pos, t1.word AS w1, t2.word AS w2
+      FROM tok t1
+      JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    ),
+    c2 AS (
+      SELECT source AS model_source, w1, w2, COUNT(*) AS cnt2
+      FROM bi GROUP BY source, w1, w2
+    ),
+    c1 AS (
+      SELECT model_source, w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1
+      FROM c2 GROUP BY model_source, w1
+    ),
+    cu AS (
+      SELECT source AS model_source, word, COUNT(*) AS cntu
+      FROM tok GROUP BY source, word
+    ),
+    tot AS (
+      SELECT model_source, CAST(SUM(cntu) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vsz
+      FROM cu GROUP BY model_source
+    ),
+    pairs AS (
+      SELECT b.doc_id, m.model_source, b.pos, b.w1, b.w2
+      FROM bi b CROSS JOIN (SELECT model_source FROM tot) m
+    ),
+    scored AS (
+      SELECT p.doc_id, p.model_source,
+             CASE
+               WHEN c2.cnt2 IS NOT NULL
+                 THEN ROUND(LOG10((CAST(c2.cnt2 AS DOUBLE) + {LIDSTONE_GAMMA})
+                            / (c1.cnt1 + {LIDSTONE_GAMMA} * t.vsz)), 9)
+               WHEN cu.cntu IS NOT NULL
+                 THEN ROUND(LOG10(CAST(0.4 AS DOUBLE)
+                            * (cu.cntu + {LIDSTONE_GAMMA})
+                            / (t.total + {LIDSTONE_GAMMA} * t.vsz)), 9)
+               ELSE ROUND(LOG10(CAST({LIDSTONE_GAMMA} AS DOUBLE)
+                          / (t.total + {LIDSTONE_GAMMA} * t.vsz)), 9)
+             END AS logp
+      FROM pairs p
+      LEFT JOIN c2 ON c2.model_source = p.model_source
+                  AND c2.w1 = p.w1 AND c2.w2 = p.w2
+      LEFT JOIN c1 ON c1.model_source = p.model_source AND c1.w1 = p.w1
+      LEFT JOIN cu ON cu.model_source = p.model_source AND cu.word = p.w2
+      JOIN tot t ON t.model_source = p.model_source
+    )
+    SELECT doc_id, model_source,
+           (CAST((CASE WHEN (SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1 + (COUNT(*)) * 1000) // (2 * (COUNT(*)) * 1000)) AS DOUBLE) / 1000000) AS avg_logprob,
+           COUNT(*)                                     AS n_ngrams
+    FROM scored
+    GROUP BY doc_id, model_source
+    """,
+    tags=("W2", "F1", "smoothing"),
+)
+def lidstone_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ngram_model_score` under Lidstone additive smoothing — the
+    smoothing-mode contract that lets in-engine training match
+    imported NLTK-style models (the reference's pickles bake the
+    smoothing in at training time,
+    `client/async_processing_client.py:177-179`; the engine makes it
+    a declared mode, round-trip-tested against
+    `NGramModel.train(smoothing='lidstone')`).
+
+    Estimates: bigram (c+g)/(denom + g*V), backed off (alpha 0.4) to
+    Lidstone unigrams, with unseen words scoring the raw unknown mass
+    g/(total + g*V) — flat, no backoff penalty (the penalty models
+    backing off between OBSERVED orders). g = {LIDSTONE_GAMMA}
+    (binary-exact, so both engines round identical doubles at 9dp).
+    Plan shape is identical to ngram_model_score: count tables are
+    vocab-bounded aggregates, the pair matrix never materializes
+    driver-side, averages go through the exact scaled-integer sum."""
+    docs = fanout(load_table(spark, sf_dir, "documents"))
+    g = LIDSTONE_GAMMA
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    bi = (
+        d.select(
+            "doc_id", "source",
+            F.posexplode(F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1)))
+             .alias("pos0", "z"))
+        .select("doc_id", "source",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("z")["0"].alias("w1"),
+                F.col("z")["1"].alias("w2"))
+    )
+    tok = (d.select("doc_id", "source",
+                    F.posexplode("words").alias("pos0", "word"))
+           .select("doc_id", "source", "word"))
+    c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt2")))
+    c1 = (c2.groupBy("model_source", "w1")
+            .agg(F.sum("cnt2").cast("long").alias("cnt1")))
+    cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
+             .agg(F.count(F.lit(1)).alias("cntu")))
+    tot = (cu.groupBy("model_source")
+             .agg(F.sum("cntu").cast("long").alias("total"),
+                  F.count(F.lit(1)).cast("long").alias("vsz")))
+    models = tot.select("model_source")
+    pairs = bi.select("doc_id", "pos", "w1", "w2").crossJoin(
+        F.broadcast(models))
+    scored = (
+        pairs
+        .join(c2, ["model_source", "w1", "w2"], "left")
+        .join(c1, ["model_source", "w1"], "left")
+        .join(cu.withColumnRenamed("word", "w2"),
+              ["model_source", "w2"], "left")
+        .join(F.broadcast(tot), ["model_source"])
+        .select(
+            "doc_id", "model_source",
+            F.when(F.col("cnt2").isNotNull(),
+                   F.round(F.log10((F.col("cnt2").cast("double") + g)
+                                   / (F.col("cnt1") + g * F.col("vsz"))), 9))
+             .when(F.col("cntu").isNotNull(),
+                   F.round(F.log10(F.lit(0.4) * (F.col("cntu") + g)
+                                   / (F.col("total")
+                                      + g * F.col("vsz"))), 9))
+             .otherwise(
+                 F.round(F.log10(F.lit(g) / (F.col("total")
+                                             + g * F.col("vsz"))), 9))
+             .alias("logp"))
+    )
+    return (scored.groupBy("doc_id", "model_source")
+            .agg(spark_round_ratio(
+                    "sum(cast(round(logp * 1e9, 0) as bigint))",
+                    "count(1)", 6, n_prescale=9).alias("avg_logprob"),
+                 F.count(F.lit(1)).alias("n_ngrams")))
+
+
 @register(
     "ordered_transcript_concat",
     oracle="""
