@@ -182,3 +182,17 @@ def test_explain_facade(engine):
     out = engine.explain("brand_revenue")
     assert "broadcast hash join" in out        # audit note
     assert "BroadcastHashJoin" in out          # raw plan
+
+
+def test_serve_dashboard_http_endpoint(engine):
+    import json
+    import urllib.request
+    srv = engine.serve_dashboard(ttl_sec=300)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/query/corpus_counts",
+                timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["n_rows"] >= 1 and not out["cached"]
+    finally:
+        srv.shutdown()

@@ -68,3 +68,47 @@ def test_timeout_not_raised_for_fast_query(spark):
     svc = DashboardService(spark, SF_DIR, ttl_sec=60)
     rows, _ = svc.run("corpus_counts", timeout_sec=120.0)
     assert rows
+
+
+# --- HTTP shell (stdlib http.server over DashboardService) --------------
+
+def test_http_shell_routes_and_cache(spark):
+    """The serving endpoint the reference ships (server/dashboard.py)
+    as a stdlib shell: health, query listing, rows-with-cache-flag,
+    404 on unknown names — all JSON."""
+    import json
+    import urllib.request
+
+    from transcript_analysis_spark.serving.http_shell import \
+        DashboardHTTPServer
+
+    svc = DashboardService(spark, SF_DIR, ttl_sec=300)
+    srv = DashboardHTTPServer(svc).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def get(path):
+        try:
+            with urllib.request.urlopen(f"{base}{path}", timeout=60) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        assert get("/health") == (200, {"ok": True})
+        code, listing = get("/queries")
+        names = {q["name"] for q in listing["queries"]}
+        assert code == 200 and "status_histogram" in names \
+            and len(names) >= 160
+        code, out = get("/query/status_histogram")
+        assert code == 200 and not out["cached"] and out["n_rows"] >= 1
+        assert out["rows"] and isinstance(out["rows"][0], dict)
+        code, out2 = get("/query/status_histogram")
+        assert code == 200 and out2["cached"] and out2["rows"] == out["rows"]
+        code, out3 = get("/query/status_histogram?refresh=1")
+        assert code == 200 and not out3["cached"]
+        code, err = get("/query/nope_not_registered")
+        assert code == 404 and "unknown" in err["error"]
+        code, err = get("/not/a/route")
+        assert code == 404
+    finally:
+        srv.shutdown()

@@ -485,6 +485,17 @@ class TranscriptEngine:
             DashboardService
         return DashboardService(self.spark, self.sf_dir, ttl_sec=ttl_sec)
 
+    def serve_dashboard(self, ttl_sec: float = 60.0,
+                        host: str = "127.0.0.1", port: int = 0):
+        """Start the stdlib HTTP shell over the dashboard service
+        (reference parity: `server/dashboard.py`'s endpoint). Returns
+        the started :class:`DashboardHTTPServer`; caller shuts it
+        down. port=0 binds an ephemeral port (see `.port`)."""
+        from transcript_analysis_spark.serving.http_shell import \
+            DashboardHTTPServer
+        return DashboardHTTPServer(self.dashboard(ttl_sec=ttl_sec),
+                                   host=host, port=port).start()
+
     def sql(self, query: str) -> DataFrame:
         """ANSI SQL over the registered table views — the reference's
         raw-SQL surface through Catalyst."""
