@@ -380,3 +380,75 @@ def test_delete_by_key_rejects_null_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         delete_by_key(spark, path, victims, ["k"])
     assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
+def test_kneser_ney_mass_conservation_and_query_replay(spark):
+    """Interpolated KN's defining invariant: for any seen context w1,
+    sum over the model vocabulary of P(w2|w1) is exactly 1 —
+    (c1 - D*N1fwd)/c1 + (D*N1fwd/c1) * sum(Pcont) telescopes because
+    continuation probs themselves sum to 1. Verified in pure Python
+    from the raw parquet, then the registered query's avg_logprob is
+    replayed for a sample of docs."""
+    import math
+    from collections import Counter, defaultdict
+
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.plans.domain import KN_DISCOUNT as D
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    c2: dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        w = r.text.split(" ")
+        for a, b in zip(w, w[1:]):
+            c2[r.source][(a, b)] += 1
+    for src, pairs in c2.items():
+        c1, n1fwd, n1bwd = Counter(), Counter(), Counter()
+        for (a, b), c in pairs.items():
+            c1[a] += c
+            n1fwd[a] += 1
+            n1bwd[b] += 1
+        np_ = len(pairs)
+        vocab2 = set(n1bwd)
+        w1 = max(c1, key=c1.get)          # a well-attested context
+        total = 0.0
+        for w2 in vocab2:
+            c = pairs.get((w1, w2), 0)
+            lam = D * n1fwd[w1] / c1[w1]
+            p = (max(c - D, 0.0) / c1[w1]) + lam * (n1bwd[w2] / np_)
+            total += p
+        assert abs(total - 1.0) < 1e-9, (src, total)
+
+    # replay the registered query for 5 docs x all models
+    q = all_queries()["kneser_ney_model_score"]
+    got = {(r.doc_id, r.model_source): (r.avg_logprob, r.n_ngrams)
+           for r in q.fn(spark, SF_DIR).collect()}
+    sample = rows[:5]
+    for r in sample:
+        w = r.text.split(" ")
+        bigrams = list(zip(w, w[1:]))
+        for src, pairs in c2.items():
+            c1, n1fwd, n1bwd = Counter(), Counter(), Counter()
+            for (a, b), c in pairs.items():
+                c1[a] += c
+                n1fwd[a] += 1
+                n1bwd[b] += 1
+            np_ = len(pairs)
+            logps = []
+            for a, b in bigrams:
+                if (a, b) in pairs:
+                    lam = D * n1fwd[a] / c1[a]
+                    p = ((pairs[(a, b)] - D) / c1[a]) + lam * (n1bwd[b] / np_)
+                    lp = round(math.log10(p), 9)
+                elif a in c1 and b in n1bwd:
+                    lam = D * n1fwd[a] / c1[a]
+                    lp = round(math.log10(lam * (n1bwd[b] / np_)), 9)
+                elif b in n1bwd:
+                    lp = round(math.log10(n1bwd[b] / np_), 9)
+                else:
+                    lp = -7.0
+                logps.append(lp)
+            s = sum(round(lp * 1e9) for lp in logps)
+            n = len(logps)
+            sign = -1 if s < 0 else 1
+            exp_avg = sign * ((2 * abs(s) + n * 1000) // (2 * n * 1000)) / 1e6
+            assert got[(r.doc_id, src)] == (exp_avg, n)

@@ -475,6 +475,157 @@ def lidstone_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_ngrams")))
 
 
+KN_DISCOUNT = 0.75    # binary-exact; the standard KN discount
+
+
+@register(
+    "kneser_ney_model_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             unnest(string_split(d.text, ' '))                 AS word,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+      FROM documents d
+    ),
+    bi AS (
+      SELECT t1.doc_id, t1.source, t1.pos, t1.word AS w1, t2.word AS w2
+      FROM tok t1
+      JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    ),
+    c2 AS (
+      SELECT source AS model_source, w1, w2, COUNT(*) AS cnt2
+      FROM bi GROUP BY source, w1, w2
+    ),
+    c1 AS (
+      SELECT model_source, w1,
+             CAST(SUM(cnt2) AS BIGINT) AS cnt1,
+             CAST(COUNT(*) AS BIGINT) AS n1fwd
+      FROM c2 GROUP BY model_source, w1
+    ),
+    cont AS (
+      SELECT model_source, w2, CAST(COUNT(*) AS BIGINT) AS n1bwd
+      FROM c2 GROUP BY model_source, w2
+    ),
+    npairs AS (
+      SELECT model_source, CAST(COUNT(*) AS BIGINT) AS np
+      FROM c2 GROUP BY model_source
+    ),
+    pairs AS (
+      SELECT b.doc_id, m.model_source, b.pos, b.w1, b.w2
+      FROM bi b CROSS JOIN (SELECT model_source FROM npairs) m
+    ),
+    scored AS (
+      SELECT p.doc_id, p.model_source,
+             CASE
+               WHEN c2.cnt2 IS NOT NULL
+                 THEN ROUND(LOG10(
+                   ((CAST(c2.cnt2 AS DOUBLE) - {KN_DISCOUNT}) / c1.cnt1)
+                   + (({KN_DISCOUNT} * c1.n1fwd / c1.cnt1)
+                      * (CAST(ct.n1bwd AS DOUBLE) / n.np))), 9)
+               WHEN c1.cnt1 IS NOT NULL AND ct.n1bwd IS NOT NULL
+                 THEN ROUND(LOG10(
+                   ({KN_DISCOUNT} * c1.n1fwd / c1.cnt1)
+                   * (CAST(ct.n1bwd AS DOUBLE) / n.np)), 9)
+               WHEN ct.n1bwd IS NOT NULL
+                 THEN ROUND(LOG10(CAST(ct.n1bwd AS DOUBLE) / n.np), 9)
+               ELSE CAST(-7.0 AS DOUBLE)
+             END AS logp
+      FROM pairs p
+      LEFT JOIN c2 ON c2.model_source = p.model_source
+                  AND c2.w1 = p.w1 AND c2.w2 = p.w2
+      LEFT JOIN c1 ON c1.model_source = p.model_source AND c1.w1 = p.w1
+      LEFT JOIN cont ct ON ct.model_source = p.model_source
+                       AND ct.w2 = p.w2
+      JOIN npairs n ON n.model_source = p.model_source
+    )
+    SELECT doc_id, model_source,
+           (CAST((CASE WHEN (SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) < 0 THEN -1 ELSE 1 END) * ((2 * abs(CAST((SUM(CAST(ROUND(logp * 1e9, 0) AS BIGINT))) AS BIGINT)) * 1 + (COUNT(*)) * 1000) // (2 * (COUNT(*)) * 1000)) AS DOUBLE) / 1000000) AS avg_logprob,
+           COUNT(*)                                     AS n_ngrams
+    FROM scored
+    GROUP BY doc_id, model_source
+    """,
+    tags=("W2", "F1", "smoothing"),
+)
+def kneser_ney_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    headline NLTK smoothing the reference's pickled LMs may carry,
+    `client/async_processing_client.py:177-179`) — completing the
+    smoothing-parity trio (MLE+stupid-backoff, Lidstone, KN):
+
+        P(w2|w1) = (c(w1,w2) - D)/c(w1.) + lam(w1) * Pcont(w2)
+        lam(w1)  = D * N1+(w1.)/c(w1.)
+        Pcont(w2)= N1+(.w2) / N1+(..)
+
+    with D = {KN_DISCOUNT}. Seen-context/unseen-pair rows take the
+    interpolation mass alone; an unseen context falls back to the
+    continuation probability (KN's signature: 'how many contexts does
+    w2 follow', not 'how often'); a never-seen w2 floors at -7.
+
+    Every count is one more aggregate over the SAME c2 frame the MLE
+    scorer builds — N1+(w1.) rides along in c1, N1+(.w2) and
+    N1+(..) are two vocab-bounded aggregates — so the plan shape (and
+    its 100 TB story) is unchanged from ngram_model_score: broadcast
+    count tables, pair matrix never on the driver, exact
+    scaled-integer averaging. Both engines build the log10 argument
+    with the same parenthesization, so the 9dp rounding sees
+    identical doubles."""
+    docs = fanout(load_table(spark, sf_dir, "documents"))
+    dd = KN_DISCOUNT
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    bi = (
+        d.select(
+            "doc_id", "source",
+            F.posexplode(F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1)))
+             .alias("pos0", "z"))
+        .select("doc_id", "source",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("z")["0"].alias("w1"),
+                F.col("z")["1"].alias("w2"))
+    )
+    c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt2")))
+    c1 = (c2.groupBy("model_source", "w1")
+            .agg(F.sum("cnt2").cast("long").alias("cnt1"),
+                 F.count(F.lit(1)).cast("long").alias("n1fwd")))
+    cont = (c2.groupBy("model_source", F.col("w2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n1bwd")))
+    npairs = (c2.groupBy("model_source")
+              .agg(F.count(F.lit(1)).cast("long").alias("np")))
+    models = npairs.select("model_source")
+    pairs = bi.select("doc_id", "pos", "w1", "w2").crossJoin(
+        F.broadcast(models))
+    interp = ((F.lit(dd) * F.col("n1fwd") / F.col("cnt1"))
+              * (F.col("n1bwd").cast("double") / F.col("np")))
+    scored = (
+        pairs
+        .join(c2, ["model_source", "w1", "w2"], "left")
+        .join(c1, ["model_source", "w1"], "left")
+        .join(cont, ["model_source", "w2"], "left")
+        .join(F.broadcast(npairs), ["model_source"])
+        .select(
+            "doc_id", "model_source",
+            F.when(F.col("cnt2").isNotNull(),
+                   F.round(F.log10(
+                       ((F.col("cnt2").cast("double") - dd)
+                        / F.col("cnt1")) + interp), 9))
+             .when(F.col("cnt1").isNotNull()
+                   & F.col("n1bwd").isNotNull(),
+                   F.round(F.log10(interp), 9))
+             .when(F.col("n1bwd").isNotNull(),
+                   F.round(F.log10(F.col("n1bwd").cast("double")
+                                   / F.col("np")), 9))
+             .otherwise(F.lit(-7.0))
+             .alias("logp"))
+    )
+    return (scored.groupBy("doc_id", "model_source")
+            .agg(spark_round_ratio(
+                    "sum(cast(round(logp * 1e9, 0) as bigint))",
+                    "count(1)", 6, n_prescale=9).alias("avg_logprob"),
+                 F.count(F.lit(1)).alias("n_ngrams")))
+
+
 @register(
     "ordered_transcript_concat",
     oracle="""
