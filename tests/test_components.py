@@ -79,3 +79,31 @@ def test_neardup_components_uses_star_contraction(spark):
     for r in rows:
         assert r.n_members >= 2  # LSH pairs always give >=2-node comps
         assert r.canonical_doc_id == r.component_id
+
+
+def test_lsh_band_tuning_report_consistency(spark):
+    """The tuning report's b4r2 row must measure EXACTLY the
+    production banding: its candidate count equals the registered
+    minhash_lsh_candidate_pairs output (same 4x2 split), and every
+    row's counts/ratios are internally consistent."""
+    from transcript_analysis_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.config: r for r in
+            all_queries()["lsh_band_tuning_report"].fn(spark, sf).collect()}
+    assert set(rows) == {"b8r1", "b4r2", "b2r4", "b1r8"}
+    prod = all_queries()["minhash_lsh_candidate_pairs"].fn(spark, sf).count()
+    assert rows["b4r2"].n_candidates == prod
+    n_truth = {r.n_truth for r in rows.values()}
+    assert len(n_truth) == 1                     # same truth set per row
+    for r in rows.values():
+        assert r.n_hits <= min(r.n_candidates, r.n_truth)
+        assert abs(r.precision_at_t
+                   - r.n_hits / max(r.n_candidates, 1)) < 5e-7
+        assert abs(r.recall_at_t - r.n_hits / max(r.n_truth, 1)) < 5e-7
+        assert 0.0 <= r.p_capture_theory <= 1.0
+    # more rows per band => fewer (or equal) candidates: the S-curve's
+    # conjunction direction, structurally guaranteed since an r=2k
+    # band collision implies both r=k sub-band collisions
+    assert rows["b8r1"].n_candidates >= rows["b4r2"].n_candidates \
+        >= rows["b2r4"].n_candidates >= rows["b1r8"].n_candidates

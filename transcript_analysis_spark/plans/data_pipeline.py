@@ -218,6 +218,165 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+LSH_TUNE_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]   # (bands, rows)
+LSH_TUNE_JACCARD = 0.5    # truth threshold; J >= 1/2 <=> 3c >= na+nb
+
+
+def _duck_band_cte(b: int, r: int) -> str:
+    selects = []
+    for j in range(b):
+        key = " || '_' || ".join(
+            f"CAST(mh{j * r + i} AS VARCHAR)" for i in range(r))
+        selects.append(f"SELECT doc_id, {j} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "lsh_band_tuning_report",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id, {duck_char_hash('shingle')} AS h FROM shingles
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, {_duck_minhash_select()}
+      FROM hashed GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles sa
+      JOIN shingles sb ON sb.shingle = sa.shingle
+                      AND sb.doc_id > sa.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    ),
+    truth AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE 3 * i.n_common >= za.n + zb.n
+    ),
+    {', '.join(
+        f'''bands_b{b}r{r} AS ({_duck_band_cte(b, r)}),
+    cand_b{b}r{r} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_b{b}r{r} a JOIN bands_b{b}r{r} b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )''' for b, r in LSH_TUNE_CONFIGS)},
+    report AS (
+      {' UNION ALL '.join(
+        f'''SELECT 'b{b}r{r}' AS config,
+             CAST({b} AS BIGINT) AS n_bands,
+             CAST({r} AS BIGINT) AS rows_per_band,
+             CAST((SELECT COUNT(*) FROM cand_b{b}r{r}) AS BIGINT)
+               AS n_candidates,
+             CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT COUNT(*) FROM cand_b{b}r{r} c
+                   JOIN truth t ON t.doc_a = c.doc_a
+                               AND t.doc_b = c.doc_b) AS BIGINT)
+               AS n_hits,
+             CAST({round(1.0 - (1.0 - LSH_TUNE_JACCARD ** r) ** b, 6)}
+                  AS DOUBLE) AS p_capture_theory'''
+        for b, r in LSH_TUNE_CONFIGS)}
+    )
+    SELECT config, n_bands, rows_per_band, n_candidates, n_truth, n_hits,
+           {duck_round_ratio('n_hits', 'GREATEST(n_candidates, 1)', 6)}
+             AS precision_at_t,
+           {duck_round_ratio('n_hits', 'GREATEST(n_truth, 1)', 6)}
+             AS recall_at_t,
+           p_capture_theory
+    FROM report
+    """,
+    tags=("dedup", "lsh", "minhash", "report"),
+)
+def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-scheme evidence for the MinHash dedup path — the dedup
+    counterpart of `ann_recall_report`: one row per (bands x rows)
+    split of the 8-component signature (8x1, 4x2, 2x4, 1x8) with the
+    measured candidate count, precision and recall against the EXACT
+    Jaccard >= {LSH_TUNE_JACCARD} truth set, beside the S-curve
+    theoretical capture probability 1-(1-t^r)^b. This is the table a
+    user reads to pick bands/rows for a target threshold instead of
+    trusting the textbook curve (Leskovec/Rajaraman/Ullman ch.3) on
+    faith.
+
+    Everything is exact integer arithmetic: the truth predicate
+    J >= 1/2 is the integer inequality 3*n_common >= na+nb (no float
+    division anywhere near the decision), hit/candidate counts are
+    BIGINTs, and the ratios go through the shared half-up rounding —
+    so the whole report is oracle-checked. The truth set derives from
+    the shared-shingle equi-join (any pair with J > 0 shares a
+    shingle), bounded by shingle collisions like
+    `crossdoc_shingle_dup_rate` — never all-pairs. At 100 TB each
+    config's candidate join is the same banded self-join the
+    production dedup runs; the report costs |configs| such probes."""
+    sh = _spark_shingles(spark, sf_dir)
+    hashed = sh.select("doc_id",
+                       F.expr(spark_char_hash("shingle")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(*_minhash_cols())
+    sig = sig.localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (sa.join(sb, "shingle")
+             .filter(F.col("doc_b") > F.col("doc_a"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    za = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    truth = (inter.join(za, "doc_a").join(zb, "doc_b")
+             .filter(3 * F.col("n_common") >= F.col("na") + F.col("nb"))
+             .select("doc_a", "doc_b"))
+    truth = truth.localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+
+    def config_row(b: int, r: int) -> DataFrame:
+        band_structs = ", ".join(
+            f"struct({j} as band, concat_ws('_', "
+            + ", ".join(f"cast(mh{j * r + i} as string)"
+                        for i in range(r)) + ") as key)"
+            for j in range(b))
+        bands = (sig.select(
+            "doc_id",
+            F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+        cands = (bands.alias("a")
+                 .join(bands.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.key") == F.col("b.key"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                 .distinct())
+        n_cand = cands.agg(F.count(F.lit(1)).cast("long")
+                           .alias("n_candidates"))
+        n_hits = (cands.join(truth, ["doc_a", "doc_b"])
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        p_theory = round(1.0 - (1.0 - LSH_TUNE_JACCARD ** r) ** b, 6)
+        return (n_cand.crossJoin(n_hits).crossJoin(F.broadcast(n_truth))
+                .select(F.lit(f"b{b}r{r}").alias("config"),
+                        F.lit(b).cast("long").alias("n_bands"),
+                        F.lit(r).cast("long").alias("rows_per_band"),
+                        "n_candidates", "n_truth", "n_hits",
+                        spark_round_ratio(
+                            "n_hits", "GREATEST(n_candidates, 1)", 6)
+                        .alias("precision_at_t"),
+                        spark_round_ratio(
+                            "n_hits", "GREATEST(n_truth, 1)", 6)
+                        .alias("recall_at_t"),
+                        F.lit(p_theory).alias("p_capture_theory")))
+
+    out = None
+    for b, r in LSH_TUNE_CONFIGS:
+        row = config_row(b, r)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @register(
     "simhash_fingerprints",
     oracle=f"""
