@@ -340,3 +340,35 @@ def test_pit_join_is_one_window_pass_no_range_join(spark):
     for frag in plan.split("Window ")[1:]:
         head = frag.split("\n")[0]
         assert "user_id" in head, f"unpartitioned window: {head[:120]}"
+
+
+# --- round-9 additions: evidence reports + smoothed scorers -------------
+
+def test_smoothed_scorers_no_cartesian_no_python(spark):
+    """lidstone/KN scorers must keep ngram_model_score's plan
+    discipline: zero CartesianProduct, zero Python stages; the only
+    nested-loop joins are broadcast single-row/model frames."""
+    for name in ("lidstone_model_score", "kneser_ney_model_score"):
+        plan = plan_of(_q(spark, name))
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+
+
+def test_ann_recall_report_plan_shape(spark):
+    """Ground truth + every index probe stay TakeOrdered (per-partition
+    heads, no global sort) and the broadcast structures (query vector,
+    codebook, centroids) broadcast; no cartesian."""
+    plan = plan_of(_q(spark, "ann_recall_report"))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_lsh_band_tuning_report_plan_shape(spark):
+    """Each banded self-join is an equi-join on (band, key) — never a
+    cartesian — and the truth join is the shingle equi-join; all
+    JVM-side."""
+    plan = plan_of(_q(spark, "lsh_band_tuning_report"))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
