@@ -750,3 +750,54 @@ def test_pii_scrub_query_is_no_op_on_clean_corpus(spark):
     out = pii_text_scrub(spark, "/root/testdata/sf0.001")
     assert out.filter((F.col("n_emails") > 0) | (F.col("n_ips") > 0)
                       | (F.col("n_phones") > 0)).count() == 0
+
+
+def test_perceptron_train_matches_python_replay(spark):
+    """The full batch-perceptron trajectory — quantized features,
+    per-epoch updates and error counts — replayed exactly in pure
+    Python from the raw parquet (all-integer arithmetic: equality is
+    exact, no tolerance)."""
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.plans.curation import (PCT_EPOCHS,
+                                                          PCT_FEATURES,
+                                                          PCT_SCALE)
+    from transcript_analysis_spark.plans.data_pipeline import _STOPWORDS
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    S = PCT_SCALE
+    feats = []
+    for r in docs:
+        words = r.text.split(" ")
+        nw = max(len(words), 1)
+        nst = sum(1 for w in words if w in _STOPWORDS)
+        nlong = sum(1 for w in words if len(w) >= 8)
+        y = 1 if r.lang == "en" else -1
+        x = [S,
+             (2 * S * nst + nw) // (2 * nw),
+             (2 * S * nlong + nw) // (2 * nw),
+             min((2 * S * r.n_chars + 8 * nw) // (16 * nw), 2 * S)]
+        feats.append((y, x))
+    w = [0, 0, 0, 0]
+    errs = []
+    for _ in range(PCT_EPOCHS):
+        upd, err = [0, 0, 0, 0], 0
+        for y, x in feats:
+            if y * sum(wj * xj for wj, xj in zip(w, x)) <= 0:
+                err += 1
+                for j in range(4):
+                    upd[j] += y * x[j]
+        w = [wj + uj for wj, uj in zip(w, upd)]
+        errs.append(err)
+
+    got = {r.feature_idx: r for r in
+           all_queries()["perceptron_classifier_train"]
+           .fn(spark, sf).collect()}
+    assert [got[i].feature_name for i in range(4)] == PCT_FEATURES
+    assert [got[i].weight for i in range(4)] == w
+    for i in range(4):
+        assert [got[i].err_epoch1, got[i].err_epoch2,
+                got[i].err_epoch3] == errs
+    # epoch 1 misclassifies everything (w=0 => margin 0); epoch 2
+    # must genuinely improve on that degenerate start
+    assert errs[0] == len(feats) and errs[1] < errs[0]

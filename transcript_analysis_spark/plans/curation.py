@@ -54,6 +54,7 @@ from transcript_analysis_spark.functions.rounding import (
 from transcript_analysis_spark.operators.components import connected_components
 from transcript_analysis_spark.plans.data_pipeline import (
     _DUCK_SHINGLES,
+    _STOPWORDS,
     _duck_minhash_select,
     _t,
     duck_char_hash,
@@ -1327,3 +1328,160 @@ def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (keyed.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= STRAT_K)
             .select("doc_id", "lang", "rk"))
+
+
+# --- in-engine classifier training (batch perceptron) --------------------
+
+PCT_SCALE = 1024      # feature quantization (power of two: exact)
+PCT_EPOCHS = 3
+PCT_FEATURES = ["bias", "stopword_ratio_q", "long_word_ratio_q",
+                "mean_wlen_q"]
+
+
+def _duck_pct_epoch(prev: str, idx: int) -> str:
+    """One batch-perceptron epoch as a CTE over the previous weights
+    (carrying earlier epochs' error counts forward)."""
+    margin = (f"y * ({prev}.w0 * x0 + {prev}.w1 * x1"
+              f" + {prev}.w2 * x2 + {prev}.w3 * x3)")
+    carries = ", ".join(f"{prev}.err{k} AS err{k}" for k in range(1, idx))
+    carries = (carries + ", ") if carries else ""
+    return f"""
+    SELECT
+      {carries}
+      CAST({prev}.w0 + SUM(CASE WHEN {margin} <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+      CAST({prev}.w1 + SUM(CASE WHEN {margin} <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+      CAST({prev}.w2 + SUM(CASE WHEN {margin} <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+      CAST({prev}.w3 + SUM(CASE WHEN {margin} <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS w3,
+      CAST(SUM(CASE WHEN {margin} <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS err{idx}
+    FROM f CROSS JOIN {prev}
+    GROUP BY {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3{
+        ''.join(f', {prev}.err{k}' for k in range(1, idx))}
+    """
+
+
+@register(
+    "perceptron_classifier_train",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             GREATEST(CAST(len(words) AS BIGINT), 1) AS nw,
+             CAST(len(list_filter(words, w -> list_contains(
+               {[*_STOPWORDS]}, w))) AS BIGINT) AS nst,
+             CAST(len(list_filter(words, w -> length(w) >= 8))
+                  AS BIGINT) AS nlong,
+             CAST(n_chars AS BIGINT) AS nch
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, y,
+             CAST({PCT_SCALE} AS BIGINT) AS x0,
+             (2 * {PCT_SCALE} * nst + nw) // (2 * nw) AS x1,
+             (2 * {PCT_SCALE} * nlong + nw) // (2 * nw) AS x2,
+             LEAST((2 * {PCT_SCALE} * nch + 8 * nw) // (16 * nw),
+                   {2 * PCT_SCALE}) AS x3
+      FROM m
+    ),
+    e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+    e1 AS ({_duck_pct_epoch('e0', 1)}),
+    e2 AS ({_duck_pct_epoch('e1', 2)}),
+    e3 AS ({_duck_pct_epoch('e2', 3)})
+    SELECT feature_idx, feature_name, weight,
+           err1 AS err_epoch1, err2 AS err_epoch2, err3 AS err_epoch3
+    FROM (
+      SELECT CAST(0 AS BIGINT) AS feature_idx, 'bias' AS feature_name,
+             w0 AS weight, err1, err2, err3 FROM e3
+      UNION ALL
+      SELECT 1, 'stopword_ratio_q', w1, err1, err2, err3 FROM e3
+      UNION ALL
+      SELECT 2, 'long_word_ratio_q', w2, err1, err2, err3 FROM e3
+      UNION ALL
+      SELECT 3, 'mean_wlen_q', w3, err1, err2, err3 FROM e3
+    )
+    """,
+    tags=("training", "classifier", "curation"),
+)
+def perceptron_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised model training INSIDE the engine: a batch perceptron
+    for the is-English quality/language gate, trained where the data
+    lives (the FineWeb/DCLM move of fitting the filter model on the
+    corpus itself) — extending the exact-iterative-ML family
+    (`kmeans_centroids`, `pagerank_purchase_graph`) from unsupervised
+    to supervised.
+
+    Everything is EXACT integer arithmetic, so the full {PCT_EPOCHS}-
+    epoch training trajectory is oracle-checked, not just smoke-run:
+    features quantize to ints via the shared half-up integer rounding
+    (scale {PCT_SCALE}, a power of two), labels are +/-1, each epoch's
+    batch update w += sum(y*x over misclassified, margin <= 0) and its
+    error count are int64 sums — no learning-rate float, no
+    transcendental, nothing engine-specific. Margins stay far inside
+    int64 (|w| grows <= 2*{PCT_SCALE}*n_docs per epoch: ~2e12 even at
+    10^9 docs, margin ~1e16).
+
+    Plan shape at 100 TB: the feature pass is map-only; each epoch is
+    one broadcast of the 4-number weight row + one whole-corpus
+    aggregate (exactly Spark's classic GD-on-a-cluster shape, plan
+    depth bounded by the unrolled epoch count like the PageRank
+    rounds). Output: one row per feature with the final weight and
+    the per-epoch training-error trajectory (monotone improvement is
+    NOT asserted — perceptron error can oscillate; the trajectory is
+    the evidence either way)."""
+    d = fanout(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("words"))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    m = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.greatest(F.size("words").cast("long"), F.lit(1)).alias("nw"),
+        F.expr(f"cast(size(filter(words, w -> array_contains("
+               f"{stop_arr}, w))) as bigint)").alias("nst"),
+        F.expr("cast(size(filter(words, w -> length(w) >= 8)) as bigint)")
+         .alias("nlong"),
+        F.col("n_chars").cast("long").alias("nch"))
+    S = PCT_SCALE
+    f = m.select(
+        "doc_id", "y",
+        F.lit(S).cast("long").alias("x0"),
+        F.expr(f"(2 * {S} * nst + nw) div (2 * nw)").alias("x1"),
+        F.expr(f"(2 * {S} * nlong + nw) div (2 * nw)").alias("x2"),
+        F.expr(f"least((2 * {S} * nch + 8 * nw) div (16 * nw), "
+               f"{2 * S})").alias("x3"))
+
+    weights = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{j}") for j in range(4)])
+    err_cols: list[str] = []
+    for epoch in range(1, PCT_EPOCHS + 1):
+        j = f.crossJoin(F.broadcast(weights))
+        margin = F.col("y") * sum(
+            (F.col(f"w{k}") * F.col(f"x{k}") for k in range(1, 4)),
+            F.col("w0") * F.col("x0"))
+        mis = margin <= 0
+        group_cols = [f"w{k}" for k in range(4)] + err_cols
+        agg = (j.groupBy(*group_cols).agg(
+            *[F.sum(F.when(mis, F.col("y") * F.col(f"x{k}"))
+                    .otherwise(0)).cast("long").alias(f"u{k}")
+              for k in range(4)],
+            F.sum(F.when(mis, 1).otherwise(0)).cast("long")
+             .alias(f"err{epoch}")))
+        weights = agg.select(
+            *[(F.col(f"w{k}") + F.col(f"u{k}")).cast("long")
+              .alias(f"w{k}") for k in range(4)],
+            *[F.col(c) for c in err_cols], F.col(f"err{epoch}"))
+        err_cols.append(f"err{epoch}")
+
+    rows = ", ".join(
+        f"struct(cast({i} as bigint) as feature_idx, "
+        f"'{name}' as feature_name, w{i} as weight)"
+        for i, name in enumerate(PCT_FEATURES))
+    return (weights.select(
+        F.explode(F.expr(f"array({rows})")).alias("fz"),
+        *[F.col(f"err{k}").alias(f"err_epoch{k}")
+          for k in range(1, PCT_EPOCHS + 1)])
+        .select("fz.feature_idx", "fz.feature_name", "fz.weight",
+                *[f"err_epoch{k}" for k in range(1, PCT_EPOCHS + 1)]))
