@@ -70,6 +70,8 @@ def test_named_query_passthrough(engine):
 def test_quality_signal_facade(engine):
     sig = engine.quality_signals()
     assert sig.count() > 0 and "repetitive" in sig.columns
+    trained = engine.train_filter()
+    assert trained.count() == 4 and "weight" in trained.columns
     cls = engine.classify_quality()
     assert cls.count() > 0 and "keep" in cls.columns
     buckets = engine.corpus_buckets()

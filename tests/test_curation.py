@@ -801,3 +801,42 @@ def test_perceptron_train_matches_python_replay(spark):
     # epoch 1 misclassifies everything (w=0 => margin 0); epoch 2
     # must genuinely improve on that degenerate start
     assert errs[0] == len(feats) and errs[1] < errs[0]
+
+
+def test_perceptron_learns_separable_fixture(spark, tmp_path):
+    """The corpus's lang labels are unlearnable by construction
+    (featurally identical across languages), so the registered eval
+    reports the majority-class Bayes ceiling there. This fixture has
+    real signal — en docs are stopword-dense, others stopword-free,
+    classes balanced with identical word lengths — and the SAME
+    registered trainer+eval must find it: epoch-2 training error 0,
+    eval accuracy 1.0."""
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.plans.curation import (
+        perceptron_classifier_eval, perceptron_classifier_train)
+
+    # en: stopword-dense, short words; other: stopword-free, long
+    # words — strictly separable in BOTH margin directions (a
+    # zero-margin row counts as an update miss by the rule)
+    en_text = " ".join(["the", "and", "for", "the", "and"] * 4)
+    xx_text = " ".join(["xyzabcdef", "abcdefghi", "qrstuvwxy"] * 7)
+    rows = ([(i, en_text, "en", "s0") for i in range(15)]
+            + [(100 + i, xx_text, "de", "s0") for i in range(15)])
+    (spark.createDataFrame(rows, "doc_id long, text string, lang string,"
+                           " source string")
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.parquet(f"{tmp_path}/documents.parquet"))
+
+    trained = {r.feature_name: r for r in
+               perceptron_classifier_train(spark, str(tmp_path)).collect()}
+    # epoch 1 starts from w=0 (all misclassified); the epoch-1 weights
+    # already separate the fixture -> epoch 2 measures zero error
+    assert trained["bias"].err_epoch1 == 30
+    assert trained["bias"].err_epoch2 == 0
+    assert trained["bias"].err_epoch3 == 0
+
+    cells = perceptron_classifier_eval(spark, str(tmp_path)).collect()
+    assert all(r.accuracy == 1.0 for r in cells)
+    assert {(r.actual, r.pred) for r in cells} == {(1, 1), (-1, -1)}
+    assert sum(r.n for r in cells) == 30

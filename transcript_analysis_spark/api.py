@@ -147,6 +147,12 @@ class TranscriptEngine:
         """CCNet head/middle/tail terciles per language."""
         return self._q("ccnet_quality_buckets")
 
+    def train_filter(self) -> DataFrame:
+        """Fit the is-English gate on the corpus itself (batch
+        perceptron; exact integer trajectory): per-feature final
+        weights + per-epoch training error."""
+        return self._q("perceptron_classifier_train")
+
     def decontaminate(self) -> DataFrame:
         return self._q("contamination_overlap")
 
