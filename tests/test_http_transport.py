@@ -62,6 +62,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, {"response": "ANSWER: agree"})
         if self.path == "/api/badjson":
             return self._send(200, "this is not json {")
+        if self.path == "/api/notdict":
+            return self._send(200, "[]")
         return self._send(404, {"error": "no such endpoint"})
 
     def do_GET(self):
@@ -118,6 +120,10 @@ def test_http_json_maps_every_failure_to_transport_error(server):
     assert e.value.status is None
     with pytest.raises(TransportError):
         http_json("http://127.0.0.1:9/nothing", timeout=0.5)  # closed port
+    # valid JSON that is not an object must also stay inside the
+    # TransportError contract (no AttributeError escaping into tasks)
+    with pytest.raises(TransportError, match="non-object"):
+        http_json(f"http://{server}/api/notdict", {"x": 1})
 
 
 def test_ollama_shapes_and_malformed(server):

@@ -21,14 +21,25 @@ from transcript_analysis_spark.plans.registry import (
 
 def test_never_checked_sort_first_then_stalest():
     registered = ["a", "b", "c", "d", "e"]
-    latest = {"a": 3, "c": 1, "e": 2}          # b, d never checked
-    order = _derive_driver_priority(registered, latest)
+    latest = {"a": (3, False), "c": (1, False), "e": (2, False)}
+    order = _derive_driver_priority(registered, latest)   # b, d unchecked
     assert order == ["b", "d", "c", "e", "a"]
+
+
+def test_red_rows_outrank_everything():
+    """A recorded FAILURE must re-enter the window ahead even of
+    never-checked queries — the old hand list's
+    session_windows_per_user property, now structural."""
+    registered = ["a", "b", "c", "d"]
+    latest = {"a": (5, False), "c": (4, True)}     # c red in its last check
+    order = _derive_driver_priority(registered, latest)
+    assert order == ["c", "b", "d", "a"]
 
 
 def test_registration_order_breaks_ties():
     registered = ["z", "y", "x"]
-    order = _derive_driver_priority(registered, {"z": 1, "y": 1, "x": 1})
+    order = _derive_driver_priority(
+        registered, {"z": (1, False), "y": (1, False), "x": (1, False)})
     assert order == ["z", "y", "x"]
 
 
@@ -62,6 +73,12 @@ def test_real_repo_state_surfaces_unchecked_head():
 def test_recorded_rounds_parse():
     latest = _recorded_check_rounds()
     # r1-r5 files ship with the repo: the union covers >100 queries
-    # and every value is a plausible round number
+    # and every value is a plausible (round, red) pair
     assert len(latest) >= 100
-    assert all(isinstance(v, int) and 1 <= v <= 99 for v in latest.values())
+    for rnd, red in latest.values():
+        assert isinstance(rnd, int) and 1 <= rnd <= 99
+        assert isinstance(red, bool)
+    # rows-only results (hash_match null) are NOT red
+    assert latest["bpe_merge_learn"][1] is False
+    # memoized: second call returns the identical object
+    assert _recorded_check_rounds() is latest

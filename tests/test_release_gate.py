@@ -31,8 +31,16 @@ def test_gate_exempts_new_and_subnoise_queries():
     assert release_check.bench_regressions(cur, prev) == []
 
 
+def test_gate_catches_subfloor_query_blowing_past_floor():
+    """The noise exemption must not mask a 0.4s query falling off a
+    broadcast join to 30s: only both-sides-sub-floor is exempt."""
+    v = release_check.bench_regressions({"q": 30.0}, {"q": 0.4})
+    assert len(v) == 1 and v[0].startswith("q:")
+
+
 def test_latest_recorded_bench_reads_highest_round():
-    name, queries = release_check.latest_recorded_bench()
+    name, sf, queries = release_check.latest_recorded_bench()
+    assert sf == 0.1          # the driver benches at sf0.1
     assert name.startswith("BENCH_r")
     assert queries and all(isinstance(v, float) for v in queries.values())
     # highest recorded round wins (r5 ships with the repo)

@@ -108,6 +108,8 @@ def test_http_shell_routes_and_cache(spark):
         assert code == 200 and not out3["cached"]
         code, err = get("/query/nope_not_registered")
         assert code == 404 and "unknown" in err["error"]
+        code, err = get("/query/status_histogram?timeout=abc")
+        assert code == 400 and "bad timeout" in err["error"]
         code, err = get("/not/a/route")
         assert code == 404
     finally:

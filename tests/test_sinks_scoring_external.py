@@ -171,6 +171,10 @@ def test_absolute_discount_smoothing():
     import pytest
     with pytest.raises(ValueError):
         NGramModel.train(corpus, smoothing="kneser-ney")
+    # empty corpus: lidstone must degrade like the other modes (the
+    # unknown-mass denominator is zero), not divide by zero
+    empty = NGramModel.train([], smoothing="lidstone")
+    assert empty.logprobs == {} and empty.floor == -7.0
 
 
 def test_smoothed_model_import_roundtrip(spark, tmp_path):

@@ -33,8 +33,8 @@ BENCH_DRIFT_TOLERANCE = 0.25   # fail a query >25% slower than last round
 BENCH_GATE_FLOOR_SEC = 0.5     # ignore sub-noise-floor queries
 
 
-def latest_recorded_bench() -> tuple[str, dict[str, float]] | None:
-    """(filename, per-query seconds) of the highest-round
+def latest_recorded_bench() -> tuple[str, object, dict[str, float]] | None:
+    """(filename, recorded sf, per-query seconds) of the highest-round
     BENCH_r*.json at the repo root, or None if none recorded yet."""
     best: tuple[int, str] | None = None
     for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
@@ -50,7 +50,9 @@ def latest_recorded_bench() -> tuple[str, dict[str, float]] | None:
         # the driver wraps bench.py's JSON line under "parsed"; accept
         # both that shape and a raw bench.py line saved directly
         inner = data.get("parsed", data)
-        return os.path.basename(best[1]), dict(inner.get("queries", {}))
+        sf = inner.get("sf", data.get("sf"))
+        return (os.path.basename(best[1]), sf,
+                dict(inner.get("queries", {})))
     except (OSError, ValueError, AttributeError):
         return None
 
@@ -62,7 +64,11 @@ def bench_regressions(current: dict[str, float],
     out = []
     for name, now in sorted(current.items()):
         then = previous.get(name)
-        if then is None or then < BENCH_GATE_FLOOR_SEC:
+        if then is None:
+            continue
+        # noise-floor exemption only when BOTH sides are sub-floor —
+        # a 0.4s query blowing up to 30s must still trip the gate
+        if then < BENCH_GATE_FLOOR_SEC and now < BENCH_GATE_FLOOR_SEC:
             continue
         if now > then * (1.0 + BENCH_DRIFT_TOLERANCE):
             out.append(f"{name}: {then:.3f}s -> {now:.3f}s "
@@ -115,8 +121,12 @@ def main() -> None:
         print("  (skipped: no bench output)")
     elif prev is None:
         print("  (skipped: no recorded BENCH_r*.json baseline)")
+    elif prev[1] != json.loads(bench_lines[-1]).get("sf"):
+        print(f"  (skipped: baseline {prev[0]} recorded at sf={prev[1]}, "
+              f"this run at sf={json.loads(bench_lines[-1]).get('sf')} — "
+              f"times are not comparable)")
     else:
-        baseline_name, prev_q = prev
+        baseline_name, _sf, prev_q = prev
         cur_q = json.loads(bench_lines[-1]).get("queries", {})
         violations = bench_regressions(cur_q, prev_q)
         if violations:

@@ -73,11 +73,20 @@ def http_json(url: str, payload: dict | None = None, *,
         err.status = None
         raise err from exc
     try:
-        return json.loads(body)
+        out = json.loads(body)
     except ValueError as exc:
         err = TransportError(f"non-JSON body from {url}: {body[:80]!r}")
         err.status = None
         raise err from exc
+    if not isinstance(out, dict):
+        # a 200 with '"ok"' or '[]' (e.g. an intercepting proxy) must
+        # engage the callers' retry policy, not escape as a later
+        # AttributeError that crashes the Spark task
+        err = TransportError(
+            f"non-object JSON from {url}: {type(out).__name__}")
+        err.status = None
+        raise err
+    return out
 
 
 class OllamaEmbedTransport:

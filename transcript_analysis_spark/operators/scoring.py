@@ -98,8 +98,11 @@ class NGramModel:
             else:
                 p = c / denom
             logprobs[gram] = round(math.log10(p), 9)
-        floor = (round(math.log10(gamma / (total + gamma * v)), 9)
-                 if smoothing == "lidstone" else FLOOR_LOGPROB)
+        floor = FLOOR_LOGPROB
+        if smoothing == "lidstone" and (total > 0 or v > 0):
+            # empty corpus: total == v == 0 would divide by zero; the
+            # other modes degrade to an empty model, so must this one
+            floor = round(math.log10(gamma / (total + gamma * v)), 9)
         return cls(logprobs, floor=floor)
 
     def score(self, word: str, context: tuple[str, ...]) -> float:

@@ -1390,6 +1390,12 @@ def _pct_epoch_frames(spark: SparkSession, f: DataFrame) -> list[DataFrame]:
     err_k measures the weights entering epoch k, so frame j carries
     the measured error of every PRIOR frame — what the pocket
     selection in the eval needs."""
+    # Lazy checkpoints: the feature pass materializes once (every
+    # epoch and the eval's pocket selection scan the same block data
+    # instead of re-running the corpus explode), and each 1-row epoch
+    # frame truncates its lineage so composing several frames (the
+    # eval cross-joins three) does not re-execute earlier epochs.
+    f = f.localCheckpoint(eager=False)
     weights = spark.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{j}") for j in range(4)])
     err_cols: list[str] = []
@@ -1410,16 +1416,19 @@ def _pct_epoch_frames(spark: SparkSession, f: DataFrame) -> list[DataFrame]:
         weights = agg.select(
             *[(F.col(f"w{k}") + F.col(f"u{k}")).cast("long")
               .alias(f"w{k}") for k in range(4)],
-            *[F.col(c) for c in err_cols], F.col(f"err{epoch}"))
+            *[F.col(c) for c in err_cols],
+            F.col(f"err{epoch}")).localCheckpoint(eager=False)
         err_cols.append(f"err{epoch}")
         frames.append(weights)
     return frames
 
 
-@register(
-    "perceptron_classifier_train",
-    oracle=f"""
-    WITH d AS (
+def _duck_pct_pipeline() -> str:
+    """Shared features + 3-epoch training CTE chain (f, e0..e3) —
+    composed verbatim into both the trainer's and the eval's oracle
+    so the eval grades exactly the registered trained model."""
+    return f"""
+    d AS (
       SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
       FROM documents
     ),
@@ -1448,6 +1457,13 @@ def _pct_epoch_frames(spark: SparkSession, f: DataFrame) -> list[DataFrame]:
     e1 AS ({_duck_pct_epoch('e0', 1)}),
     e2 AS ({_duck_pct_epoch('e1', 2)}),
     e3 AS ({_duck_pct_epoch('e2', 3)})
+    """
+
+
+@register(
+    "perceptron_classifier_train",
+    oracle=f"""
+    WITH {_duck_pct_pipeline()}
     SELECT feature_idx, feature_name, weight,
            err1 AS err_epoch1, err2 AS err_epoch2, err3 AS err_epoch3
     FROM (
@@ -1502,43 +1518,6 @@ def perceptron_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
           for k in range(1, PCT_EPOCHS + 1)])
         .select("fz.feature_idx", "fz.feature_name", "fz.weight",
                 *[f"err_epoch{k}" for k in range(1, PCT_EPOCHS + 1)]))
-
-
-def _duck_pct_pipeline() -> str:
-    """Shared features + 3-epoch training CTE chain (f, e0..e3) —
-    composed verbatim into both the trainer's and the eval's oracle
-    so the eval grades exactly the registered trained model."""
-    return f"""
-    d AS (
-      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-             GREATEST(CAST(len(words) AS BIGINT), 1) AS nw,
-             CAST(len(list_filter(words, w -> list_contains(
-               {[*_STOPWORDS]}, w))) AS BIGINT) AS nst,
-             CAST(len(list_filter(words, w -> length(w) >= 8))
-                  AS BIGINT) AS nlong,
-             CAST(n_chars AS BIGINT) AS nch
-      FROM d
-    ),
-    f AS (
-      SELECT doc_id, y,
-             CAST({PCT_SCALE} AS BIGINT) AS x0,
-             (2 * {PCT_SCALE} * nst + nw) // (2 * nw) AS x1,
-             (2 * {PCT_SCALE} * nlong + nw) // (2 * nw) AS x2,
-             LEAST((2 * {PCT_SCALE} * nch + 8 * nw) // (16 * nw),
-                   {2 * PCT_SCALE}) AS x3
-      FROM m
-    ),
-    e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-                  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-    e1 AS ({_duck_pct_epoch('e0', 1)}),
-    e2 AS ({_duck_pct_epoch('e1', 2)}),
-    e3 AS ({_duck_pct_epoch('e2', 3)})
-    """
 
 
 @register(

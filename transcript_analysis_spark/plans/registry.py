@@ -86,20 +86,36 @@ def _load_all() -> None:
 # and the next unchecked/stalest names move up.
 
 
-def _recorded_check_rounds() -> dict[str, int]:
-    """name -> latest harness round that recorded a result for it.
+_CHECK_ROUNDS_CACHE: dict[tuple, dict[str, tuple[int, bool]]] = {}
 
-    Reads ``CORRECTNESS_r*.json`` from the repo root (two levels above
-    this package). Missing/corrupt files are skipped — worst case the
-    order degrades to pure registration order, never an error.
+
+def _recorded_check_rounds() -> dict[str, tuple[int, bool]]:
+    """name -> (latest harness round with a result, red_in_that_round).
+
+    A row is RED when the harness recorded an explicit mismatch
+    (rows/schema/hash False — ``None`` means not comparable, e.g.
+    rows-only queries, and is NOT red). Reads ``CORRECTNESS_r*.json``
+    from the repo root (two levels above this package); missing or
+    corrupt files are skipped — worst case the order degrades to pure
+    registration order, never an error. Memoized per file set/mtime so
+    hot callers (the HTTP shell hits all_queries() per request) don't
+    re-parse on every call.
     """
     import json
     import re
     from pathlib import Path
 
-    latest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    try:
+        cache_key = tuple((str(p), p.stat().st_mtime_ns) for p in paths)
+    except OSError:
+        cache_key = None
+    if cache_key is not None and cache_key in _CHECK_ROUNDS_CACHE:
+        return _CHECK_ROUNDS_CACHE[cache_key]
+
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in paths:
         m = re.search(r"_r(\d+)\.json$", path.name)
         if not m:
             continue
@@ -110,20 +126,39 @@ def _recorded_check_rounds() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            latest[name] = max(latest.get(name, 0), rnd)
+        for name, row in data.items():
+            red = isinstance(row, dict) and any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match"))
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, red)
+    if cache_key is not None:
+        _CHECK_ROUNDS_CACHE.clear()
+        _CHECK_ROUNDS_CACHE[cache_key] = latest
     return latest
 
 
-def _derive_driver_priority(registered: list[str],
-                            latest: dict[str, int] | None = None) -> list[str]:
+def _derive_driver_priority(
+        registered: list[str],
+        latest: dict[str, tuple[int, bool]] | None = None) -> list[str]:
     if latest is None:
         latest = _recorded_check_rounds()
     reg_pos = {n: i for i, n in enumerate(registered)}
-    # Never-checked first (registration order), then ascending by the
-    # round of the most recent check (stalest first).
-    return sorted(registered,
-                  key=lambda n: (latest.get(n, 0), reg_pos[n]))
+
+    # Tier 0: RED in the most recent check (a recorded failure must
+    # re-earn a green row next round — the property the old hand list
+    # provided for session_windows_per_user). Tier 1: never checked.
+    # Tier 2: green — stalest check first. Registration order breaks
+    # ties within every tier.
+    def key(n: str):
+        rec = latest.get(n)
+        if rec is None:
+            return (1, 0, reg_pos[n])
+        rnd, red = rec
+        return (0 if red else 2, rnd, reg_pos[n])
+
+    return sorted(registered, key=key)
 
 
 def all_queries() -> dict[str, Query]:

@@ -71,7 +71,13 @@ def _make_handler(service: DashboardService):
                 if name not in all_queries():
                     return self._send(404, {"error": f"unknown query "
                                                      f"{name!r}"})
-                timeout = float(q["timeout"]) if "timeout" in q else None
+                try:
+                    timeout = (float(q["timeout"]) if "timeout" in q
+                               else None)
+                except ValueError:
+                    return self._send(400, {
+                        "error": f"bad timeout {q['timeout']!r}: "
+                                 f"expected seconds"})
                 refresh = q.get("refresh") in ("1", "true")
                 try:
                     rows, cached = service.run(
