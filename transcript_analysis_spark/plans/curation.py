@@ -1361,8 +1361,15 @@ def _duck_pct_epoch(prev: str, idx: int) -> str:
 
 def _pct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized integer feature frame (doc_id, y, x0..x3) shared by
-    the trainer and the eval."""
-    d = fanout(_t(spark, sf_dir, "documents")).select(
+    the trainer, the eval, and the streaming weight store."""
+    return pct_features_frame(fanout(_t(spark, sf_dir, "documents")))
+
+
+def pct_features_frame(docs: DataFrame) -> DataFrame:
+    """Feature pass over any (doc_id, lang, text, n_chars) frame — the
+    single definition both batch and streaming paths share, so a
+    streamed model and the batch trainer see identical integers."""
+    d = docs.select(
         "doc_id", "lang", "n_chars", F.split("text", " ").alias("words"))
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
     m = d.select(
