@@ -284,3 +284,39 @@ def test_zcell_spans_bounded(spark):
     for r in rows:
         assert r["custkey_span"] < 256
         assert r["day_span"] < 256
+
+
+def test_mixture_apply_consistent_with_plan(spark):
+    """The executed copy counts must be the plan's rates, exactly:
+    rate_ppm == round(sample_rate * 1e6) from temperature_mixture_plan
+    per source, every n_copies is floor(rate) or floor(rate)+1, and
+    upsampled sources keep every doc at least once."""
+    from transcript_analysis_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    plan = {r.source: r for r in
+            all_queries()["temperature_mixture_plan"].fn(spark, sf)
+            .collect()}
+    applied = all_queries()["corpus_mixture_apply"].fn(spark, sf).collect()
+    assert applied
+    by_source: dict[str, list] = {}
+    for r in applied:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(plan)
+    for src, rows in by_source.items():
+        p = plan[src]
+        rate_ppm = rows[0].rate_ppm
+        assert all(r.rate_ppm == rate_ppm for r in rows)
+        assert rate_ppm == round(p.sample_rate * 1e6)
+        lo = rate_ppm // 1_000_000
+        for r in rows:
+            assert r.n_copies in (lo, lo + 1)
+        if p.upsampled:
+            assert all(r.n_copies >= 1 for r in rows)
+        # the fractional remainder is a hash Bernoulli: with any
+        # remainder at all, both outcomes should appear across the
+        # source's docs unless the remainder is extreme
+        frac = rate_ppm % 1_000_000
+        if 100_000 < frac < 900_000 and len(rows) >= 20:
+            kinds = {r.n_copies for r in rows}
+            assert kinds == {lo, lo + 1}

@@ -100,3 +100,22 @@ def duck_round_ratio_wide(n: str, d: str, digits: int) -> str:
             f" + CAST(({d}) AS HUGEINT))"
             f" // (2 * CAST(({d}) AS HUGEINT))) "
             f"AS DOUBLE) / {s})")
+
+
+def spark_round_ratio_wide_q(n: str, d: str, digits: int) -> Column:
+    """The wide variant's INTEGER quotient — round(n/d * 10^digits) as
+    a BIGINT column, before the final float division. For callers that
+    keep computing in exact integers (e.g. splitting a quantized rate
+    into whole copies + a fractional ppm threshold)."""
+    q = (f"(CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
+         f"((2 * abs(cast(({n}) as decimal(38,0))) * {10 ** digits}"
+         f" + cast(({d}) as decimal(38,0)))"
+         f" div (2 * cast(({d}) as decimal(38,0))))")
+    return F.expr(q).cast("long")
+
+
+def duck_round_ratio_wide_q(n: str, d: str, digits: int) -> str:
+    return (f"CAST((CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END) * "
+            f"((2 * abs(CAST(({n}) AS HUGEINT)) * {10 ** digits}"
+            f" + CAST(({d}) AS HUGEINT))"
+            f" // (2 * CAST(({d}) AS HUGEINT))) AS BIGINT)")

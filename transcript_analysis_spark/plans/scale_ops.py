@@ -50,8 +50,10 @@ from transcript_analysis_spark.plans.data_pipeline import (
 from transcript_analysis_spark.functions.rounding import (
     duck_round_ratio,
     duck_round_ratio_wide,
+    duck_round_ratio_wide_q,
     spark_round_ratio,
     spark_round_ratio_wide,
+    spark_round_ratio_wide_q,
 )
 from transcript_analysis_spark.sources.tables import fanout
 from transcript_analysis_spark.plans.registry import register
@@ -883,3 +885,84 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mix_weight"),
                     rate.alias("sample_rate"),
                     (rate > 1.0).alias("upsampled")))
+
+
+@register(
+    "corpus_mixture_apply",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, available_tokens,
+             CAST(round(sqrt(CAST(available_tokens AS DOUBLE))
+                        * {TEMP_SCALE}) AS BIGINT) AS w_q
+      FROM avail
+    ),
+    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wsum FROM scaled),
+    rates AS (
+      SELECT s.source,
+             {duck_round_ratio_wide_q(
+                 f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
+                 'CAST(t.wsum AS HUGEINT) * s.available_tokens', 6)}
+               AS rate_ppm
+      FROM scaled s CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source, r.rate_ppm,
+           CAST(r.rate_ppm // 1000000
+                + CASE WHEN ({duck_char_hash("d.text || '|mix'")})
+                            % 1000000 < r.rate_ppm % 1000000
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM documents d JOIN rates r ON r.source = d.source
+    """,
+    tags=("mixture", "training-prep", "sampling"),
+)
+def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature mixture plan: turn each source's
+    planned sample_rate into a per-document copy count — the step
+    that actually builds the training epoch from the plan
+    (`temperature_mixture_plan` decides rates; this materializes
+    them; rates > 1 mean upsampling, so a document can appear
+    multiple times, and rates < 1 drop a deterministic fraction).
+
+    Exact end-to-end: the rate is carried as the WIDE integer
+    quotient (rate_ppm, the same 128-bit half-up arithmetic as the
+    plan — never re-derived from the rounded double), whole copies
+    are `rate_ppm div 1e6`, and the fractional remainder becomes a
+    per-doc Bernoulli via the portable content hash mod 1e6 —
+    deterministic, engine-reproducible, salt-decorrelated from the
+    split/sample/fingerprint hashes. Emits every doc with its
+    n_copies (0 = dropped) for auditability; the epoch corpus is the
+    `n_copies > 0` slice exploded by copy index.
+
+    Plan shape at 100 TB: one corpus aggregate for the rate table
+    (sources-sized, broadcast back) + one map-only pass over docs —
+    no shuffle touches the document bodies."""
+    avail = (_t(spark, sf_dir, "documents")
+             .groupBy("source")
+             .agg(F.sum(F.size(F.split("text", " "))).cast("long")
+                  .alias("available_tokens")))
+    scaled = avail.select(
+        "source", "available_tokens",
+        F.expr(f"cast(round(sqrt(cast(available_tokens as double))"
+               f" * {TEMP_SCALE}) as bigint)").alias("w_q"))
+    tot = scaled.agg(F.sum("w_q").cast("long").alias("wsum"))
+    rates = (scaled.crossJoin(F.broadcast(tot))
+             .select("source",
+                     spark_round_ratio_wide_q(
+                         f"cast(w_q as decimal(38,0)) * {MIX_TOKEN_BUDGET}",
+                         "cast(wsum as decimal(38,0)) * available_tokens",
+                         6).alias("rate_ppm")))
+    d = fanout(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text")
+    salt_hash = spark_char_hash("text || '|mix'")
+    hmod = F.expr(f"pmod({salt_hash}, 1000000)")
+    return (d.join(F.broadcast(rates), "source")
+            .select("doc_id", "source", "rate_ppm",
+                    (F.expr("rate_ppm div 1000000")
+                     + F.when(hmod < F.col("rate_ppm") % 1000000, 1)
+                       .otherwise(0))
+                    .cast("long").alias("n_copies")))
