@@ -966,3 +966,73 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.when(hmod < F.col("rate_ppm") % 1000000, 1)
                        .otherwise(0))
                     .cast("long").alias("n_copies")))
+
+
+def _packing_oracle() -> str:
+    """The registered sequence_packing oracle text — available here
+    because sequence_packing registers earlier in this module; the
+    report composes it verbatim so it cannot drift from the packer."""
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    return _REGISTRY["sequence_packing"].oracle
+
+
+@register(
+    "packing_efficiency_report",
+    oracle=None,      # composed below from the registered packing oracle
+    tags=("packing", "training-prep", "report"),
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the greedy packing actually? Per language: sequence
+    count, padding tokens (budget - fill for under-full sequences),
+    overflow tokens (oversized single-doc sequences), and utilization
+    = filled/(sequences x budget) — the number that decides whether
+    pretraining batches waste FLOPs on pad tokens. COMPOSED on the
+    registered `sequence_packing` query on the Spark side and on its
+    recursive-CTE oracle on the DuckDB side (the `corpus_release_prep`
+    discipline: the report cannot drift from the packer it reports
+    on). Integer token sums + the shared half-up ratio, so the
+    utilization figures are exact."""
+    packed = sequence_packing(spark, sf_dir)
+    per_seq = (packed.groupBy("lang", "seq_no")
+               .agg(F.sum("n_tokens").cast("long").alias("fill"),
+                    F.count(F.lit(1)).cast("long").alias("n_docs")))
+    B = PACK_BUDGET_TOKENS
+    return (per_seq.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sequences"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("fill").cast("long").alias("total_tokens"),
+                 F.sum(F.greatest(F.lit(B) - F.col("fill"), F.lit(0)))
+                  .cast("long").alias("total_padding"),
+                 F.sum(F.greatest(F.col("fill") - F.lit(B), F.lit(0)))
+                  .cast("long").alias("total_overflow"),
+                 spark_round_ratio(
+                     f"sum(least(fill, {B}))",
+                     f"count(1) * {B}", 6).alias("utilization")))
+
+
+def _compose_packing_report_oracle() -> None:
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    _REGISTRY["packing_efficiency_report"].oracle = f"""
+    WITH per_seq AS (
+      SELECT lang, seq_no,
+             CAST(SUM(n_tokens) AS BIGINT) AS fill,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ({_packing_oracle()}) p
+      GROUP BY lang, seq_no
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST({PACK_BUDGET_TOKENS} - fill, 0)) AS BIGINT)
+             AS total_padding,
+           CAST(SUM(GREATEST(fill - {PACK_BUDGET_TOKENS}, 0)) AS BIGINT)
+             AS total_overflow,
+           {duck_round_ratio(
+               f'SUM(LEAST(fill, {PACK_BUDGET_TOKENS}))',
+               f'COUNT(*) * {PACK_BUDGET_TOKENS}', 6)} AS utilization
+    FROM per_seq GROUP BY lang
+    """
+
+
+_compose_packing_report_oracle()
