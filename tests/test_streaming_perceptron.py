@@ -1,7 +1,8 @@
 """Streaming perceptron weight store (streaming/perceptron_store.py):
 mini-batch training over a versioned table with transactional
-exactly-once batch application. The sixth persisted-store streaming
-operator, and the first consumer of the optimistic commit protocol."""
+per-stream exactly-once batch application. The sixth persisted-store
+streaming operator, and the first consumer of the optimistic commit
+protocol (the mid-flight interleave is forced for real below)."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.sources import versioned
 from transcript_analysis_spark.sources.tables import load_table
+from transcript_analysis_spark.streaming import perceptron_store as ps
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron,
     init_weight_store,
@@ -60,7 +62,6 @@ def test_streamed_weights_replay_exactly_in_python(spark, tmp_path):
     got = read_weights(spark, root)
     expect = _python_replay(spark, batches)
     assert [got.w0, got.w1, got.w2, got.w3] == expect
-    assert got.batch_id == 2
     assert got.n_seen == docs.count()
 
 
@@ -79,48 +80,78 @@ def test_single_batch_equals_batch_trainer_epoch1(spark, tmp_path):
         [e1.w0, e1.w1, e1.w2, e1.w3]
 
 
-def test_replay_is_exactly_once(spark, tmp_path):
+def test_replay_is_exactly_once_per_stream(spark, tmp_path):
     """A perceptron update is NOT idempotent, so replay safety must
-    come from the transactional batch_id: redelivering an applied
-    batch is a recorded no-op."""
+    come from the per-stream transactional batch watermark:
+    redelivering an applied batch is a recorded no-op, while ANOTHER
+    stream's batch 0 (its own checkpoint numbering) still applies —
+    a single global id would have silently dropped it."""
     root = str(tmp_path / "wstore")
     init_weight_store(spark, root)
     docs = _docs(spark)
-    assert foreach_batch_perceptron(docs, 0, root) is True
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    assert foreach_batch_perceptron(half_a, 0, root, stream_id="s1") is True
     before = read_weights(spark, root)
-    assert foreach_batch_perceptron(docs, 0, root) is False   # replay
+    # same stream redelivers batch 0 -> no-op, no extra version
+    assert foreach_batch_perceptron(half_a, 0, root, stream_id="s1") is False
     after = read_weights(spark, root)
     assert (before.w0, before.w1, before.w2, before.w3, before.n_seen) == \
         (after.w0, after.w1, after.w2, after.w3, after.n_seen)
-    # and no extra version was committed for the no-op
     assert versioned.latest_version(spark, root) == 2
+    # a DIFFERENT stream's batch 0 must still apply
+    assert foreach_batch_perceptron(half_b, 0, root, stream_id="s2") is True
+    final = read_weights(spark, root)
+    assert final.n_seen == docs.count()
+    import json
+    assert json.loads(final.applied_json) == {"s1": 0, "s2": 0}
 
 
-def test_concurrent_commit_retries_without_lost_update(spark, tmp_path):
-    """Interleaved writer: another commit lands between this batch's
-    read and its commit. The store must re-read and re-derive (the
-    StaleBaseError retry path), losing neither the interloper's
-    n_seen bump nor this batch's update."""
+def test_midflight_interleave_forces_stale_retry(spark, tmp_path,
+                                                 monkeypatch):
+    """Drive the StaleBaseError retry path FOR REAL: an interloper
+    commit lands between this batch's snapshot read and its commit
+    (injected inside the first commit_version call), so the first
+    attempt must be REJECTED and the retry must re-derive against the
+    fresh state — losing neither the interloper's rows nor this
+    batch's update."""
     root = str(tmp_path / "wstore")
     init_weight_store(spark, root)
     docs = _docs(spark)
-    foreach_batch_perceptron(docs.filter(F.col("doc_id") % 2 == 0), 0, root)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    foreach_batch_perceptron(half_a, 0, root, stream_id="s1")
+    w_after_a = read_weights(spark, root)
 
-    # interloper: manually commit a bumped state as if another stream
-    # applied batch 1 (valid base = current latest)
-    base = versioned.latest_version(spark, root)
-    w = read_weights(spark, root)
-    bumped = spark.createDataFrame(
-        [(w.w0 + 7, w.w1, w.w2, w.w3, 1, w.n_seen + 10)],
-        "w0 long, w1 long, w2 long, w3 long, batch_id long, n_seen long")
-    versioned.commit_version(bumped, root, base_version=base)
+    real_commit = versioned.commit_version
+    state = {"injected": False, "stale_seen": False}
 
-    # our batch 2 must apply on TOP of the interloper's state
-    n2 = docs.filter(F.col("doc_id") % 2 == 1)
-    assert foreach_batch_perceptron(n2, 2, root) is True
+    def inject_then_commit(df, r, base_version=None, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            # interloper: stream s2 applies ITS batch on the current
+            # state while our caller holds a now-stale snapshot
+            foreach_batch_perceptron(half_b, 0, root, stream_id="s2")
+        try:
+            return real_commit(df, r, base_version=base_version, **kw)
+        except versioned.StaleBaseError:
+            state["stale_seen"] = True
+            raise
+
+    monkeypatch.setattr(ps.versioned, "commit_version", inject_then_commit)
+    assert foreach_batch_perceptron(half_a, 1, root, stream_id="s1") is True
+    monkeypatch.undo()
+
+    assert state["stale_seen"], "the stale-base rejection never fired"
     final = read_weights(spark, root)
-    assert final.batch_id == 2
-    assert final.n_seen == w.n_seen + 10 + n2.count()
+    import json
+    assert json.loads(final.applied_json) == {"s1": 1, "s2": 0}
+    # nothing lost: everyone's row counts are in
+    assert final.n_seen == half_a.count() * 2 + half_b.count()
+    # and the retried update was derived against the POST-interloper
+    # weights: replay the same order in Python
+    expect = _python_replay(spark, [half_a, half_b, half_a])
+    assert [final.w0, final.w1, final.w2, final.w3] == expect
 
 
 def test_uninitialized_store_raises(spark, tmp_path):

@@ -1479,6 +1479,58 @@ def _spark_cos(a: str, b: str, digits: int) -> str:
     return f"round({dot} / ({na} * {nb}), {digits})"
 
 
+def ivf_vectors(df: DataFrame) -> DataFrame:
+    """(vec_id, label, v: array<double>) view of an embeddings frame —
+    shared by the batch probe and the streaming index store."""
+    return df.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+
+
+def ivf_seed_centroids(vecs: DataFrame) -> DataFrame:
+    """The deterministic every-53rd-vector centroid rule (the
+    trained-k-means stand-in) — ONE definition for probe + store."""
+    return (vecs.filter(F.col("vec_id") % 53 == 1)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("v").alias("cv")))
+
+
+def ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: 9dp-rounded cosine argmax with
+    centroid-id tie-break. Returns the input columns + (cent_id,
+    cos9)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_vc"), F.asc("cent_id"))
+    return (vecs.crossJoin(F.broadcast(cents))
+            .withColumn("cos_vc", F.expr(_spark_cos("v", "cv", 9)))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk", "cv")
+            .withColumnRenamed("cos_vc", "cos9"))
+
+
+def ivf_probe_centroids(cents: DataFrame, q: DataFrame,
+                        nprobe: int) -> DataFrame:
+    """The nprobe centroids nearest the query vector."""
+    return (cents.crossJoin(F.broadcast(q))
+            .select("cent_id",
+                    F.expr(_spark_cos("cv", "qv", 9)).alias("cos_qc"))
+            .orderBy(F.desc("cos_qc"), F.asc("cent_id"))
+            .limit(nprobe).select("cent_id"))
+
+
+def ivf_exact_topk(bucket_vecs: DataFrame, q: DataFrame,
+                   k: int) -> DataFrame:
+    """Exact 6dp-cosine top-k over the probed buckets' vectors."""
+    return (bucket_vecs.crossJoin(F.broadcast(q))
+            .select("vec_id", "label",
+                    F.expr(_spark_cos("v", "qv", 6)).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+
 @register(
     "ivf_topk_probe",
     oracle=f"""
@@ -1526,31 +1578,13 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side operation + one window shuffle on vec_id); cosines are
     9dp-rounded before every argmax/ordering so both engines rank
     identical doubles, centroid-id tie-breaks."""
-    from pyspark.sql import Window
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    cents = (e.filter(F.col("vec_id") % 53 == 1)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cv")))
+    e = ivf_vectors(_t(spark, sf_dir, "embeddings"))
+    cents = ivf_seed_centroids(e)
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    top_cents = (cents.crossJoin(F.broadcast(q))
-                 .select("cent_id",
-                         F.expr(_spark_cos("cv", "qv", 9)).alias("cos_qc"))
-                 .orderBy(F.desc("cos_qc"), F.asc("cent_id"))
-                 .limit(2).select("cent_id"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_vc"), F.asc("cent_id"))
-    assign = (e.crossJoin(F.broadcast(cents))
-              .withColumn("cos_vc", F.expr(_spark_cos("v", "cv", 9)))
-              .withColumn("rk", F.row_number().over(w))
-              .filter((F.col("rk") == 1) & (F.col("vec_id") != 0)))
+    top_cents = ivf_probe_centroids(cents, q, nprobe=2)
+    assign = ivf_assign(e, cents).filter(F.col("vec_id") != 0)
     bucket = assign.join(F.broadcast(top_cents), "cent_id")
-    return (bucket.crossJoin(F.broadcast(q))
-            .select("vec_id", "label",
-                    F.expr(_spark_cos("v", "qv", 6)).alias("cosine"))
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
-            .limit(10))
+    return ivf_exact_topk(bucket, q, k=10)
 
 
 @register(

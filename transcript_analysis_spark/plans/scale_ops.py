@@ -819,10 +819,11 @@ TEMP_T = 2            # temperature: weights ~ n^(1/T); T=2 => sqrt (IEEE-exact)
 TEMP_SCALE = 1_000_000
 
 
-@register(
-    "temperature_mixture_plan",
-    oracle=f"""
-    WITH avail AS (
+# Shared mixture-weight derivation (ONE definition): the scaled-weight
+# CTE chain used verbatim by temperature_mixture_plan's oracle AND
+# corpus_mixture_apply's, and the matching Spark frames — a change to
+# the temperature/quantization touches exactly one place per engine.
+_DUCK_MIX_SCALED = f"""avail AS (
       SELECT source,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                AS available_tokens
@@ -834,14 +835,38 @@ TEMP_SCALE = 1_000_000
                         * {TEMP_SCALE}) AS BIGINT) AS w_q
       FROM avail
     ),
-    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wsum FROM scaled)
+    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wsum FROM scaled)"""
+
+_DUCK_MIX_RATE_ARGS = (f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
+                       'CAST(t.wsum AS HUGEINT) * s.available_tokens')
+
+_SPARK_MIX_RATE_ARGS = (f"cast(w_q as decimal(38,0)) * {MIX_TOKEN_BUDGET}",
+                        "cast(wsum as decimal(38,0)) * available_tokens")
+
+
+def _mix_scaled_frames(spark: SparkSession, sf_dir: str):
+    """(scaled, tot): per-source quantized sqrt weights + one-row sum."""
+    avail = (_t(spark, sf_dir, "documents")
+             .groupBy("source")
+             .agg(F.sum(F.size(F.split("text", " "))).cast("long")
+                  .alias("available_tokens")))
+    scaled = avail.select(
+        "source", "available_tokens",
+        F.expr(f"cast(round(sqrt(cast(available_tokens as double))"
+               f" * {TEMP_SCALE}) as bigint)").alias("w_q"))
+    tot = scaled.agg(F.sum("w_q").cast("long").alias("wsum"))
+    return scaled, tot
+
+
+@register(
+    "temperature_mixture_plan",
+    oracle=f"""
+    WITH {_DUCK_MIX_SCALED}
     SELECT s.source, s.available_tokens, s.w_q,
            {duck_round_ratio_wide('s.w_q', 't.wsum', 6)} AS mix_weight,
-           {duck_round_ratio_wide(f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
-                                  'CAST(t.wsum AS HUGEINT) * s.available_tokens', 6)}
+           {duck_round_ratio_wide(*_DUCK_MIX_RATE_ARGS, 6)}
              AS sample_rate,
-           {duck_round_ratio_wide(f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
-                                  'CAST(t.wsum AS HUGEINT) * s.available_tokens', 6)} > 1.0
+           {duck_round_ratio_wide(*_DUCK_MIX_RATE_ARGS, 6)} > 1.0
              AS upsampled
     FROM scaled s CROSS JOIN tot t
     """,
@@ -867,18 +892,8 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_scale_ops.py overflow-regime case). One corpus
     aggregate + a source-count-sized cross join with the one-row
     total."""
-    avail = (_t(spark, sf_dir, "documents")
-             .groupBy("source")
-             .agg(F.sum(F.size(F.split("text", " "))).cast("long")
-                  .alias("available_tokens")))
-    scaled = avail.select(
-        "source", "available_tokens",
-        F.expr(f"cast(round(sqrt(cast(available_tokens as double))"
-               f" * {TEMP_SCALE}) as bigint)").alias("w_q"))
-    tot = scaled.agg(F.sum("w_q").cast("long").alias("wsum"))
-    rate = spark_round_ratio_wide(
-        f"cast(w_q as decimal(38,0)) * {MIX_TOKEN_BUDGET}",
-        "cast(wsum as decimal(38,0)) * available_tokens", 6)
+    scaled, tot = _mix_scaled_frames(spark, sf_dir)
+    rate = spark_round_ratio_wide(*_SPARK_MIX_RATE_ARGS, 6)
     return (scaled.crossJoin(F.broadcast(tot))
             .select("source", "available_tokens", "w_q",
                     spark_round_ratio_wide("w_q", "wsum", 6)
@@ -890,24 +905,10 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_mixture_apply",
     oracle=f"""
-    WITH avail AS (
-      SELECT source,
-             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-               AS available_tokens
-      FROM documents GROUP BY source
-    ),
-    scaled AS (
-      SELECT source, available_tokens,
-             CAST(round(sqrt(CAST(available_tokens AS DOUBLE))
-                        * {TEMP_SCALE}) AS BIGINT) AS w_q
-      FROM avail
-    ),
-    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wsum FROM scaled),
+    WITH {_DUCK_MIX_SCALED},
     rates AS (
       SELECT s.source,
-             {duck_round_ratio_wide_q(
-                 f'CAST(s.w_q AS HUGEINT) * {MIX_TOKEN_BUDGET}',
-                 'CAST(t.wsum AS HUGEINT) * s.available_tokens', 6)}
+             {duck_round_ratio_wide_q(*_DUCK_MIX_RATE_ARGS, 6)}
                AS rate_ppm
       FROM scaled s CROSS JOIN tot t
     )
@@ -941,21 +942,11 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: one corpus aggregate for the rate table
     (sources-sized, broadcast back) + one map-only pass over docs —
     no shuffle touches the document bodies."""
-    avail = (_t(spark, sf_dir, "documents")
-             .groupBy("source")
-             .agg(F.sum(F.size(F.split("text", " "))).cast("long")
-                  .alias("available_tokens")))
-    scaled = avail.select(
-        "source", "available_tokens",
-        F.expr(f"cast(round(sqrt(cast(available_tokens as double))"
-               f" * {TEMP_SCALE}) as bigint)").alias("w_q"))
-    tot = scaled.agg(F.sum("w_q").cast("long").alias("wsum"))
+    scaled, tot = _mix_scaled_frames(spark, sf_dir)
     rates = (scaled.crossJoin(F.broadcast(tot))
              .select("source",
-                     spark_round_ratio_wide_q(
-                         f"cast(w_q as decimal(38,0)) * {MIX_TOKEN_BUDGET}",
-                         "cast(wsum as decimal(38,0)) * available_tokens",
-                         6).alias("rate_ppm")))
+                     spark_round_ratio_wide_q(*_SPARK_MIX_RATE_ARGS, 6)
+                     .alias("rate_ppm")))
     d = fanout(_t(spark, sf_dir, "documents")).select(
         "doc_id", "source", "text")
     salt_hash = spark_char_hash("text || '|mix'")
@@ -968,17 +959,37 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("n_copies")))
 
 
-def _packing_oracle() -> str:
-    """The registered sequence_packing oracle text — available here
-    because sequence_packing registers earlier in this module; the
-    report composes it verbatim so it cannot drift from the packer."""
-    from transcript_analysis_spark.plans.registry import _REGISTRY
-    return _REGISTRY["sequence_packing"].oracle
+# The registered sequence_packing oracle is available here (it
+# registers earlier in this module); compose it directly so the
+# report's oracle cannot drift from the packer's.
+from transcript_analysis_spark.plans.registry import _REGISTRY as _THIS_REG  # noqa: E402
+
+_PACKING_ORACLE_SQL = _THIS_REG["sequence_packing"].oracle
 
 
 @register(
     "packing_efficiency_report",
-    oracle=None,      # composed below from the registered packing oracle
+    oracle=f"""
+    WITH per_seq AS (
+      SELECT lang, seq_no,
+             CAST(SUM(n_tokens) AS BIGINT) AS fill,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ({_PACKING_ORACLE_SQL}) p
+      GROUP BY lang, seq_no
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST({PACK_BUDGET_TOKENS} - fill, 0)) AS BIGINT)
+             AS total_padding,
+           CAST(SUM(GREATEST(fill - {PACK_BUDGET_TOKENS}, 0)) AS BIGINT)
+             AS total_overflow,
+           {duck_round_ratio(
+               f'SUM(LEAST(fill, {PACK_BUDGET_TOKENS}))',
+               f'COUNT(*) * {PACK_BUDGET_TOKENS}', 6)} AS utilization
+    FROM per_seq GROUP BY lang
+    """,
     tags=("packing", "training-prep", "report"),
 )
 def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,31 +1019,3 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  spark_round_ratio(
                      f"sum(least(fill, {B}))",
                      f"count(1) * {B}", 6).alias("utilization")))
-
-
-def _compose_packing_report_oracle() -> None:
-    from transcript_analysis_spark.plans.registry import _REGISTRY
-    _REGISTRY["packing_efficiency_report"].oracle = f"""
-    WITH per_seq AS (
-      SELECT lang, seq_no,
-             CAST(SUM(n_tokens) AS BIGINT) AS fill,
-             CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM ({_packing_oracle()}) p
-      GROUP BY lang, seq_no
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_sequences,
-           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-           CAST(SUM(fill) AS BIGINT) AS total_tokens,
-           CAST(SUM(GREATEST({PACK_BUDGET_TOKENS} - fill, 0)) AS BIGINT)
-             AS total_padding,
-           CAST(SUM(GREATEST(fill - {PACK_BUDGET_TOKENS}, 0)) AS BIGINT)
-             AS total_overflow,
-           {duck_round_ratio(
-               f'SUM(LEAST(fill, {PACK_BUDGET_TOKENS}))',
-               f'COUNT(*) * {PACK_BUDGET_TOKENS}', 6)} AS utilization
-    FROM per_seq GROUP BY lang
-    """
-
-
-_compose_packing_report_oracle()

@@ -14,12 +14,14 @@ replayed batch rewrites its own output and never duplicates
 (assignment is idempotent math, unlike the perceptron store's
 updates, so partition overwrite alone is exactly-once).
 
-Search = the registered probe's exact arithmetic over the STORE:
-pick the nprobe centroids nearest the query, read only those buckets'
-vec_ids from the assignment store, join back to the vector source for
-the final exact-cosine top-k. Equivalence is tested three ways:
-streamed assignments == the batch assignment frame, replay changes
-nothing, and store-backed search returns row-for-row the registered
+Every piece of arithmetic here — vector view, centroid rule,
+assignment argmax, probe routing, exact re-rank — is IMPORTED from
+the registered probe's shared helpers (`ivf_vectors`,
+`ivf_seed_centroids`, `ivf_assign`, `ivf_probe_centroids`,
+`ivf_exact_topk`), so the store cannot drift from the query it
+serves. Equivalence is still tested three ways: streamed assignments
+== the batch assignment frame, replay changes nothing, and
+store-backed search returns row-for-row the registered
 `ivf_topk_probe` output.
 """
 
@@ -28,41 +30,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transcript_analysis_spark.plans.data_pipeline import _spark_cos
+from transcript_analysis_spark.plans.data_pipeline import (
+    ivf_assign,
+    ivf_exact_topk,
+    ivf_probe_centroids,
+    ivf_seed_centroids,
+    ivf_vectors,
+)
 
 IVF_NPROBE = 2
 
 
-def _vecs(df: DataFrame) -> DataFrame:
-    return df.select(
-        "vec_id", "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-
-
 def build_centroid_store(emb: DataFrame, centroid_dir: str) -> int:
-    """Freeze the centroid table (the deterministic every-53rd-vector
-    rule the batch query documents as the trained-k-means stand-in)
-    and persist it. Returns the centroid count."""
-    cents = (_vecs(emb).filter(F.col("vec_id") % 53 == 1)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cv")))
+    """Freeze the centroid table and persist it. Returns the centroid
+    count (counted on the frame — no re-read of the written files)."""
+    cents = ivf_seed_centroids(ivf_vectors(emb))
+    n = cents.count()
     cents.write.mode("overwrite").parquet(centroid_dir)
-    return emb.sparkSession.read.parquet(centroid_dir).count()
+    return n
 
 
 def assign_against_store(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cent_id, cos9) nearest-centroid assignment — the
-    identical 9dp-rounded argmax (centroid-id tie-break) as the batch
-    probe, so streamed and batch routing agree exactly."""
-    from pyspark.sql import Window
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_vc"), F.asc("cent_id"))
-    return (_vecs(emb).crossJoin(F.broadcast(cents))
-            .withColumn("cos_vc", F.expr(_spark_cos("v", "cv", 9)))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cent_id",
-                    F.col("cos_vc").alias("cos9")))
+    registered probe's exact argmax via the shared helper."""
+    return (ivf_assign(ivf_vectors(emb), cents)
+            .select("vec_id", "cent_id", "cos9"))
 
 
 def foreach_batch_ivf(batch_df: DataFrame, batch_id: int,
@@ -90,22 +82,14 @@ def search_store(spark: SparkSession, centroid_dir: str, assign_dir: str,
     centroids for the query (vec_id 0 of `vectors`, matching the
     registered probe), bucket lookup in the assignment store, exact
     cosine only on those buckets' vectors. Returns (vec_id, label,
-    cosine) — the registered `ivf_topk_probe` contract."""
-    v = _vecs(vectors)
+    cosine) — the registered `ivf_topk_probe` contract, built from
+    the same helpers."""
+    v = ivf_vectors(vectors)
     cents = spark.read.parquet(centroid_dir)
     q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    top_cents = (cents.crossJoin(F.broadcast(q))
-                 .select("cent_id",
-                         F.expr(_spark_cos("cv", "qv", 9)).alias("cos_qc"))
-                 .orderBy(F.desc("cos_qc"), F.asc("cent_id"))
-                 .limit(nprobe).select("cent_id"))
+    top_cents = ivf_probe_centroids(cents, q, nprobe)
     bucket_ids = (read_assignments(spark, assign_dir)
                   .join(F.broadcast(top_cents), "cent_id")
                   .filter(F.col("vec_id") != 0)
                   .select("vec_id").distinct())
-    return (bucket_ids.join(v, "vec_id")
-            .crossJoin(F.broadcast(q))
-            .select("vec_id", "label",
-                    F.expr(_spark_cos("v", "qv", 6)).alias("cosine"))
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
-            .limit(k))
+    return ivf_exact_topk(bucket_ids.join(v, "vec_id"), q, k)
