@@ -13,11 +13,12 @@ runs on that vocabulary-sized table — corpus-size-INDEPENDENT, like
 Determinism contract: the winning pair each round is
 (max weighted count, then lexicographically smallest (left, right)),
 so the learned merge table is reproducible and is pinned against a
-pure-Python reference implementation in tests. No SQL oracle is
-possible — each round's pair counts depend on the merges chosen in
-every earlier round, and recursive CTEs cannot re-aggregate globally
-per step — so the registered query is rows-only by necessity (the
-pytest reference check is the stronger gate).
+pure-Python reference implementation in tests — AND, as of round 6,
+against a generated UNROLLED DuckDB oracle (plans/curation.py
+`_duck_bpe_rounds`): recursion was never required, only unrolling,
+with merge application expressed as boundary-anchored string replace
+over separator-wrapped symbols. Both registered BPE queries are now
+fully oracle-checked.
 
 The merge application is a left-to-right greedy fold over each word's
 symbol array (leftmost occurrence first, no overlap), the standard BPE
