@@ -73,11 +73,56 @@ def test_real_repo_state_surfaces_unchecked_head():
 def test_recorded_rounds_parse():
     latest = _recorded_check_rounds()
     # r1-r5 files ship with the repo: the union covers >100 queries
-    # and every value is a plausible (round, red) pair
+    # and every value is a plausible (round, red, rows_only) triple
     assert len(latest) >= 100
-    for rnd, red in latest.values():
+    for rnd, red, rows_only in latest.values():
         assert isinstance(rnd, int) and 1 <= rnd <= 99
         assert isinstance(red, bool)
+        assert isinstance(rows_only, bool)
+
+
+def test_oracle_upgrade_outranks_stale_green():
+    """A query whose latest row was a rows-only `err: no_oracle` check
+    but which NOW registers an oracle has never earned a hash row —
+    it must sort in tier 1 (with never-checked), ahead of stale-green,
+    so the new oracle surfaces to the driver window immediately
+    (round-6 verdict: bpe_merge_learn/bpe_encode_stats)."""
+    registered = ["stale_green", "upgraded", "fresh_green", "unchecked"]
+    latest = {
+        "stale_green": (1, False, False),
+        "upgraded": (5, False, True),      # rows-only at its last check
+        "fresh_green": (5, False, False),
+    }
+    order = _derive_driver_priority(
+        registered, latest, oracled={"upgraded", "stale_green", "fresh_green"})
+    # unchecked first within tier 1 (round 0), then the upgraded query,
+    # then greens stalest-first
+    assert order == ["unchecked", "upgraded", "stale_green", "fresh_green"]
+
+
+def test_rows_only_without_oracle_stays_green_tier():
+    """Irreducibly rows-only queries (no oracle registered) must NOT
+    churn in tier 1 forever — they rotate like any green row."""
+    registered = ["a", "b"]
+    latest = {"a": (2, False, True), "b": (1, False, False)}
+    order = _derive_driver_priority(registered, latest, oracled={"b"})
+    assert order == ["b", "a"]
+
+
+def test_bpe_pair_surfaces_in_window_head():
+    """Against the real repo state: the BPE pair gained oracles after
+    their last recorded (r5, rows-only) check, so they must sit inside
+    the driver's 50-query window head until a hash row lands."""
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.plans.registry import get_query
+
+    latest = _recorded_check_rounds()
+    names = list(all_queries())
+    for q in ("bpe_merge_learn", "bpe_encode_stats"):
+        rec = latest.get(q)
+        if rec is None or not rec[2] or get_query(q).oracle is None:
+            continue   # a hash row has landed (or oracle removed) — done
+        assert names.index(q) < 50, f"{q} not in driver window head"
     # rows-only results (hash_match null) are NOT red
     assert latest["bpe_merge_learn"][1] is False
     # memoized: second call returns the identical object

@@ -12,8 +12,16 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
+
+# Bootstrap: make `transcript_analysis_spark` importable from any cwd
+# (the r6 judge hit ModuleNotFoundError running this outside the repo
+# root without PYTHONPATH).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import duckdb
 

@@ -86,15 +86,18 @@ def _load_all() -> None:
 # and the next unchecked/stalest names move up.
 
 
-_CHECK_ROUNDS_CACHE: dict[tuple, dict[str, tuple[int, bool]]] = {}
+_CHECK_ROUNDS_CACHE: dict[tuple, dict[str, tuple[int, bool, bool]]] = {}
 
 
-def _recorded_check_rounds() -> dict[str, tuple[int, bool]]:
-    """name -> (latest harness round with a result, red_in_that_round).
+def _recorded_check_rounds() -> dict[str, tuple[int, bool, bool]]:
+    """name -> (latest harness round, red_in_that_round, rows_only).
 
     A row is RED when the harness recorded an explicit mismatch
     (rows/schema/hash False — ``None`` means not comparable, e.g.
-    rows-only queries, and is NOT red). Reads ``CORRECTNESS_r*.json``
+    rows-only queries, and is NOT red). ``rows_only`` is True when the
+    latest row was an ``err: "no_oracle"`` rows-only check — a weaker
+    result that a later-registered oracle should supersede (see
+    ``_derive_driver_priority``). Reads ``CORRECTNESS_r*.json``
     from the repo root (two levels above this package); missing or
     corrupt files are skipped — worst case the order degrades to pure
     registration order, never an error. Memoized per file set/mtime so
@@ -114,7 +117,7 @@ def _recorded_check_rounds() -> dict[str, tuple[int, bool]]:
     if cache_key is not None and cache_key in _CHECK_ROUNDS_CACHE:
         return _CHECK_ROUNDS_CACHE[cache_key]
 
-    latest: dict[str, tuple[int, bool]] = {}
+    latest: dict[str, tuple[int, bool, bool]] = {}
     for path in paths:
         m = re.search(r"_r(\d+)\.json$", path.name)
         if not m:
@@ -130,9 +133,11 @@ def _recorded_check_rounds() -> dict[str, tuple[int, bool]]:
             red = isinstance(row, dict) and any(
                 row.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match"))
+            rows_only = (isinstance(row, dict)
+                         and row.get("err") == "no_oracle")
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
-                latest[name] = (rnd, red)
+                latest[name] = (rnd, red, rows_only)
     if cache_key is not None:
         _CHECK_ROUNDS_CACHE.clear()
         _CHECK_ROUNDS_CACHE[cache_key] = latest
@@ -141,22 +146,35 @@ def _recorded_check_rounds() -> dict[str, tuple[int, bool]]:
 
 def _derive_driver_priority(
         registered: list[str],
-        latest: dict[str, tuple[int, bool]] | None = None) -> list[str]:
+        latest: dict[str, tuple] | None = None,
+        oracled: set[str] | None = None) -> list[str]:
     if latest is None:
         latest = _recorded_check_rounds()
+    if oracled is None:
+        oracled = {n for n, q in _REGISTRY.items() if q.oracle is not None}
     reg_pos = {n: i for i, n in enumerate(registered)}
 
     # Tier 0: RED in the most recent check (a recorded failure must
     # re-earn a green row next round — the property the old hand list
-    # provided for session_windows_per_user). Tier 1: never checked.
+    # provided for session_windows_per_user). Tier 1: never
+    # *meaningfully* checked — no recorded row at all, OR the latest
+    # row was a rows-only `err: no_oracle` check for a query that NOW
+    # registers an oracle (the oracle was added after the last check
+    # and has never earned a hash row — round-6 verdict item: the BPE
+    # pair would otherwise wait ~2 rounds behind stale-green queries).
     # Tier 2: green — stalest check first. Registration order breaks
     # ties within every tier.
     def key(n: str):
         rec = latest.get(n)
         if rec is None:
             return (1, 0, reg_pos[n])
-        rnd, red = rec
-        return (0 if red else 2, rnd, reg_pos[n])
+        rnd, red, *rest = rec
+        rows_only = bool(rest[0]) if rest else False
+        if red:
+            return (0, rnd, reg_pos[n])
+        if rows_only and n in oracled:
+            return (1, rnd, reg_pos[n])
+        return (2, rnd, reg_pos[n])
 
     return sorted(registered, key=key)
 
