@@ -79,6 +79,10 @@ def test_recorded_rounds_parse():
         assert isinstance(rnd, int) and 1 <= rnd <= 99
         assert isinstance(red, bool)
         assert isinstance(rows_only, bool)
+    # rows-only results (hash_match null) are NOT red
+    assert latest["bpe_merge_learn"][1] is False
+    # memoized: second call returns the identical object
+    assert _recorded_check_rounds() is latest
 
 
 def test_oracle_upgrade_outranks_stale_green():
@@ -123,7 +127,3 @@ def test_bpe_pair_surfaces_in_window_head():
         if rec is None or not rec[2] or get_query(q).oracle is None:
             continue   # a hash row has landed (or oracle removed) — done
         assert names.index(q) < 50, f"{q} not in driver window head"
-    # rows-only results (hash_match null) are NOT red
-    assert latest["bpe_merge_learn"][1] is False
-    # memoized: second call returns the identical object
-    assert _recorded_check_rounds() is latest
