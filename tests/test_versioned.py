@@ -86,7 +86,8 @@ def test_versioned_vacuum_keeps_recent_reclaims_old(spark, tmp_path):
     # make version 1 a stale UNCOMMITTED orphan below latest: it is
     # reclaimed alongside the aged-out committed version 2
     os.remove(f"{root}/v_00000001/_COMMITTED")
-    removed = versioned.vacuum_versions(spark, root, keep=2)
+    removed = versioned.vacuum_versions(spark, root, keep=2,
+                                         retention_ms=0)
     assert removed == [1, 2]
     assert versioned.latest_version(spark, root) == 4
     assert _rows(versioned.read_snapshot(spark, root, 3)) == [(2, "x")]
@@ -283,3 +284,107 @@ def test_diff_versions_null_safe_compare(spark, tmp_path):
     assert set(rows) == {2, 3}
     assert rows[2].change_type == "changed" and rows[2].new_val is None
     assert rows[3].change_type == "changed" and rows[3].new_val == "y"
+
+
+# --- writer-lock lease + vacuum retention guard (r6 verdict #3) --------
+
+def _backdate(path, ms_ago):
+    import time
+    t = time.time() - ms_ago / 1000.0
+    os.utime(path, (t, t))
+
+
+def test_crashed_writer_lock_reclaimed_by_lease(spark, tmp_path):
+    """A lock whose mtime is past the lease window is taken over
+    automatically — no human deletes anything."""
+    root = str(tmp_path / "vt")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), root)
+    lock = f"{root}/_WRITE_LOCK"
+    open(lock, "w").close()                   # crashed writer's leftover
+    _backdate(lock, versioned._DEFAULT_LEASE_MS + 60_000)
+    v = versioned.commit_version(
+        spark.createDataFrame([(2, "b")], ["k", "v"]), root)
+    assert v == 2
+    assert not os.path.exists(lock)           # released after commit
+    assert _rows(versioned.read_snapshot(spark, root)) == [(2, "b")]
+
+
+def test_live_writer_lock_not_stolen_within_lease(spark, tmp_path):
+    """A lock younger than the lease still blocks — live writers are
+    never evicted mid-commit."""
+    root = str(tmp_path / "vt")
+    os.makedirs(root, exist_ok=True)
+    open(f"{root}/_WRITE_LOCK", "w").close()  # fresh mtime = now
+    with pytest.raises(versioned.ConcurrentWriterError):
+        versioned.commit_version(
+            spark.createDataFrame([(1, "a")], ["k", "v"]), root)
+    assert os.path.exists(f"{root}/_WRITE_LOCK")   # untouched
+
+
+def test_evicted_writer_release_does_not_clobber_new_lock(spark, tmp_path):
+    """After a lease takeover, the evicted writer's `finally` must not
+    delete the NEW owner's lock (token = mtime-at-acquisition)."""
+    root = str(tmp_path / "vt")
+    os.makedirs(root, exist_ok=True)
+    lock_path = f"{root}/_WRITE_LOCK"
+    jvm, fs, lock, token = versioned._with_write_lock(spark, root)
+    # simulate a takeover: replace the lock with a different mtime
+    os.remove(lock_path)
+    open(lock_path, "w").close()
+    _backdate(lock_path, 120_000)             # distinct mtime
+    versioned._release_lock(fs, lock, token)
+    assert os.path.exists(lock_path), "new owner's lock was clobbered"
+    os.remove(lock_path)
+
+
+def test_vacuum_retention_guard_protects_young_versions(spark, tmp_path):
+    """Versions committed within the retention window are never
+    reclaimed, whatever `keep` says; backdated ones are."""
+    root = str(tmp_path / "vt")
+    for i in range(4):
+        versioned.commit_version(
+            spark.createDataFrame([(i, "x")], ["k", "v"]), root)
+    # all four markers are seconds old -> nothing eligible
+    assert versioned.vacuum_versions(spark, root, keep=1) == []
+    # age out versions 1 and 2; 3 stays young
+    for v in (1, 2):
+        _backdate(f"{root}/v_{v:08d}/_COMMITTED",
+                  versioned._DEFAULT_RETENTION_MS + 60_000)
+    removed = versioned.vacuum_versions(spark, root, keep=1)
+    assert removed == [1, 2]
+    # young v3 survived even though keep=1 would have doomed it
+    assert _rows(versioned.read_snapshot(spark, root, 3)) == [(2, "x")]
+
+
+def test_vacuum_retention_guard_protects_young_orphans(spark, tmp_path):
+    """An uncommitted orphan below latest is reclaimed only once it is
+    old enough to be a definite crash, not a mid-commit writer whose
+    lock was leased away."""
+    root = str(tmp_path / "vt")
+    for i in range(3):
+        versioned.commit_version(
+            spark.createDataFrame([(i, "x")], ["k", "v"]), root)
+    os.remove(f"{root}/v_00000001/_COMMITTED")   # young orphan below latest
+    # backdate the aged-out committed version so only IT is eligible
+    _backdate(f"{root}/v_00000002/_COMMITTED",
+              versioned._DEFAULT_RETENTION_MS + 60_000)
+    removed = versioned.vacuum_versions(spark, root, keep=1)
+    assert removed == [2]
+    assert os.path.isdir(f"{root}/v_00000001")   # orphan still present
+    _backdate(f"{root}/v_00000001",
+              versioned._DEFAULT_RETENTION_MS + 60_000)
+    assert versioned.vacuum_versions(spark, root, keep=1) == [1]
+
+
+def test_reader_on_old_version_survives_concurrent_vacuum(spark, tmp_path):
+    """read_snapshot's immutability promise across a vacuum: a reader
+    holding version N-1 (inside the retention window) completes its
+    scan after a concurrent `vacuum_versions` call."""
+    root = str(tmp_path / "vt")
+    for i in range(3):
+        versioned.commit_version(
+            spark.createDataFrame([(i, "x")], ["k", "v"]), root)
+    reader = versioned.read_snapshot(spark, root, 1)   # lazy — not yet scanned
+    versioned.vacuum_versions(spark, root, keep=1)     # runs mid-"scan"
+    assert _rows(reader) == [(0, "x")]                 # completes fine

@@ -22,9 +22,13 @@ commit marker — with plain parquet:
   This is also object-store-honest: commit is one small PUT, no
   directory rename.
 - Old versions are reclaimed explicitly via `vacuum_versions`
-  (the OPTIMIZE/VACUUM split of the lakehouse engines).
+  (the OPTIMIZE/VACUUM split of the lakehouse engines), guarded by a
+  retention window so in-flight readers are never yanked.
 - Writers serialize on an atomically-created `_WRITE_LOCK` file —
-  enforced single-writer, not a docstring promise.
+  enforced single-writer, not a docstring promise. A crashed writer's
+  lock is reclaimed automatically once its lease expires (atomic
+  rename-to-tombstone takeover; release is mtime-token-guarded so an
+  evicted writer can't clobber the new owner's lock).
 """
 
 from __future__ import annotations
@@ -98,16 +102,78 @@ class StaleBaseError(ConcurrentWriterError):
 
 _UNCHECKED = object()   # sentinel: commit without a base-version check
 
+# Writer-lock lease: a lock older than this is presumed abandoned by a
+# crashed writer and can be taken over (Postgres gets the equivalent
+# for free from connection-scoped locks — a crashed backend's
+# `FOR UPDATE SKIP LOCKED` rows unlock on disconnect,
+# island_worker.py:72-99; a lock FILE needs an explicit lease).
+_DEFAULT_LEASE_MS = 15 * 60 * 1000
 
-def _with_write_lock(spark: SparkSession, root: str):
+
+def _now_ms(jvm) -> int:
+    # Same clock source that stamps FileSystem mtimes on the local FS.
+    return int(jvm.java.lang.System.currentTimeMillis())
+
+
+def _with_write_lock(spark: SparkSession, root: str,
+                     lease_ms: int = _DEFAULT_LEASE_MS):
+    """Acquire the table's writer lock; returns (jvm, fs, lock, token).
+
+    `token` is the lock file's mtime at acquisition — release only
+    deletes the lock if the mtime is unchanged, so a lease takeover
+    that replaced the lock is never clobbered by the evicted writer's
+    `finally` clause.
+
+    Crashed-writer recovery: if the lock exists but its mtime is older
+    than `lease_ms`, it is reclaimed via an atomic rename to a unique
+    tombstone (only one contender's rename succeeds) followed by a
+    fresh `createNewFile`. A lock younger than the lease still raises
+    :class:`ConcurrentWriterError` — live writers are never evicted
+    within their lease window.
+    """
     jvm, fs, jroot = _fs(spark, root)
     fs.mkdirs(jroot)
     lock = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/_WRITE_LOCK")
-    if not fs.createNewFile(lock):
-        raise ConcurrentWriterError(
-            f"versioned table writer lock held: {lock}. Another writer is "
-            f"committing (or crashed — delete the lock after verifying).")
-    return jvm, fs, lock
+    acquired = fs.createNewFile(lock)
+    if not acquired:
+        try:
+            st = fs.getFileStatus(lock)
+            age = _now_ms(jvm) - int(st.getModificationTime())
+        except Exception:
+            # Lock vanished between create and stat (holder released):
+            # one fresh attempt, then give up to the caller's retry loop.
+            age = None
+        if age is not None and age > lease_ms:
+            tomb = jvm.org.apache.hadoop.fs.Path(
+                f"{root.rstrip('/')}/_WRITE_LOCK.expired."
+                f"{int(st.getModificationTime())}")
+            if fs.rename(lock, tomb):
+                fs.delete(tomb, False)
+            # Whether or not this contender won the rename, the stale
+            # lock is gone — race for the fresh one.
+            acquired = fs.createNewFile(lock)
+        elif age is None:
+            acquired = fs.createNewFile(lock)
+        if not acquired:
+            raise ConcurrentWriterError(
+                f"versioned table writer lock held: {lock}. Another "
+                f"writer is committing; a crashed writer's lock is "
+                f"reclaimed automatically after "
+                f"{lease_ms / 1000:.0f}s.")
+    token = int(fs.getFileStatus(lock).getModificationTime())
+    return jvm, fs, lock, token
+
+
+def _release_lock(fs, lock, token: int) -> None:
+    """Delete the lock only if this writer still owns it (mtime
+    unchanged since acquisition) — after a lease takeover the lock
+    belongs to the new writer and must survive the old one's
+    `finally`."""
+    try:
+        if int(fs.getFileStatus(lock).getModificationTime()) == token:
+            fs.delete(lock, False)
+    except Exception:
+        pass   # already gone
 
 
 def commit_version(df: DataFrame, root: str,
@@ -129,7 +195,7 @@ def commit_version(df: DataFrame, root: str,
     erases the first's rows even though each individual commit is
     serialized."""
     spark = df.sparkSession
-    jvm, fs, lock = _with_write_lock(spark, root)
+    jvm, fs, lock, token = _with_write_lock(spark, root)
     try:
         versions = _list_versions(jvm, fs, root)
         if base_version is not _UNCHECKED:
@@ -149,7 +215,7 @@ def commit_version(df: DataFrame, root: str,
             raise IOError(f"could not commit version marker {marker}")
         return v
     finally:
-        fs.delete(lock, False)
+        _release_lock(fs, lock, token)
 
 
 def upsert_by_key_versioned(df: DataFrame, root: str, keys: list[str],
@@ -197,13 +263,30 @@ def upsert_by_key_versioned(df: DataFrame, root: str, keys: list[str],
     raise last_err  # type: ignore[misc]
 
 
-def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
+# Vacuum grace window: a version (or orphan dir) younger than this is
+# never reclaimed, so a reader that resolved `read_snapshot` within the
+# window keeps its immutability promise across a concurrent vacuum —
+# the vacuum horizon of Postgres MVCC / Delta's retention period.
+_DEFAULT_RETENTION_MS = 15 * 60 * 1000
+
+
+def vacuum_versions(spark: SparkSession, root: str, keep: int = 2,
+                    retention_ms: int = _DEFAULT_RETENTION_MS) -> list[int]:
     """Delete committed versions older than the newest `keep`, plus
     any uncommitted orphan dirs BELOW the latest committed version
     (an orphan above it may be a writer mid-commit — left alone).
-    Returns the versions removed. Run only when no reader still holds
-    a to-be-vacuumed snapshot — same operational contract as Delta's
-    VACUUM retention window."""
+    Returns the versions removed.
+
+    Retention guard: the newest `keep` committed versions are always
+    safe, and NOTHING whose commit marker (or, for orphans, version
+    dir) is younger than `retention_ms` is touched — so a reader
+    holding a recently-committed snapshot completes its scan even if
+    a vacuum runs concurrently (`read_snapshot`'s immutability
+    promise; Delta's VACUUM retention window / the Postgres vacuum
+    horizon). Readers that hold a snapshot longer than the retention
+    window must re-resolve — same contract as the lakehouse engines.
+    Pass ``retention_ms=0`` for the old reclaim-everything behavior
+    (safe only when no reader is active)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     jvm, fs, _ = _fs(spark, root)
@@ -213,8 +296,25 @@ def vacuum_versions(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
         return []
     latest = committed[-1]
     survivors = set(committed[-keep:])
+    now = _now_ms(jvm)
+
+    def _age_ok(v: int, ok: bool) -> bool:
+        if retention_ms <= 0:
+            return True
+        # committed: age of the _COMMITTED marker (commit time);
+        # orphan: age of the version dir itself (write start time —
+        # a crashed commit can only get OLDER, a mid-commit writer's
+        # dir stays inside the window until it either commits or dies).
+        name = (f"{_version_dir(root, v)}/_COMMITTED" if ok
+                else _version_dir(root, v))
+        try:
+            st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(name))
+        except Exception:
+            return False   # vanished under us — leave it alone
+        return now - int(st.getModificationTime()) > retention_ms
+
     doomed = [v for v, ok in sorted(versions.items())
-              if v not in survivors and (ok or v < latest)]
+              if v not in survivors and (ok or v < latest) and _age_ok(v, ok)]
     for v in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_version_dir(root, v)), True)
     return doomed
