@@ -136,6 +136,19 @@ def axis_scores(answers: DataFrame, questions: DataFrame) -> DataFrame:
     return agg.select(*cols)
 
 
+def survey_questions(spark: SparkSession, n_questions: int = 10) -> DataFrame:
+    """Deterministic stand-in question bank with 4-axis effect vectors
+    (shape of the reference's questions table, `run_8values_survey.py`
+    §3.3)."""
+    return spark.createDataFrame(
+        [(q, f"Question {q}?",
+          ((q * 7) % 9) - 4, ((q * 7 + 3) % 9) - 4,
+          ((q * 7 + 6) % 9) - 4, ((q * 7 + 9) % 9) - 4)
+         for q in range(n_questions)],
+        ["question_id", "question_text",
+         "effect_econ", "effect_dipl", "effect_govt", "effect_scty"])
+
+
 def run_survey(spark: SparkSession, sf_dir: str,
                n_questions: int = 10,
                modes: list[str] = ("baseline", "transcript")) -> DataFrame:
@@ -143,13 +156,7 @@ def run_survey(spark: SparkSession, sf_dir: str,
     run, answer each question (RAG context in transcript mode), parse,
     reduce to 4-axis scores."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    questions = spark.createDataFrame(
-        [(q, f"Question {q}?",
-          ((q * 7) % 9) - 4, ((q * 7 + 3) % 9) - 4,
-          ((q * 7 + 6) % 9) - 4, ((q * 7 + 9) % 9) - 4)
-         for q in range(n_questions)],
-        ["question_id", "question_text",
-         "effect_econ", "effect_dipl", "effect_govt", "effect_scty"])
+    questions = survey_questions(spark, n_questions)
     runs = seed_runs(docs, list(modes))
     pairs = runs.crossJoin(F.broadcast(questions.select("question_id")))
     responses = fake_llm_answer(pairs)
@@ -171,3 +178,122 @@ def build_succinct_probes(questions: DataFrame,
         "probe_for": F.concat(F.lit(FOR_PREFIX), q),
         "probe_against": F.concat(F.lit(AGAINST_PREFIX), q),
     })
+
+
+# --- full §3.3 loop over real HTTP transports ----------------------------
+
+def rag_contexts(docs: DataFrame, questions: DataFrame,
+                 hosts: list[str], transport_factory,
+                 top_k: int = TOP_K) -> DataFrame:
+    """Per-(doc, question) RAG context over an external embedding
+    service: chunk and embed the corpus ONCE, embed the question bank
+    once, broadcast the (small) question vectors against the chunk
+    vectors, take the per-(doc, question) cosine top-k, and concatenate
+    the winning chunk texts rank-ordered. One embed pass however many
+    questions — the reference re-queries pgvector per question
+    (`run_8values_survey.py:269-288`); here the question side is the
+    broadcast side so the big chunk relation never moves twice."""
+    from pyspark.sql import Window
+
+    from transcript_analysis_spark.operators.external import embed_documents
+
+    chunks = token_bounded_chunks(docs)
+    chunk_docs = chunks.select(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_index"))
+         .alias("doc_id"),
+        F.col("text"))
+    embedded = (embed_documents(chunk_docs, hosts=hosts,
+                                transport_factory=transport_factory)
+                .join(chunk_docs.withColumnRenamed("text", "chunk_text"),
+                      "doc_id"))
+    q_vecs = (embed_documents(
+        questions.select(
+            F.col("question_id").cast("string").alias("doc_id"),
+            F.col("question_text").alias("text")),
+        hosts=hosts, transport_factory=transport_factory)
+        .select(F.col("doc_id").cast("long").alias("question_id"),
+                F.col("embedding").alias("qv")))
+    dot = "aggregate(zip_with(embedding, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nv = "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    scored = (embedded.crossJoin(F.broadcast(q_vecs))
+              .select(
+                  F.split("doc_id", ":").getItem(0).cast("long").alias("doc_id"),
+                  F.split("doc_id", ":").getItem(1).cast("int").alias("chunk_index"),
+                  "question_id", "chunk_text",
+                  F.round(F.expr(dot) / (F.sqrt(F.expr(nv)) * F.sqrt(F.expr(nq))), 6)
+                   .alias("sim")))
+    w = (Window.partitionBy("doc_id", "question_id")
+         .orderBy(F.desc("sim"), F.asc("chunk_index")))
+    topk = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_k))
+    return (topk.groupBy("doc_id", "question_id")
+            .agg(F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "chunk_text"))),
+                    lambda s: s["chunk_text"])).alias("context")))
+
+
+def build_prompts(runs: DataFrame, questions: DataFrame,
+                  contexts: DataFrame | None = None) -> DataFrame:
+    """(run x question) prompts: transcript-mode runs carry their
+    doc's RAG context, baseline runs the bare question — the prompt
+    assembly of `answer_one_question` (`run_8values_survey.py:330-352`)
+    as one declarative plan. Deterministic by construction so an
+    oracle/test can rebuild byte-identical prompts."""
+    pairs = runs.crossJoin(
+        F.broadcast(questions.select("question_id", "question_text")))
+    if contexts is not None:
+        pairs = pairs.join(contexts, ["doc_id", "question_id"], "left")
+    else:
+        pairs = pairs.withColumn("context", F.lit(None).cast("string"))
+    use_ctx = (F.col("mode") == "transcript") & F.col("context").isNotNull()
+    return pairs.select(
+        "run_id", "question_id", "mode", "doc_id",
+        F.when(use_ctx,
+               F.concat(F.lit("["), F.col("mode"), F.lit("] "),
+                        F.col("question_text"),
+                        F.lit(" || context: "), F.col("context")))
+         .otherwise(F.concat(F.lit("["), F.col("mode"), F.lit("] "),
+                             F.col("question_text")))
+         .alias("prompt"))
+
+
+def run_survey_http(spark: SparkSession, sf_dir: str,
+                    hosts: list[str],
+                    embed_transport_factory,
+                    chat_transport_factory,
+                    n_questions: int = 5,
+                    modes: list[str] = ("baseline", "transcript"),
+                    top_k: int = TOP_K,
+                    max_docs: int | None = None) -> DataFrame:
+    """The reference's full §3.3 survey loop
+    (`run_8values_survey.py:416-436`) over REAL transports: seed ->
+    RAG top-k contexts (embedding service) -> LLM answer (generate
+    service) -> parse chain -> axis scores. Transport factories are
+    injected (urllib Ollama transports in the socket-level integration
+    test; any callable with the same shape in production), and both
+    service stages inherit the round-robin failover / bounded-retry
+    policy of the external operators."""
+    from transcript_analysis_spark.operators.external import chat_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if max_docs is not None:
+        docs = docs.orderBy("doc_id").limit(max_docs)
+    questions = survey_questions(spark, n_questions)
+    runs = seed_runs(docs, list(modes))
+    contexts = rag_contexts(docs, questions, hosts,
+                            embed_transport_factory, top_k)
+    prompts = build_prompts(runs, questions, contexts).withColumn(
+        "chat_key", F.concat_ws("|", "run_id", "question_id"))
+    responses = chat_documents(
+        prompts.select("chat_key", "prompt"), hosts=hosts,
+        transport_factory=chat_transport_factory,
+        prompt_col="prompt", id_col="chat_key")
+    answered = (prompts.join(
+        responses.withColumnRenamed("doc_id", "chat_key"), "chat_key")
+        .select("run_id", "question_id",
+                F.coalesce(F.col("response"), F.lit("")).alias("llm_out")))
+    answers = parse_answers(answered)
+    return axis_scores(answers, questions)

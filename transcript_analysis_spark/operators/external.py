@@ -103,3 +103,58 @@ def embed_documents(docs: DataFrame,
     from pyspark.sql import functions as F
     return (docs.select(F.col(id_col).cast("string").alias(id_col), text_col)
             .mapInPandas(run, EMBED_SCHEMA))
+
+
+CHAT_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("response", StringType()),
+    StructField("host", StringType()),
+    StructField("attempts", IntegerType()),
+])
+
+
+def chat_documents(docs: DataFrame,
+                   hosts: list[str],
+                   transport_factory: Callable[[], Callable[[str, str], str]],
+                   prompt_col: str = "prompt",
+                   id_col: str = "doc_id",
+                   max_retries: int = 5) -> DataFrame:
+    """Batched external LLM chat — the F6 generate half of the
+    Ollama client (reference `answer_one_question`,
+    `run_8values_survey.py:354-371`) with the same round-robin host
+    failover / bounded-retry policy as :func:`embed_documents`:
+    rotate hosts per attempt, give up after `max_retries` -> null
+    response row, never crash the job. One transport per partition;
+    concurrency is partition count, exactly like the embed operator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        rr = 0
+        for pdf in batches:
+            ids, outs, used_hosts, attempts = [], [], [], []
+            for _, row in pdf.iterrows():
+                out, host_used, tries = None, None, 0
+                for attempt in range(max_retries):
+                    host = hosts[rr % len(hosts)]
+                    rr += 1
+                    tries = attempt + 1
+                    try:
+                        out = transport(host, row[prompt_col])
+                        host_used = host
+                        break
+                    except TransportError:
+                        continue
+                ids.append(row[id_col])
+                outs.append(out)
+                used_hosts.append(host_used)
+                attempts.append(tries)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="object"),
+                "response": pd.Series(outs, dtype="object"),
+                "host": used_hosts,
+                "attempts": pd.Series(attempts, dtype="int32"),
+            })
+
+    from pyspark.sql import functions as F
+    return (docs.select(F.col(id_col).cast("string").alias(id_col), prompt_col)
+            .mapInPandas(run, CHAT_SCHEMA))
