@@ -45,8 +45,8 @@ def test_ann_pairs_subset_of_true_pairs(spark):
 
 
 def test_ivf_probe_recall_vs_brute_force(spark):
-    """IVF probe (nprobe=2 of ~10 buckets) must recover a meaningful
-    share of the true cosine top-10 — the recall/cost trade the
+    """IVF probe (tuned IVF_NPROBE=8 of ~10 buckets at this SF) must
+    recover most of the true cosine top-10 — the recall/cost trade the
     operator exists to make. Deterministic: both queries are exact
     arithmetic, so this pins a constant."""
     from transcript_analysis_spark.plans import all_queries
@@ -56,7 +56,7 @@ def test_ivf_probe_recall_vs_brute_force(spark):
     ivf = {r.vec_id for r in
            all_queries()["ivf_topk_probe"].fn(spark, SF_DIR).collect()}
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall} ({ivf} vs {exact})"
+    assert recall >= 0.5, f"IVF recall collapsed: {recall} ({ivf} vs {exact})"
 
 
 def test_pq_rerank_recall_vs_brute_force(spark):
@@ -65,9 +65,12 @@ def test_pq_rerank_recall_vs_brute_force(spark):
     are near-uniform — the hardest case for coarse quantization (the
     true top-10 distances bunch within the quantization error), which
     is exactly why the operator re-ranks a shortlist instead of
-    trusting raw ADC order (raw-ADC recall here is ~0.1; shortlisted
-    re-rank measures 0.7). Deterministic: both sides are exact
-    arithmetic over fixed data."""
+    trusting raw ADC order. With the tuned production codebook/depth
+    (PQ_NCODE=64, PQ_RERANK=500, promoted from ann_param_sweep) the
+    shortlist covers this small corpus, so recall here is ~1.0; the
+    binding >=0.9 evidence at bench scale is
+    test_promoted_pq_config_clears_recall_floor. Deterministic: both
+    sides are exact arithmetic over fixed data."""
     import math
     from transcript_analysis_spark.plans import all_queries
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
@@ -82,7 +85,7 @@ def test_pq_rerank_recall_vs_brute_force(spark):
     got = all_queries()["pq_topk_adc"].fn(spark, SF_DIR).collect()
     got_ids = {r.vec_id for r in got}
     recall = len(got_ids & brute_ids) / 10
-    assert recall >= 0.6, f"PQ rerank recall collapsed: {recall}"
+    assert recall >= 0.9, f"PQ rerank recall collapsed: {recall}"
     # the re-ranked exact distances must BE exact (spot-check all 10)
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
     for r in got:
@@ -100,17 +103,19 @@ def test_ann_recall_report_floors_at_bench_scale(spark):
     rows = {r.variant: r for r in
             all_queries()["ann_recall_report"].fn(
                 spark, "/root/testdata/sf0.1").collect()}
-    assert set(rows) == {"rp_lsh_bucket", "ivf_nprobe2", "pq_adc_rerank"}
+    from transcript_analysis_spark.plans.data_pipeline import IVF_NPROBE
+    assert set(rows) == {"rp_lsh_bucket", f"ivf_nprobe{IVF_NPROBE}",
+                         "pq_adc_rerank"}
     n_corpus = (spark.read.parquet(
         "/root/testdata/sf0.1/embeddings.parquet").count() - 1)
     for r in rows.values():
         assert r.k == 10
-        assert 0 < r.n_candidates < n_corpus / 5, (
+        assert 0 < r.n_candidates < n_corpus / 2, (
             f"{r.variant} candidate set is not sub-corpus: "
             f"{r.n_candidates}/{n_corpus}")
         assert r.recall_at_k == r.n_hits / 10
-    assert rows["ivf_nprobe2"].recall_at_k >= 0.2
-    assert rows["pq_adc_rerank"].recall_at_k >= 0.5
+    assert rows[f"ivf_nprobe{IVF_NPROBE}"].recall_at_k >= 0.4
+    assert rows["pq_adc_rerank"].recall_at_k >= 0.9
 
 
 def test_mllib_lsh_recall_floor_vs_brute_force(spark):
@@ -129,3 +134,35 @@ def test_mllib_lsh_recall_floor_vs_brute_force(spark):
     recall = len({r.vec_id for r in got.collect()}
                  & {r.vec_id for r in brute}) / 10
     assert recall >= 0.6, f"MLlib LSH recall collapsed: {recall}"
+
+
+def test_promoted_pq_config_clears_recall_floor(spark):
+    """r6 verdict item 2 done-criterion: the PROMOTED production ANN
+    config (PQ_NCODE=64 codewords, PQ_RERANK=500 exact-rerank depth)
+    must measure recall@10 >= 0.9 at bench scale (sf0.1, 21-query
+    set) in the oracle-checked ann_param_sweep — the instrument the
+    config was chosen from. Deterministic exact-integer arithmetic,
+    so this pins 195/210 hits = 0.9286 on this corpus."""
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.plans.data_pipeline import (PQ_NCODE,
+                                                               PQ_RERANK)
+    rows = all_queries()["ann_param_sweep"].fn(
+        spark, "/root/testdata/sf0.1").collect()
+    promoted = [r for r in rows
+                if r.variant == "pq_adc_rerank"
+                and r.p1 == PQ_NCODE and r.p2 == PQ_RERANK]
+    assert promoted, "promoted config missing from the sweep grid"
+    r = promoted[0]
+    assert r.recall_at_k >= 0.9, (
+        f"promoted PQ config recall collapsed: {r.recall_at_k}")
+    assert abs(r.recall_at_k - r.n_hits / (10 * r.n_queries)) < 1e-6
+    # the sweep must also show WHY the bucket families were not
+    # promoted: no IVF/RP grid point at sub-half-corpus cost reaches
+    # 0.9 on these unclustered synthetic vectors
+    n_corpus = (spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet").count() - 1)
+    for x in rows:
+        if x.variant in ("ivf", "rp_multiprobe"):
+            per_query_cand = x.n_candidates / x.n_queries
+            if per_query_cand < n_corpus / 2:
+                assert x.recall_at_k < 0.9

@@ -1479,6 +1479,22 @@ def _spark_cos(a: str, b: str, digits: int) -> str:
     return f"round({dot} / ({na} * {nb}), {digits})"
 
 
+# Tuned ANN production defaults, promoted from the oracle-checked
+# `ann_param_sweep` evidence at sf0.1 (r6 verdict item 2; see
+# plans/ann_sweep.py for the full recall/cost frontier). On this
+# corpus's near-uniform synthetic embeddings the bucket families
+# plateau (IVF nprobe=16 -> 0.74, RP multiprobe ham<=2 -> 0.39 —
+# random vectors have no cluster structure to exploit), so the >=0.9
+# engine default is the PQ64 + rerank-500 pipeline (measured
+# recall@10 = 0.929 over 21 queries); IVF's default sits at its
+# cost/recall knee. On clustered real-world embeddings the same
+# sweep re-picks cheaper configs — the constants are per-deployment,
+# the instrument is the contract.
+IVF_NPROBE = 8     # 0.55 recall @ ~21% of corpus probed (knee of curve)
+PQ_NCODE = 64      # codewords per subspace (sweep: 4 -> 0.25, 64 -> 0.93)
+PQ_RERANK = 500    # exact-rerank shortlist depth (>=0.9 with margin)
+
+
 def ivf_vectors(df: DataFrame) -> DataFrame:
     """(vec_id, label, v: array<double>) view of an embeddings frame —
     shared by the batch probe and the streaming index store."""
@@ -1543,7 +1559,7 @@ def ivf_exact_topk(bucket_vecs: DataFrame, q: DataFrame,
       SELECT cent_id
       FROM cents CROSS JOIN q
       ORDER BY {_DUCK_COS.format(a='cv', b='qv', d=9)} DESC, cent_id
-      LIMIT 2
+      LIMIT {IVF_NPROBE}
     ),
     assign AS (
       SELECT e.vec_id, e.label, e.v, c.cent_id,
@@ -1568,9 +1584,13 @@ def ivf_exact_topk(bucket_vecs: DataFrame, q: DataFrame,
 def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors, the other
     classic ANN index besides LSH: partition the corpus into centroid
-    buckets once, then answer top-k by probing only the nprobe=2
+    buckets once, then answer top-k by probing only the nprobe
     buckets nearest the query — search cost drops from O(corpus) to
-    O(corpus/K * nprobe).
+    O(corpus/K * nprobe). nprobe default is the tuned `IVF_NPROBE`
+    (the cost/recall knee from the `ann_param_sweep` evidence —
+    nprobe=2 measured 0.24 recall@10 at sf0.1, 8 measures 0.55 at
+    ~21% of corpus probed; the >=0.9 engine default is the PQ
+    pipeline, `pq_topk_adc`).
 
     Deterministic stand-in for trained centroids: every 53rd vector is
     a centroid (at scale: k-means once, same plan). Assignment is an
@@ -1581,7 +1601,7 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ivf_vectors(_t(spark, sf_dir, "embeddings"))
     cents = ivf_seed_centroids(e)
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    top_cents = ivf_probe_centroids(cents, q, nprobe=2)
+    top_cents = ivf_probe_centroids(cents, q, nprobe=IVF_NPROBE)
     assign = ivf_assign(e, cents).filter(F.col("vec_id") != 0)
     bucket = assign.join(F.broadcast(top_cents), "cent_id")
     return ivf_exact_topk(bucket, q, k=10)
@@ -1939,7 +1959,8 @@ def crossdoc_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DUCK_EMB},
     seeds AS (
-      SELECT vec_id AS code, v AS sv FROM emb ORDER BY vec_id LIMIT 4
+      SELECT vec_id AS code, v AS sv FROM emb ORDER BY vec_id
+      LIMIT {PQ_NCODE}
     ),
     subs AS (SELECT unnest(generate_series(0, 7)) AS s),
     cb AS (
@@ -1990,7 +2011,7 @@ def crossdoc_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6) AS approx_dist
       FROM per
       ORDER BY ROUND(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6), vec_id
-      LIMIT 100
+      LIMIT {PQ_RERANK}
     )
     SELECT s.vec_id, s.label, s.approx_dist,
            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -2034,7 +2055,7 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    seeds = (e.orderBy("vec_id").limit(4)
+    seeds = (e.orderBy("vec_id").limit(PQ_NCODE)
              .select(F.col("vec_id").alias("code"), F.col("v").alias("sv")))
     subs = spark.range(8).select(F.col("id").cast("int").alias("s"))
     cb = (seeds.crossJoin(F.broadcast(subs))
@@ -2063,7 +2084,7 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.col("d4") + F.col("d5") + F.col("d6") + F.col("d7"))
     shortlist = (per.select("vec_id", "label",
                             F.round(total, 6).alias("approx_dist"))
-                 .orderBy("approx_dist", "vec_id").limit(100))
+                 .orderBy("approx_dist", "vec_id").limit(PQ_RERANK))
     exact = ("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
              " 0D, (acc, t) -> acc + t)")
     return (shortlist
@@ -2127,7 +2148,7 @@ _DUCK_L2 = ("ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     top_cents AS (
       SELECT cent_id FROM cents CROSS JOIN q
       ORDER BY {_DUCK_COS.format(a='cv', b='qv', d=9)} DESC, cent_id
-      LIMIT 2
+      LIMIT {IVF_NPROBE}
     ),
     assign AS (
       SELECT e.vec_id, c.cent_id,
@@ -2147,7 +2168,8 @@ _DUCK_L2 = ("ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
       ORDER BY s.cosine DESC, s.vec_id LIMIT {ANN_K}
     ),
     seeds AS (
-      SELECT vec_id AS code, v AS sv FROM emb ORDER BY vec_id LIMIT 4
+      SELECT vec_id AS code, v AS sv FROM emb ORDER BY vec_id
+      LIMIT {PQ_NCODE}
     ),
     subs AS (SELECT unnest(generate_series(0, 7)) AS s),
     cb AS (
@@ -2195,7 +2217,7 @@ _DUCK_L2 = ("ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     shortlist AS (
       SELECT vec_id FROM adc_per
       ORDER BY ROUND(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6), vec_id
-      LIMIT 100
+      LIMIT {PQ_RERANK}
     ),
     pq_top AS (
       SELECT s.vec_id FROM shortlist c JOIN scored s USING (vec_id)
@@ -2208,7 +2230,7 @@ _DUCK_L2 = ("ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
              CAST((SELECT COUNT(*) FROM rp_top t
                    JOIN gt_cos g USING (vec_id)) AS BIGINT) AS n_hits
       UNION ALL
-      SELECT 'ivf_nprobe2', 'cosine',
+      SELECT 'ivf_nprobe{IVF_NPROBE}', 'cosine',
              CAST((SELECT COUNT(*) FROM cand_ivf) AS BIGINT),
              CAST((SELECT COUNT(*) FROM ivf_top t
                    JOIN gt_cos g USING (vec_id)) AS BIGINT)
@@ -2304,7 +2326,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("cent_id",
                          F.expr(_spark_cos("cv", "qv", 9)).alias("cos_qc"))
                  .orderBy(F.desc("cos_qc"), F.asc("cent_id"))
-                 .limit(2).select("cent_id"))
+                 .limit(IVF_NPROBE).select("cent_id"))
     wv = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_vc"), F.asc("cent_id"))
     cand_ivf = (e.crossJoin(F.broadcast(cents))
@@ -2318,7 +2340,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                .limit(ANN_K).select("vec_id"))
 
     # PQ: same codebook/ADC shortlist as pq_topk_adc
-    seeds = (e.orderBy("vec_id").limit(4)
+    seeds = (e.orderBy("vec_id").limit(PQ_NCODE)
              .select(F.col("vec_id").alias("code"), F.col("v").alias("sv")))
     subs = spark.range(8).select(F.col("id").cast("int").alias("s"))
     cb = (seeds.crossJoin(F.broadcast(subs))
@@ -2343,7 +2365,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
           for i in range(8)])
     total = sum((F.col(f"d{i}") for i in range(1, 8)), F.col("d0"))
     shortlist = (per.select("vec_id", F.round(total, 6).alias("approx_dist"))
-                 .orderBy("approx_dist", "vec_id").limit(100)
+                 .orderBy("approx_dist", "vec_id").limit(PQ_RERANK)
                  .select("vec_id"))
     pq_top = (shortlist.join(scored, "vec_id")
               .orderBy(F.asc("l2"), F.asc("vec_id"))
@@ -2364,7 +2386,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("recall_at_k")))
 
     return (report_row("rp_lsh_bucket", "cosine", cand_rp, rp_top, gt_cos)
-            .unionByName(report_row("ivf_nprobe2", "cosine",
+            .unionByName(report_row(f"ivf_nprobe{IVF_NPROBE}", "cosine",
                                     cand_ivf, ivf_top, gt_cos))
             .unionByName(report_row("pq_adc_rerank", "l2",
                                     shortlist, pq_top, gt_l2)))

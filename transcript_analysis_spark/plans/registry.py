@@ -70,6 +70,7 @@ def _load_all() -> None:
         sketches,
         graph,
         selection,
+        ann_sweep,
     )
 
 

@@ -31,14 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.data_pipeline import (
+    IVF_NPROBE,
     ivf_assign,
     ivf_exact_topk,
     ivf_probe_centroids,
     ivf_seed_centroids,
     ivf_vectors,
 )
-
-IVF_NPROBE = 2
 
 
 def build_centroid_store(emb: DataFrame, centroid_dir: str) -> int:
