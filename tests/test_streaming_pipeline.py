@@ -1,0 +1,176 @@
+"""The composed seven-store streaming pipeline (streaming/pipeline.py):
+>= 3 micro-batches through the full chain with a MID-STREAM replay,
+then the streamed kept-set proven equal to the batch composite over
+the union of batches and every store proven replay-inert (r6 verdict
+item 5 done-criterion)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.sources.tables import load_table
+from transcript_analysis_spark.streaming import pipeline as pl
+from transcript_analysis_spark.streaming.perceptron_store import read_weights
+from transcript_analysis_spark.streaming.sketch_store import (
+    read_hll_registers, read_sketch)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _store_state(spark, stores):
+    """Deterministic snapshot of every store's contents."""
+    def rows(path, *cols):
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            return None
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    w = read_weights(spark, stores.perceptron_root)
+    return {
+        "bands": rows(stores.bands_dir, "doc_id", "band", "key"),
+        "pairs": rows(stores.pairs_dir, "doc_a", "doc_b", "batch_id"),
+        "decontam": rows(stores.decontam_dir, "doc_id", "n_shingles",
+                         "n_candidates", "batch_id"),
+        "dsir": rows(stores.dsir_scores_dir, "doc_id", "importance_e9",
+                     "batch_id"),
+        "kept": rows(stores.kept_dir, "doc_id", "batch_id"),
+        "cms": sorted(map(tuple, read_sketch(spark, stores.cms_dir)
+                          .collect())),
+        "hll": sorted(map(tuple,
+                          read_hll_registers(spark, stores.hll_dir,
+                                             "source").collect())),
+        "assign": rows(stores.assign_dir, "vec_id", "cent_id",
+                       "batch_id"),
+        "weights": tuple(w),
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    """Init stores, drive 3 id-ordered micro-batches with a replay of
+    batch 1 between batches 1 and 2; return everything the assertions
+    need."""
+    root = str(tmp_path_factory.mktemp("pipe"))
+    stores = pl.PipelineStores.under(root)
+    docs = load_table(spark, SF_DIR, "documents")
+    emb_path = f"{SF_DIR}/embeddings.parquet"
+
+    # benchmark/eval docs (bloom training): a fixed slice of the
+    # corpus, so those exact docs MUST be dropped as contaminated
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    init = pl.init_pipeline_stores(spark, stores, bench, docs,
+                                   spark.read.parquet(emb_path))
+    assert init["bloom_words"] > 0 and init["dsir_vocab"] > 0
+    assert init["perceptron_version"] == 1 and init["ivf_centroids"] > 0
+
+    # three disjoint id-ordered micro-batches (keep-first finality
+    # needs smaller ids to arrive no later than their partners)
+    batches = [docs.filter(F.col("doc_id") < 170),
+               docs.filter((F.col("doc_id") >= 170)
+                           & (F.col("doc_id") < 340)),
+               docs.filter(F.col("doc_id") >= 340)]
+
+    reports = [pl.foreach_batch_corpus_pipeline(batches[0], 0, stores,
+                                                emb_path),
+               pl.foreach_batch_corpus_pipeline(batches[1], 1, stores,
+                                                emb_path)]
+    mid_state = _store_state(spark, stores)
+    # MID-STREAM REPLAY: batch 1 redelivered (crash-retry) before 2
+    replay = pl.foreach_batch_corpus_pipeline(batches[1], 1, stores,
+                                              emb_path)
+    replay_state = _store_state(spark, stores)
+    reports.append(pl.foreach_batch_corpus_pipeline(batches[2], 2, stores,
+                                                    emb_path))
+    return {"stores": stores, "docs": docs, "emb_path": emb_path,
+            "reports": reports, "replay": replay,
+            "mid_state": mid_state, "replay_state": replay_state}
+
+
+def test_replay_changes_nothing_in_any_store(pipeline_run):
+    """The redelivered micro-batch is a no-op across ALL seven stores
+    — including the non-idempotent perceptron (watermark skip)."""
+    assert pipeline_run["replay"]["perceptron_applied"] is False
+    assert pipeline_run["mid_state"] == pipeline_run["replay_state"]
+
+
+def test_every_batch_processed_and_gates_bite(spark, pipeline_run):
+    reports = pipeline_run["reports"]
+    assert [r["batch_id"] for r in reports] == [0, 1, 2]
+    total_in = sum(r["in"] for r in reports)
+    total_kept = sum(r["kept"] for r in reports)
+    assert total_in == pipeline_run["docs"].count()
+    # the gates actually dropped something, and kept something
+    assert 0 < total_kept < total_in
+    # the bloom-trained (benchmark) docs were all dropped
+    kept_ids = {r.doc_id for r in
+                pl.read_kept(spark, pipeline_run["stores"].kept_dir)
+                .collect()}
+    bench_ids = {r.doc_id for r in pipeline_run["docs"]
+                 .filter(F.col("doc_id") % 17 == 3).collect()}
+    assert not (kept_ids & bench_ids), "contaminated docs survived"
+
+
+def test_streamed_kept_set_equals_batch_composite(spark, pipeline_run):
+    """The headline equivalence: union of streamed kept partitions ==
+    the same three gates applied to the union of all batches as one
+    batch plan."""
+    stores = pipeline_run["stores"]
+    streamed = {r.doc_id for r in
+                pl.read_kept(spark, stores.kept_dir).collect()}
+    composite = {r.doc_id for r in pl.batch_composite_kept(
+        pipeline_run["docs"],
+        spark.read.parquet(stores.bloom_dir),
+        spark.read.parquet(stores.dsir_weights_dir)).collect()}
+    assert streamed == composite
+
+
+def test_profile_stores_equal_batch_over_kept_union(spark, pipeline_run):
+    """CMS cells, HLL registers, and IVF assignments across batches
+    equal one batch pass over the kept union — the mergeable-store
+    algebra survives the composition."""
+    from transcript_analysis_spark.plans.sketches import (cms_cells,
+                                                          hll_registers,
+                                                          tokens_with_hash)
+    from transcript_analysis_spark.streaming.ivf_store import (
+        assign_against_store, read_assignments)
+    stores = pipeline_run["stores"]
+    kept_ids = pl.read_kept(spark, stores.kept_dir).select("doc_id")
+    kept_docs = pipeline_run["docs"].join(kept_ids, "doc_id", "left_semi")
+
+    streamed_cms = {(r.j, r.bucket): r.cnt for r in
+                    read_sketch(spark, stores.cms_dir).collect()}
+    batch_cms = {(r.j, r.bucket): r.cnt for r in
+                 cms_cells(tokens_with_hash(kept_docs))
+                 .collect()}
+    assert streamed_cms == batch_cms
+
+    streamed_hll = {(r.source, r.j): r.m for r in
+                    read_hll_registers(spark, stores.hll_dir, "source")
+                    .collect()}
+    batch_hll = {(r.source, r.j): r.m for r in
+                 hll_registers(kept_docs, "source", "doc_id").collect()}
+    assert streamed_hll == batch_hll
+
+    emb = spark.read.parquet(pipeline_run["emb_path"])
+    kept_emb = emb.join(kept_ids.select(F.col("doc_id").alias("vec_id")),
+                        "vec_id", "left_semi")
+    streamed_assign = {(r.vec_id, r.cent_id) for r in
+                       read_assignments(spark, stores.assign_dir)
+                       .collect()}
+    cents = spark.read.parquet(stores.centroid_dir)
+    batch_assign = {(r.vec_id, r.cent_id) for r in
+                    assign_against_store(kept_emb, cents).collect()}
+    assert streamed_assign == batch_assign
+
+
+def test_perceptron_saw_exactly_the_kept_docs_once(spark, pipeline_run):
+    """Exactly-once training input: n_seen equals the kept-union size
+    (each doc once, despite the replay), watermark at the last batch."""
+    import json
+    stores = pipeline_run["stores"]
+    w = read_weights(spark, stores.perceptron_root)
+    n_kept = pl.read_kept(spark, stores.kept_dir).count()
+    assert w["n_seen"] == n_kept
+    assert json.loads(w["applied_json"]) == {"corpus_pipeline": 2}

@@ -1,0 +1,237 @@
+"""The seven persisted-store streaming operators composed into ONE
+end-to-end incremental corpus pipeline (r6 verdict item 5).
+
+Each store is individually proven (streamed == batch, replay no-op);
+the reference's production loop (SURVEY §3.1-3.3) is the COMPOSITION,
+and cross-store interaction — the perceptron's versioned commits
+interleaving with the dedup/verdict partition overwrites inside one
+micro-batch — is what this module makes a first-class, tested unit.
+
+Per micro-batch of (doc_id, text, lang, source, n_chars) documents:
+
+    1. incremental near-dup  (LSH band store, neardup.py)
+       gate: drop any doc that shares a band bucket with a SMALLER
+       doc_id (keep-first). Pairwise rule, order-independent given
+       id-ordered arrival: the pair (a, b), a < b, is discovered no
+       later than b's own batch, so b's verdict is final at arrival.
+    2. decontamination       (bloom store, decontam.py)
+       gate: drop when >= half the doc's shingles are bloom-positive.
+    3. DSIR selection        (frozen weight store, dsir_store.py)
+       gate: keep `target_like` docs (positive avg log-ratio).
+    4. kept-set              batch_id-partitioned parquet (idempotent)
+    5. perceptron update     (versioned weight store, exactly-once via
+       the applied-batch watermark; non-idempotent math made replay-
+       safe by the optimistic-commit protocol)
+    6. CMS + HLL profile     (mergeable sketch deltas, sketch_store.py)
+    7. IVF assignment        (frozen centroids + idempotent partition
+       appends, ivf_store.py)
+
+Stages 5-7 run on the KEPT subset — curate first, then train/profile/
+index, the order a corpus team actually runs.
+
+Equivalence contract (tests/test_streaming_pipeline.py): the union of
+kept partitions after N micro-batches EQUALS `batch_composite_kept`
+— the same three gates applied to the union of all batches in one
+batch plan — and a mid-stream replay of an already-applied batch
+changes NOTHING in any of the seven stores.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.streaming.decontam import (
+    build_bloom_store, foreach_batch_decontam, probe_bloom)
+from transcript_analysis_spark.streaming.dsir_store import (
+    build_weight_store, foreach_batch_dsir, score_against_store)
+from transcript_analysis_spark.streaming.ivf_store import (
+    build_centroid_store, foreach_batch_ivf)
+from transcript_analysis_spark.streaming.neardup import (
+    foreach_batch_neardup, read_pairs)
+from transcript_analysis_spark.streaming.perceptron_store import (
+    foreach_batch_perceptron, init_weight_store)
+from transcript_analysis_spark.streaming.sketch_store import (
+    foreach_batch_hll, foreach_batch_sketch)
+
+DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@dataclass(frozen=True)
+class PipelineStores:
+    """Directory layout of the composed pipeline's seven stores."""
+    bands_dir: str          # near-dup LSH bands (append)
+    pairs_dir: str          # near-dup pairs (batch_id partitions)
+    bloom_dir: str          # frozen decontam bloom words
+    decontam_dir: str       # per-doc verdicts (batch_id partitions)
+    dsir_weights_dir: str   # frozen DSIR weight table
+    dsir_scores_dir: str    # per-doc scores (batch_id partitions)
+    kept_dir: str           # kept doc_ids (batch_id partitions)
+    perceptron_root: str    # versioned weight store
+    cms_dir: str            # CMS cell deltas (batch_id partitions)
+    hll_dir: str            # HLL register deltas (batch_id partitions)
+    centroid_dir: str       # frozen IVF centroids
+    assign_dir: str         # IVF assignments (batch_id partitions)
+
+    @classmethod
+    def under(cls, root: str) -> "PipelineStores":
+        import os
+        return cls(**{f: os.path.join(root, f[:-4] if f.endswith("_dir")
+                                      else f)
+                      for f in cls.__dataclass_fields__})
+
+
+def init_pipeline_stores(spark: SparkSession, stores: PipelineStores,
+                         bench_docs: DataFrame, ref_corpus: DataFrame,
+                         emb: DataFrame) -> dict:
+    """Freeze the model-like stores before streaming starts: the
+    decontam bloom from the benchmark/eval docs, the DSIR weights from
+    the reference corpus, zeroed perceptron weights, IVF centroids
+    from the embedding table. Returns the init sizes (for logging)."""
+    return {
+        "bloom_words": build_bloom_store(bench_docs, stores.bloom_dir),
+        "dsir_vocab": build_weight_store(ref_corpus,
+                                         stores.dsir_weights_dir),
+        "perceptron_version": init_weight_store(spark,
+                                                stores.perceptron_root),
+        "ivf_centroids": build_centroid_store(emb, stores.centroid_dir),
+    }
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, out_dir: str,
+                           coalesce: int | None = None) -> None:
+    spark = df.sparkSession
+    out = df.withColumn("batch_id", F.lit(int(batch_id)))
+    if coalesce:
+        out = out.coalesce(coalesce)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (out.write.mode("overwrite").partitionBy("batch_id")
+         .parquet(out_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def gate_neardup(batch_docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep-first pairwise gate: drop every doc that appears as the
+    GREATER member of any discovered pair."""
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return batch_docs.join(losers, "doc_id", "left_anti")
+
+
+def gate_decontam(docs: DataFrame, bloom_store: DataFrame) -> DataFrame:
+    """Drop docs with >= half their shingles bloom-positive."""
+    v = probe_bloom(docs, bloom_store)
+    clean = (v.filter(2 * F.col("n_candidates") < F.col("n_shingles"))
+             .select("doc_id"))
+    return docs.join(clean, "doc_id", "left_semi")
+
+
+def gate_dsir(docs: DataFrame, weight_store: DataFrame) -> DataFrame:
+    """Keep target-like docs (positive average log-ratio)."""
+    s = score_against_store(docs, weight_store)
+    keep = s.filter(F.col("target_like")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
+                                  stores: PipelineStores,
+                                  emb_path: str | None = None) -> dict:
+    """One micro-batch through all seven stores (module docstring).
+    Every stage writes through its own store's proven foreach/commit
+    function; the gates recompute the same deterministic verdicts
+    inline. Safe to replay with the same batch_id: partition stores
+    overwrite themselves, the band append is anti-join-guarded, the
+    perceptron skips via its applied-batch watermark. Returns per-
+    stage row counts (driver-side observability only)."""
+    spark = batch_df.sparkSession
+    batch_docs = batch_df.select(*DOC_COLS).localCheckpoint(eager=True)
+
+    # 1. near-dup: grow the band store, land this batch's pairs
+    foreach_batch_neardup(batch_docs.select("doc_id", "text"), batch_id,
+                          stores.bands_dir, stores.pairs_dir)
+    kept = gate_neardup(batch_docs, read_pairs(spark, stores.pairs_dir))
+
+    # 2. decontam: verdicts for the survivors + gate
+    bloom = spark.read.parquet(stores.bloom_dir)
+    foreach_batch_decontam(kept.select("doc_id", "text"), batch_id,
+                           stores.bloom_dir, stores.decontam_dir)
+    kept = gate_decontam(kept, bloom)
+
+    # 3. DSIR: scores for the survivors + gate
+    weights = spark.read.parquet(stores.dsir_weights_dir)
+    foreach_batch_dsir(kept, batch_id,
+                       stores.dsir_weights_dir, stores.dsir_scores_dir)
+    kept = gate_dsir(kept, weights).localCheckpoint(eager=True)
+
+    # 4. the kept-set — the pipeline's product
+    _write_batch_partition(kept.select("doc_id"), batch_id,
+                           stores.kept_dir, coalesce=1)
+
+    # 5. perceptron online update on the kept docs (exactly-once)
+    applied = foreach_batch_perceptron(kept, batch_id,
+                                       stores.perceptron_root,
+                                       stream_id="corpus_pipeline")
+
+    # 6. sketch profile of the kept docs
+    foreach_batch_sketch(kept, batch_id, stores.cms_dir)
+    foreach_batch_hll(kept, batch_id, stores.hll_dir,
+                      group_col="source", id_col="doc_id")
+
+    # 7. IVF assignment for kept docs that carry vectors
+    n_vec = 0
+    if emb_path is not None:
+        emb = spark.read.parquet(emb_path)
+        batch_emb = emb.join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi")
+        n_vec = batch_emb.count()
+        if n_vec:
+            foreach_batch_ivf(batch_emb, batch_id,
+                              stores.centroid_dir, stores.assign_dir)
+
+    return {"batch_id": batch_id, "in": batch_docs.count(),
+            "kept": kept.count(), "perceptron_applied": applied,
+            "vectors_assigned": n_vec}
+
+
+def run_corpus_pipeline_stream(stream_docs: DataFrame,
+                               stores: PipelineStores,
+                               checkpoint_dir: str,
+                               emb_path: str | None = None):
+    """AvailableNow foreachBatch driver for the composed pipeline."""
+    return (stream_docs.writeStream
+            .foreachBatch(lambda df, bid: foreach_batch_corpus_pipeline(
+                df, bid, stores, emb_path))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_kept(spark: SparkSession, kept_dir: str) -> DataFrame:
+    """The pipeline's kept-set across all batches (doc_id, batch_id)."""
+    return spark.read.parquet(kept_dir)
+
+
+def batch_composite_kept(all_docs: DataFrame, bloom_store: DataFrame,
+                         weight_store: DataFrame) -> DataFrame:
+    """The SAME three gates as one batch plan over the full corpus —
+    the equivalence oracle for the streamed kept-set. Near-dup rule:
+    drop any doc sharing a band bucket with a smaller doc_id (the
+    pairwise keep-first rule, identical band fold as the store)."""
+    from transcript_analysis_spark.streaming.neardup import \
+        minhash_band_keys
+    bands = minhash_band_keys(all_docs.select("doc_id", "text"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")).distinct())
+    kept = gate_neardup(all_docs, pairs)
+    kept = gate_decontam(kept, bloom_store)
+    return gate_dsir(kept, weight_store).select("doc_id")
