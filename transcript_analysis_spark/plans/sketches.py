@@ -268,7 +268,8 @@ def _km_chain() -> str:
     d{t} AS (
       SELECT q.vec_id, c.cid,
              list_sum(list_transform(list_zip(q.v, c.v),
-                      s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist
+                      s -> CAST(s[1] - s[2] AS HUGEINT)
+                           * (s[1] - s[2]))) AS dist
       FROM q CROSS JOIN c{t} c
     ),
     a{t} AS (
@@ -311,9 +312,16 @@ def _km_assign(vecs: DataFrame, centroids: list[tuple[int, list[int]]]):
         F.struct(F.lit(cid).alias("cid"),
                  F.lit(list(v)).cast("array<bigint>").alias("cv"))
         for cid, v in centroids])
+    # Distance terms and their sum run in DECIMAL(38,0): the int64 sum
+    # of 64 squared deltas wraps once the corpus value spread exceeds
+    # ~4600 quantized units (caught by the 64x overflow-regime oracle
+    # sweep, tools/scale_probe.py --check — Spark ANSI errors where
+    # DuckDB widens to HUGEINT). Same exact-integer algebra, 1e38
+    # headroom, and the DuckDB side is HUGEINT so both stay exact.
     dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        F.zip_with(F.col("v"), c["cv"],
+                   lambda a, b: (a - b).cast("decimal(19,0)") * (a - b)),
+        F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x)
     best = F.array_min(F.transform(cent_arr,
                                    lambda c: F.struct(dist(c).alias("dist"),
                                                       c["cid"].alias("cid"))))
@@ -350,8 +358,12 @@ def _lloyd(spark: SparkSession, sf_dir: str):
         assigned = _km_assign(vecs, centroids)
         upd = (assigned.groupBy("cid")
                .agg(F.count("*").alias("n"),
-                    *[F.sum(F.col("v")[i]).alias(f"s{i}")
-                      for i in range(KM_DIM)])
+                    # wide sums: int64 column sums overflow in the same
+                    # regime as the distance kernel (DuckDB's SUM is
+                    # HUGEINT already); python ints are unbounded after
+                    # the K-row collect
+                    *[F.sum(F.col("v")[i].cast("decimal(38,0)"))
+                      .alias(f"s{i}") for i in range(KM_DIM)])
                .collect())
         centroids = sorted(
             (int(r.cid),
