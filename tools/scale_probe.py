@@ -10,7 +10,20 @@ copy is preserved. (The r2 probe id-shifted identical text, so every
 doc matched its k-1 clones and true LSH pair count grew k² — a corpus
 artifact the judge flagged, not an engine inflection.)
 
-Usage: python tools/scale_probe.py [multiples...]   (default 1 2 4)
+`--check` mode (r6 verdict item 4) runs the full DuckDB ORACLE
+comparison — not just timing — on the int64-quantized query family at
+the scaled multiples. This is the regime where silent-wrap bugs live:
+Spark's non-ANSI arithmetic wraps int64 silently where DuckDB errors,
+so a wrap anywhere in the quantized algebra surfaces as a hash
+mismatch or a DuckDB overflow error. Unit tests cover the KNOWN
+hazards (e.g. temperature_mixture_plan to 10^27); this sweep catches
+unknown ones. In --check mode, orders/lineitem are scaled too (with
+copy-shifted order/cust/supp keys, so the purchase graph genuinely
+grows as k disjoint components instead of collapsing under the
+distinct()).
+
+Usage: python tools/scale_probe.py [--check] [multiples...]
+       (default 1 2 4; --check default 8 64)
 """
 
 from __future__ import annotations
@@ -22,18 +35,56 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def build_scaled_dir(spark, base_dir: str, k: int) -> str:
+CHECK_FAMILY = [
+    "temperature_mixture_plan",
+    "dsir_importance_weights",
+    "perceptron_classifier_train",
+    "perceptron_classifier_eval",
+    "skipgram_pmi_pairs",
+    "kmeans_centroids",
+    "pagerank_purchase_graph",
+    "hybrid_rrf_fusion",
+]
+
+
+def build_scaled_dir(spark, base_dir: str, k: int,
+                     scale_orders: bool = False) -> str:
     """documents/embeddings/events scaled k-fold by id-shifted union;
-    other tables symlinked."""
+    other tables symlinked. With `scale_orders`, orders/lineitem are
+    scaled too: each copy shifts orderkey AND cust/supp keys by a
+    copy-specific constant, so FK joins stay consistent within a copy
+    and the purchase graph grows as k disjoint components (copies with
+    the SAME cust/supp keys would collapse under the edge distinct)."""
     out = tempfile.mkdtemp(prefix=f"scale{k}_")
     from pyspark.sql import functions as F
     from transcript_analysis_spark.sources.tables import TABLES, load_table
 
     shifted = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
+    KEY_SHIFT = 10_000_000   # > any base key at sf0.1
     for name in TABLES:
         src = os.path.join(base_dir, f"{name}.parquet")
         dst = os.path.join(out, f"{name}.parquet")
+        if scale_orders and k > 1 and name in ("orders", "lineitem"):
+            df = load_table(spark, base_dir, name)
+            parts = [df]
+            for i in range(1, k):
+                s = i * KEY_SHIFT
+                if name == "orders":
+                    copy = (df.withColumn("o_orderkey", df.o_orderkey + s)
+                            .withColumn("o_custkey", df.o_custkey + s))
+                else:
+                    copy = (df.withColumn("l_orderkey", df.l_orderkey + s)
+                            .withColumn("l_suppkey", df.l_suppkey + s)
+                            .withColumn("l_partkey", df.l_partkey + s))
+                parts.append(copy)
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            union.write.mode("overwrite").parquet(dst)
+            continue
         if name not in shifted or k == 1:
             os.symlink(src, dst)
             continue
@@ -70,8 +121,85 @@ def build_scaled_dir(spark, base_dir: str, k: int) -> str:
     return out
 
 
+def check_main(multiples: list[int]) -> None:
+    """Oracle comparison (Spark vs DuckDB, the t2 compare) for the
+    int64-quantized family at scaled multiples. Exits nonzero on any
+    mismatch or engine error."""
+    import check_correctness as cc
+    import duckdb
+
+    from transcript_analysis_spark.plans import all_queries
+    from transcript_analysis_spark.session import get_spark
+
+    def duck_con(d: str):
+        # scaled tables are Spark-written DIRECTORIES of part files;
+        # symlinked ones are single parquet files
+        con = duckdb.connect()
+        # 64x joins need explicit spill headroom: without these DuckDB
+        # spilled >80 GB into cwd/.tmp and died on disk, long before
+        # its in-memory plan would have (125 GB RAM here)
+        con.execute("SET memory_limit='90GB'")
+        con.execute("SET preserve_insertion_order=false")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            path = f"{d}/{t}.parquet"
+            pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{pat}')")
+        return con
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    family = os.environ.get("SPARK_GRAFT_CHECK_QUERIES", "")
+    names = [q for q in family.split(",") if q] or CHECK_FAMILY
+    registry = all_queries()
+
+    results = []
+    failed = False
+    dirs = []
+    try:
+        for k in multiples:
+            d = build_scaled_dir(spark, base, k, scale_orders=True)
+            dirs.append(d)
+            con = duck_con(d)
+            for qname in names:
+                q = registry[qname]
+                t0 = time.time()
+                try:
+                    df = q.fn(spark, d)
+                    res = con.execute(q.oracle)
+                    duck_cols = [c[0] for c in res.description]
+                    duck_rows = res.fetchall()
+                    duck_pdf = con.execute(q.oracle).df()
+                    ok, msg = cc.compare(qname, df, duck_rows,
+                                         duck_cols, duck_pdf)
+                except Exception as e:  # noqa: BLE001 - overflow = FAIL
+                    ok, msg = False, f"engine error: {e}"
+                dt = round(time.time() - t0, 1)
+                status = "PASS" if ok else "FAIL"
+                failed = failed or not ok
+                print(f"{status}  x{k} {qname}: {msg} ({dt}s)", flush=True)
+                results.append({"k": k, "query": qname, "ok": ok,
+                                "detail": msg, "sec": dt})
+            con.close()
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"mode": "check", "base": base,
+                      "multiples": multiples, "results": results}))
+    if failed:
+        sys.exit(1)
+
+
 def main() -> None:
-    multiples = [int(x) for x in sys.argv[1:]] or [1, 2, 4]
+    args = sys.argv[1:]
+    if "--check" in args:
+        args.remove("--check")
+        check_main([int(x) for x in args] or [8, 64])
+        return
+    multiples = [int(x) for x in args] or [1, 2, 4]
     queries = os.environ.get(
         "SPARK_GRAFT_PROBE_QUERIES",
         "islands_flagship,ngram_model_score,"
