@@ -56,8 +56,11 @@ def test_contamination_overlap_golden(spark):
 
 
 def test_ivf_topk_probe_golden(spark):
+    # re-pinned in r7: the nprobe default moved 2 -> 8 (the tuned
+    # IVF_NPROBE promoted from ann_param_sweep), an intentional
+    # semantics change verified oracle-green at all three SFs
     n, d = _fingerprint(_q(spark, "ivf_topk_probe"))
-    assert (n, d) == (10, "5a6a320233f1a907"), (
+    assert (n, d) == (10, "8ad0f6794218f0dc"), (
         f"ivf probe drifted: ({n}, {d!r})")
 
 
