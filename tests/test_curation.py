@@ -106,6 +106,36 @@ def test_dup_coverage_flags_an_injected_duplicate(spark, tmp_path):
     assert out[3]["dup_fraction"] == 0.0
 
 
+def test_simhash_pairs_fixture_semantics(spark, tmp_path):
+    """SimHash Hamming pairing on a controlled corpus: an identical
+    pair must surface at hamming 0 (equal fingerprints -> every band
+    agrees), a one-word edit of a 28-word doc lands within the
+    hamming <= 3 gate (here exactly 3 — the pigeonhole boundary, where
+    at least one of the 4 bands still matches), and a
+    disjoint-vocabulary doc is never paired. Deterministic: the
+    fingerprint is pure hash algebra, no RNG."""
+    from transcript_analysis_spark.plans.data_pipeline import (
+        simhash_hamming_pairs)
+    base = ("spark shuffle partition broadcast join aggregate window "
+            "watermark catalyst tungsten codegen arrow pandas parquet "
+            "bucket skew salt adaptive execution plan stage task "
+            "executor driver memory spill hash sort merge "
+            "exchange").split()
+    t1 = " ".join(base)
+    t2 = " ".join(["stream" if i == 7 else w for i, w in enumerate(base)])
+    t3 = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    spark.createDataFrame(
+        [(1, t1, "en", "s", len(t1)), (2, t1, "en", "s", len(t1)),
+         (3, t2, "en", "s", len(t2)), (4, t3, "es", "s", len(t3))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_hamming_pairs(spark, str(tmp_path)).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 3 and pairs[(2, 3)] == 3
+    assert not any(4 in p for p in pairs)
+
+
 def test_dup_coverage_no_cartesian_jvm_side(spark):
     plan = plan_of(_q(spark, "duplicate_ngram_coverage"))
     assert "CartesianProduct" not in plan

@@ -85,6 +85,13 @@ def test_quality_signal_family_golden(spark):
             f"via tests/test_golden_outputs.py::_fingerprint")
 
 
+def test_simhash_hamming_pairs_golden(spark):
+    n, d = _fingerprint(_q(spark, "simhash_hamming_pairs"))
+    assert (n, d) == (521, "f6cfa0c879752761"), (
+        f"simhash pairs drifted: ({n}, {d!r}) — if intentional, update "
+        f"via tests/test_golden_outputs.py::_fingerprint")
+
+
 def test_recursive_gapfill_fills_gaps(spark):
     """The recursive-CTE month series must cover the full fiscal
     window with zero-filled rows for months that have no orders (the

@@ -91,6 +91,15 @@ def test_lsh_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_pair_join_is_banded_not_cartesian(spark):
+    """The SimHash pair generator must join on the (band, key) equi
+    key — never all-pairs — and keep the vote/bit math JVM-side."""
+    plan = plan_of(_q(spark, "simhash_hamming_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_neardup_components_plan_depth_bounded(spark):
     """The iterative min-label-propagation loop must localCheckpoint
     its loop-carried DataFrame: with .cache() alone the logical plan

@@ -426,6 +426,137 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
+# SimHash near-dup pairing (Manku, Jain & Das Sarma, WWW'07): a 60-bit
+# fingerprint split into 4 bands of 15 bits.  Pigeonhole: two
+# fingerprints within Hamming distance 3 agree exactly on at least one
+# band, so the banded equi-join generates every true pair; the exact
+# bit_count(xor) check then drops band collisions.  At production
+# scale the band width is the tuning knob (Manku: |prefix| ~ log2(n)
+# bits so expected bucket size stays O(1)); 15 bits / 32k buckets per
+# band is sized for the driver corpus and is a shared constant so the
+# docstring's scaling rule has one place to change.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15          # SIMHASH_BITS / SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3         # pigeonhole-complete for 4 bands
+
+# Per-bit word hash g_b(h) = ((2b+3)*h + b) mod p mod 2 — an
+# independent affine re-hash of the word's polynomial char hash per
+# bit position, identical algebra on both engines (max intermediate
+# (2*59+3) * (MOD-1) ~ 1.2e11, far inside int64).
+_SIMHASH_BIT = "(((h * (2 * {b} + 3) + {b}) % " + str(MOD) + ") % 2)"
+
+_DUCK_SIMHASH60 = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wh AS (
+      SELECT doc_id, {duck_char_hash('word')} AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN {_SIMHASH_BIT.format(b='b.bit')} = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM wh
+      CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1}))
+                  AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0
+                           THEN CAST(POWER(2, bit) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH60},
+    bands AS (
+      SELECT doc_id, j.band,
+             (simhash // CAST(POWER(2, {SIMHASH_BAND_BITS} * j.band)
+                              AS BIGINT)) % {1 << SIMHASH_BAND_BITS} AS key
+      FROM sh
+      CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1}))
+                  AS band) j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND b.doc_id > a.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 3 over a 60-bit
+    fingerprint (Manku et al. WWW'07 pigeonhole banding — the SimHash
+    complement of `minhash_lsh_candidate_pairs`; reference analog:
+    the dedup pass of maintain_database.py's ingest loop, which the
+    reference does exactly-only).
+
+    Plan shape: one hash-aggregate builds the 60 per-bit vote sums per
+    doc (votes folded per row into an array first — no x60 explode of
+    the aggregate input); fingerprints then fan out to 4 (band, key)
+    rows each and self-join on the band key — never all-pairs.  The
+    exact Hamming filter runs on the candidate set only.  At 100 TB
+    the band key join is the only shuffle that grows, and its bucket
+    population is controlled by SIMHASH_BAND_BITS (Manku's rule:
+    ~log2(corpus) bits keeps buckets O(1))."""
+    d = fanout(_t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wh = tok.select("doc_id",
+                    F.expr(spark_char_hash("word")).alias("h"))
+    per_row = wh.withColumn("vote_vec", F.expr(
+        f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+        f" b -> CASE WHEN {_SIMHASH_BIT.format(b='b')} = 1"
+        f" THEN 1 ELSE -1 END)"))
+    votes = per_row.groupBy("doc_id").agg(
+        *[F.sum(F.element_at("vote_vec", b + 1)).alias(f"v{b}")
+          for b in range(SIMHASH_BITS)])
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sh = votes.select("doc_id", simhash.cast("long").alias("simhash"))
+    band_structs = ", ".join(
+        f"struct({j} as band,"
+        f" shiftright(simhash, {SIMHASH_BAND_BITS * j})"
+        f" % {1 << SIMHASH_BAND_BITS} as key)"
+        for j in range(SIMHASH_BANDS))
+    bands = (sh.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key")))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return (cand
+            .join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("simhash").alias("sha")), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"),
+                            F.col("simhash").alias("shb")), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.expr("bit_count(sha ^ shb)").alias("hamming"))
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
