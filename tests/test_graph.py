@@ -33,3 +33,47 @@ def test_hub_outranks_leaf(spark):
     pr = {r.node_id: r.pagerank_fp
           for r in graph.pagerank_purchase_graph(spark, SF_SMOKE).collect()}
     assert pr[top.src] > pr[bottom.src]
+
+
+def test_sectioned_oracle_equals_straight_replay(spark, tmp_path):
+    """The 64x escape hatch, proven at a small multiple: for a corpus
+    of k disjoint key-shifted graph copies, the sectioned oracle (one
+    base-section replay under the global node count, copies derived by
+    the node-id shift isomorphism) must produce EXACTLY the straight
+    full-corpus oracle's rows — and the Spark plan on the scaled
+    corpus must match both."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    _spec = importlib.util.spec_from_file_location(
+        "scale_probe",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "scale_probe.py"))
+    scale_probe = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(scale_probe)
+
+    k = 3
+    d = scale_probe.build_scaled_dir(spark, SF_SMOKE, k, scale_orders=True)
+    try:
+        def views(con, base):
+            for t in ("orders", "lineitem"):
+                path = f"{base}/{t}.parquet"
+                pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{pat}')")
+            return con
+
+        straight = views(duckdb.connect(), d).execute(
+            graph._pr_oracle()).fetchall()
+        sectioned = views(duckdb.connect(), SF_SMOKE).execute(
+            graph.pr_sectioned_oracle(k, scale_probe.KEY_SHIFT)).fetchall()
+        assert sorted(straight) == sorted(sectioned)
+        assert len(straight) > 0
+        spark_rows = [(r.node_id, r.pagerank_fp) for r in
+                      graph.pagerank_purchase_graph(spark, d).collect()]
+        assert sorted(spark_rows) == sorted(straight)
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)

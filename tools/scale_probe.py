@@ -38,6 +38,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+KEY_SHIFT = 10_000_000   # copy-i key shift; > any base key at sf0.1
+
+# Straight DuckDB replay of the 3-round PageRank at >=16x spills >79 GB
+# and dies on disk; past this multiple the check switches to the
+# sectioned oracle (graph.pr_sectioned_oracle — one base-sized replay
+# under the scaled node count, copies derived by the key isomorphism).
+PR_SECTIONED_FROM = 16
+
 CHECK_FAMILY = [
     "temperature_mixture_plan",
     "dsir_importance_weights",
@@ -63,7 +71,6 @@ def build_scaled_dir(spark, base_dir: str, k: int,
     from transcript_analysis_spark.sources.tables import TABLES, load_table
 
     shifted = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
-    KEY_SHIFT = 10_000_000   # > any base key at sf0.1
     for name in TABLES:
         src = os.path.join(base_dir, f"{name}.parquet")
         dst = os.path.join(out, f"{name}.parquet")
@@ -166,15 +173,32 @@ def check_main(multiples: list[int]) -> None:
             con = duck_con(d)
             for qname in names:
                 q = registry[qname]
+                sectioned = (qname == "pagerank_purchase_graph"
+                             and k >= PR_SECTIONED_FROM)
                 t0 = time.time()
                 try:
                     df = q.fn(spark, d)
-                    res = con.execute(q.oracle)
+                    if sectioned:
+                        # straight replay spills out of disk at this
+                        # multiple; replay one section on the BASE
+                        # tables and derive the copies (isomorphism
+                        # pinned by tests/test_graph.py)
+                        from transcript_analysis_spark.plans.graph import (
+                            pr_sectioned_oracle)
+                        oracle_con = duck_con(base)
+                        oracle = pr_sectioned_oracle(k, KEY_SHIFT)
+                    else:
+                        oracle_con, oracle = con, q.oracle
+                    res = oracle_con.execute(oracle)
                     duck_cols = [c[0] for c in res.description]
                     duck_rows = res.fetchall()
-                    duck_pdf = con.execute(q.oracle).df()
+                    duck_pdf = oracle_con.execute(oracle).df()
+                    if sectioned:
+                        oracle_con.close()
                     ok, msg = cc.compare(qname, df, duck_rows,
                                          duck_cols, duck_pdf)
+                    if sectioned and ok:
+                        msg += " (sectioned oracle)"
                 except Exception as e:  # noqa: BLE001 - overflow = FAIL
                     ok, msg = False, f"engine error: {e}"
                 dt = round(time.time() - t0, 1)

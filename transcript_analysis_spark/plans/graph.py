@@ -51,10 +51,19 @@ _DUCK_GRAPH = """
 """
 
 
-def _pr_oracle() -> str:
+def _pr_oracle(n_scale: int = 1) -> str:
+    """The unrolled fixed-point PageRank replay. With ``n_scale`` > 1
+    the node-count term becomes COUNT(*) * n_scale — the hook for the
+    SECTIONED replay of a corpus made of n_scale disjoint key-shifted
+    copies of the graph (see ``pr_sectioned_oracle``): within one
+    copy the trajectory only sees its own edges plus the GLOBAL node
+    count, so replaying one section under the scaled count reproduces
+    every section's values exactly."""
+    nn_expr = ("COUNT(*)" if n_scale == 1
+               else f"COUNT(*) * {n_scale}")
     parts = [f"""
     WITH {_DUCK_GRAPH},
-    nn AS (SELECT COUNT(*) AS n FROM deg),
+    nn AS (SELECT {nn_expr} AS n FROM deg),
     r0 AS (
       SELECT d.src AS node, CAST({PR_MASS} // nn.n AS BIGINT) AS pr
       FROM deg d CROSS JOIN nn
@@ -79,6 +88,27 @@ def _pr_oracle() -> str:
     parts.append(f"""
     SELECT node AS node_id, pr AS pagerank_fp FROM r{PR_T}""")
     return "".join(parts)
+
+
+def pr_sectioned_oracle(k: int, key_shift: int) -> str:
+    """Sectioned PageRank replay for a corpus of ``k`` disjoint copies
+    of the base purchase graph, copy i's cust/supp keys shifted by
+    i * key_shift (the shape ``tools/scale_probe.build_scaled_dir``
+    writes). Runs against the BASE tables only: one section is
+    replayed under the global node count (k * n), then every copy's
+    rows are derived by the key isomorphism — custkey+s -> node+2s,
+    suppkey+s -> node+2s — so node ids shift by 2*i*key_shift and the
+    fixed-point values repeat verbatim. Equivalence to the straight
+    full-corpus replay is pinned by a test at small k
+    (tests/test_graph.py); at 64x the straight replay is a >79 GB
+    DuckDB spill while this is one base-sized pass."""
+    return f"""
+    WITH sec AS ({_pr_oracle(n_scale=k)})
+    SELECT sec.node_id + 2 * {key_shift} * c.i AS node_id,
+           sec.pagerank_fp
+    FROM sec
+    CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i) c
+    """
 
 
 def _spark_graph(spark: SparkSession, sf_dir: str):
