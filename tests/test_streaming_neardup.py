@@ -90,6 +90,7 @@ def test_partial_band_append_crash_recovers_all_pairs(spark, tmp_path):
     pairs = str(tmp_path / "crashed_pairs")
     half = docs.limit(100).select("doc_id")
     (minhash_band_keys(docs).join(half, "doc_id", "left_semi")
+     .withColumn("batch_id", F.lit(0))   # the crashed writer's stamp
      .write.parquet(crashed))
     foreach_batch_neardup(docs, 0, crashed, pairs)
 

@@ -43,6 +43,7 @@ def _store_state(spark, stores):
                                              "source").collect())),
         "assign": rows(stores.assign_dir, "vec_id", "cent_id",
                        "batch_id"),
+        "tombstones": rows(stores.tombstones_dir, "doc_id", "batch_id"),
         "weights": tuple(w),
     }
 
@@ -163,6 +164,87 @@ def test_profile_stores_equal_batch_over_kept_union(spark, pipeline_run):
     batch_assign = {(r.vec_id, r.cent_id) for r in
                     assign_against_store(kept_emb, cents).collect()}
     assert streamed_assign == batch_assign
+
+
+def test_ordered_run_produces_no_tombstones(spark, pipeline_run):
+    """With id-ordered arrival every keep-first verdict is final at
+    arrival — the retraction channel must stay silent and the
+    finalized kept-set must equal the raw one."""
+    stores = pipeline_run["stores"]
+    assert pl.read_tombstones(spark, stores.tombstones_dir).count() == 0
+    raw = {r.doc_id for r in
+           pl.read_kept(spark, stores.kept_dir).collect()}
+    final = {r.doc_id for r in
+             pl.read_kept_final(spark, stores.kept_dir,
+                                stores.tombstones_dir).collect()}
+    assert raw == final
+
+
+@pytest.fixture(scope="module")
+def pipeline_run_ooo(spark, tmp_path_factory):
+    """The same corpus arriving in REVERSE id order — keep-first
+    verdicts now go stale (a doc's smaller-id partner arrives after
+    it) and the tombstone channel must repair them. Includes a
+    mid-stream replay of batch 1 and a post-hoc replay of batch 0
+    after everything has landed (the hardest case: the replayed batch
+    rebuilds its partitions while later pairs and tombstones exist)."""
+    root = str(tmp_path_factory.mktemp("pipe_ooo"))
+    stores = pl.PipelineStores.under(root)
+    docs = load_table(spark, SF_DIR, "documents")
+    emb_path = f"{SF_DIR}/embeddings.parquet"
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    pl.init_pipeline_stores(spark, stores, bench, docs,
+                            spark.read.parquet(emb_path))
+    batches = [docs.filter(F.col("doc_id") >= 340),
+               docs.filter((F.col("doc_id") >= 170)
+                           & (F.col("doc_id") < 340)),
+               docs.filter(F.col("doc_id") < 170)]
+    pl.foreach_batch_corpus_pipeline(batches[0], 0, stores, emb_path)
+    pl.foreach_batch_corpus_pipeline(batches[1], 1, stores, emb_path)
+    mid_state = _store_state(spark, stores)
+    pl.foreach_batch_corpus_pipeline(batches[1], 1, stores, emb_path)
+    replay_state = _store_state(spark, stores)
+    pl.foreach_batch_corpus_pipeline(batches[2], 2, stores, emb_path)
+    done_state = _store_state(spark, stores)
+    # replay the FIRST batch after the whole stream has landed
+    pl.foreach_batch_corpus_pipeline(batches[0], 0, stores, emb_path)
+    late_replay_state = _store_state(spark, stores)
+    return {"stores": stores, "docs": docs,
+            "mid_state": mid_state, "replay_state": replay_state,
+            "done_state": done_state,
+            "late_replay_state": late_replay_state}
+
+
+def test_ooo_kept_final_equals_composite(spark, pipeline_run_ooo):
+    """The headline out-of-order contract: kept minus tombstones ==
+    the batch composite, and the channel actually fired (raw kept
+    strictly larger than final)."""
+    stores = pipeline_run_ooo["stores"]
+    raw = {r.doc_id for r in
+           pl.read_kept(spark, stores.kept_dir).collect()}
+    final = {r.doc_id for r in
+             pl.read_kept_final(spark, stores.kept_dir,
+                                stores.tombstones_dir).collect()}
+    composite = {r.doc_id for r in pl.batch_composite_kept(
+        pipeline_run_ooo["docs"],
+        spark.read.parquet(stores.bloom_dir),
+        spark.read.parquet(stores.dsir_weights_dir)).collect()}
+    assert final == composite
+    assert raw > final, "no stale verdict was ever retracted — fixture vacuous"
+    tombs = {r.doc_id for r in
+             pl.read_tombstones(spark, stores.tombstones_dir).collect()}
+    assert tombs == raw - final
+
+
+def test_ooo_replays_are_byte_stable(pipeline_run_ooo):
+    """Replaying an applied batch — mid-stream or after the whole
+    stream — changes nothing in ANY store, tombstones included: the
+    arrival-time gate sees only pairs known as of that batch, so late
+    knowledge cannot rewrite history."""
+    assert (pipeline_run_ooo["mid_state"]
+            == pipeline_run_ooo["replay_state"])
+    assert (pipeline_run_ooo["done_state"]
+            == pipeline_run_ooo["late_replay_state"])
 
 
 def test_perceptron_saw_exactly_the_kept_docs_once(spark, pipeline_run):

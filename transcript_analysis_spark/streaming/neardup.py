@@ -59,6 +59,19 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
     store = _try_read(spark, bands_dir)
     pairs = None
     if store is not None:
+        # Probe only bands that had ARRIVED as of this batch: each
+        # appended band row is stamped with its arrival batch_id, so a
+        # REPLAY of batch N (even long after later batches landed)
+        # sees exactly the store state the original run saw and
+        # rebuilds its pairs partition byte-identically — late
+        # knowledge must flow through downstream retraction channels
+        # (streaming/pipeline.py tombstones), never by rewriting an
+        # old partition. Stores written before stamping existed have
+        # no batch_id column (or null rows once stamped appends mix
+        # in); unstamped rows stay always-visible.
+        if "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id").isNull()
+                                 | (F.col("batch_id") <= int(batch_id)))
         pairs = (all_bands.alias("n")
                  .join(store.alias("s"),
                        (F.col("n.band") == F.col("s.band"))
@@ -89,11 +102,15 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # band append is anti-join-guarded, so a replay (or a crash-retry
-    # after a partial append) adds only the missing docs' bands
-    to_append = all_bands
-    if store is not None:
-        to_append = all_bands.join(
-            store.select("doc_id").distinct(), "doc_id", "left_anti")
+    # after a partial append) adds only the missing docs' bands. The
+    # guard checks the FULL store (not the arrival-time view): a doc
+    # redelivered by an at-least-once source in a later batch keeps
+    # its first arrival stamp.
+    full_store = _try_read(spark, bands_dir)
+    to_append = all_bands.withColumn("batch_id", F.lit(int(batch_id)))
+    if full_store is not None:
+        to_append = to_append.join(
+            full_store.select("doc_id").distinct(), "doc_id", "left_anti")
     to_append.write.mode("append").parquet(bands_dir)
 
 

@@ -11,9 +11,17 @@ Per micro-batch of (doc_id, text, lang, source, n_chars) documents:
 
     1. incremental near-dup  (LSH band store, neardup.py)
        gate: drop any doc that shares a band bucket with a SMALLER
-       doc_id (keep-first). Pairwise rule, order-independent given
-       id-ordered arrival: the pair (a, b), a < b, is discovered no
-       later than b's own batch, so b's verdict is final at arrival.
+       doc_id (keep-first). With id-ordered arrival the verdict is
+       final at arrival: the pair (a, b), a < b, is discovered no
+       later than b's batch. Under OUT-OF-ORDER arrival a doc can be
+       kept first and only later revealed as a pair's greater member —
+       step 1b repairs that.
+    1b. retraction tombstones (batch_id-partitioned, idempotent)
+       every batch, previously-KEPT docs that the now-complete pair
+       store names as losers get a tombstone row; the pipeline's
+       final product is `read_kept_final` = kept minus tombstones,
+       which equals the batch composite under ANY arrival order (the
+       raw kept partitions remain the arrival-time verdicts).
     2. decontamination       (bloom store, decontam.py)
        gate: drop when >= half the doc's shingles are bloom-positive.
     3. DSIR selection        (frozen weight store, dsir_store.py)
@@ -29,11 +37,23 @@ Per micro-batch of (doc_id, text, lang, source, n_chars) documents:
 Stages 5-7 run on the KEPT subset — curate first, then train/profile/
 index, the order a corpus team actually runs.
 
-Equivalence contract (tests/test_streaming_pipeline.py): the union of
-kept partitions after N micro-batches EQUALS `batch_composite_kept`
-— the same three gates applied to the union of all batches in one
-batch plan — and a mid-stream replay of an already-applied batch
-changes NOTHING in any of the seven stores.
+Equivalence contract (tests/test_streaming_pipeline.py): after N
+micro-batches `read_kept_final` (kept minus tombstones) EQUALS
+`batch_composite_kept` — the same three gates applied to the union of
+all batches in one batch plan — under id-ordered AND out-of-order
+arrival (id-ordered runs simply produce zero tombstones), and a
+mid-stream replay of an already-applied batch changes NOTHING in any
+store, tombstones included.
+
+Retraction scope: the tombstone channel finalizes the KEPT-SET
+product. The downstream profile/training stores are arrival-time by
+design — the perceptron cannot unlearn a retracted doc (online
+learning is sequence-defined; same as the reference's incremental
+loop), and CMS/HLL remain monotone upper-bound profiles (the CMS
+guarantee is one-sided anyway). A consumer needing exact profiles of
+the final set recomputes them over `read_kept_final` — one batch
+pass of the same shape test_profile_stores_equal_batch_over_kept_union
+already demonstrates.
 """
 
 from __future__ import annotations
@@ -50,7 +70,7 @@ from transcript_analysis_spark.streaming.dsir_store import (
 from transcript_analysis_spark.streaming.ivf_store import (
     build_centroid_store, foreach_batch_ivf)
 from transcript_analysis_spark.streaming.neardup import (
-    foreach_batch_neardup, read_pairs)
+    _try_read, foreach_batch_neardup, read_pairs)
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron, init_weight_store)
 from transcript_analysis_spark.streaming.sketch_store import (
@@ -64,6 +84,7 @@ class PipelineStores:
     """Directory layout of the composed pipeline's seven stores."""
     bands_dir: str          # near-dup LSH bands (append)
     pairs_dir: str          # near-dup pairs (batch_id partitions)
+    tombstones_dir: str     # kept-set retractions (batch_id partitions)
     bloom_dir: str          # frozen decontam bloom words
     decontam_dir: str       # per-doc verdicts (batch_id partitions)
     dsir_weights_dir: str   # frozen DSIR weight table
@@ -154,7 +175,35 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
     # 1. near-dup: grow the band store, land this batch's pairs
     foreach_batch_neardup(batch_docs.select("doc_id", "text"), batch_id,
                           stores.bands_dir, stores.pairs_dir)
-    kept = gate_neardup(batch_docs, read_pairs(spark, stores.pairs_dir))
+    # The arrival-time gate sees only pairs known AS OF this batch
+    # (partitions <= batch_id): a replayed batch then rebuilds its
+    # kept partition byte-identically even after later batches have
+    # landed more pairs — late knowledge reaches the product only
+    # through the tombstone channel, never by rewriting history.
+    all_pairs = read_pairs(spark, stores.pairs_dir, dedup=False)
+    known_now = (all_pairs.filter(F.col("batch_id") <= int(batch_id))
+                 .select("doc_a", "doc_b").distinct())
+    kept = gate_neardup(batch_docs, known_now)
+
+    # 1b. retraction tombstones: a doc kept in an EARLIER batch that
+    # the now-complete pair store names as a loser (its smaller-id
+    # partner arrived after it did) is retracted. Idempotent: the
+    # verdicts are deterministic from the pair store, the anti-join
+    # excludes only OTHER batches' tombstones (so a replay rebuilds
+    # its own partition identically), and current-batch kept docs can
+    # never qualify (gate_neardup just filtered the same loser set).
+    prior_kept = _try_read(spark, stores.kept_dir)
+    if prior_kept is not None:
+        losers = (all_pairs.select(F.col("doc_b").alias("doc_id"))
+                  .distinct())
+        elsewhere = (read_tombstones(spark, stores.tombstones_dir)
+                     .filter(F.col("batch_id") != int(batch_id))
+                     .select("doc_id"))
+        new_tombs = (prior_kept.select("doc_id").distinct()
+                     .join(losers, "doc_id", "left_semi")
+                     .join(elsewhere, "doc_id", "left_anti"))
+        _write_batch_partition(new_tombs, batch_id,
+                               stores.tombstones_dir, coalesce=1)
 
     # 2. decontam: verdicts for the survivors + gate
     bloom = spark.read.parquet(stores.bloom_dir)
@@ -213,8 +262,32 @@ def run_corpus_pipeline_stream(stream_docs: DataFrame,
 
 
 def read_kept(spark: SparkSession, kept_dir: str) -> DataFrame:
-    """The pipeline's kept-set across all batches (doc_id, batch_id)."""
+    """The raw arrival-time kept-set across all batches
+    (doc_id, batch_id) — before retractions. The finalized product is
+    `read_kept_final`."""
     return spark.read.parquet(kept_dir)
+
+
+def read_tombstones(spark: SparkSession, tombstones_dir: str) -> DataFrame:
+    """Retraction rows (doc_id, batch_id of the discovering batch).
+    Degrades to an empty typed frame before the store exists (or when
+    every partition is an empty marker, as in a fully id-ordered
+    run)."""
+    df = _try_read(spark, tombstones_dir)
+    if df is None:
+        return spark.createDataFrame([], "doc_id long, batch_id long")
+    return df.select("doc_id",
+                     F.col("batch_id").cast("long").alias("batch_id"))
+
+
+def read_kept_final(spark: SparkSession, kept_dir: str,
+                    tombstones_dir: str) -> DataFrame:
+    """The pipeline's finalized kept-set: arrival-time keeps minus
+    retraction tombstones. Equals `batch_composite_kept` under any
+    arrival order (tested)."""
+    return read_kept(spark, kept_dir).join(
+        read_tombstones(spark, tombstones_dir).select("doc_id"),
+        "doc_id", "left_anti")
 
 
 def batch_composite_kept(all_docs: DataFrame, bloom_store: DataFrame,
