@@ -104,3 +104,9 @@ def test_recursive_gapfill_fills_gaps(spark):
     filled = [m for m, r in rows.items() if r["n_orders"] == 0]
     busy = [m for m, r in rows.items() if r["n_orders"] > 0]
     assert filled and busy
+
+
+def test_power_iteration_top_pc_golden(spark):
+    n, d = _fingerprint(_q(spark, "power_iteration_top_pc"))
+    assert (n, d) == (4, "d973cf05f530d469"), (
+        f"power-iteration trajectory drifted: ({n}, {d!r})")

@@ -119,3 +119,59 @@ def test_embedding_outliers_cover_corpus_and_flag_far_points(spark):
         by_cid.setdefault(r.cid, []).append(r)
     for g in by_cid.values():
         assert sum(1 for r in g if r.outlier) <= len(g) / 2
+
+
+def test_power_iteration_corpus_trajectory(spark):
+    """Corpus run: 4 rounds, direction quantized to +/-2^14, and the
+    cosine to numpy's true top eigenvector increases every round.
+    The synthetic embeddings are near-isotropic (top/second
+    eigenvalue ratio ~1.07), so 4 rounds cannot CONVERGE here — the
+    planted-direction fixture below proves convergence; this test
+    proves the corpus trajectory moves monotonically toward the true
+    principal direction (and the oracle hash-checks its exactness)."""
+    import numpy as np
+
+    rows = sorted(
+        sketches.power_iteration_top_pc(spark, SF_SMOKE).collect(),
+        key=lambda r: r.round_id)
+    assert [r.round_id for r in rows] == [1, 2, 3, 4]
+    X = np.array(
+        [np.array(v, dtype=np.float64) for (v,) in
+         spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+         .select("embedding").collect()])
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    top = evecs[:, -1]
+    cos = []
+    for r in rows:
+        w = np.array([int(x) for x in r.dir_q.split(",")], float)
+        assert int(np.max(np.abs(w))) == sketches.PI_DIR_SCALE
+        cos.append(abs(w @ top) / (np.linalg.norm(w) * np.linalg.norm(top)))
+    assert all(b > a for a, b in zip(cos, cos[1:])), cos
+    assert cos[-1] > 2.0 * cos[0]
+
+
+def test_power_iteration_recovers_planted_direction(spark, tmp_path):
+    """Mechanism proof on a corpus that HAS a dominant direction:
+    vectors = g*u + 0.05*noise for a fixed unit u — after 4 rounds
+    the recovered direction's |cos| to u exceeds 0.999 (the
+    perceptron separable-fixture discipline applied to PCA)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=64)
+    u /= np.linalg.norm(u)
+    g = rng.normal(size=(400, 1))
+    noise = rng.normal(size=(400, 64)) * 0.05
+    X = (g * u + noise).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]], 0) for i in range(400)]
+    d = str(tmp_path / "planted")
+    (spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+     .write.parquet(f"{d}/embeddings.parquet"))
+    out = sorted(
+        sketches.power_iteration_top_pc(spark, d).collect(),
+        key=lambda r: r.round_id)
+    w = np.array([int(x) for x in out[-1].dir_q.split(",")], float)
+    cos = abs(w @ u) / (np.linalg.norm(w) * np.linalg.norm(u))
+    assert cos > 0.999, cos

@@ -867,3 +867,136 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "med_dist2",
                     (F.col("dist2").cast("double")
                      > F.lit(4.0) * F.col("med_dist2")).alias("outlier")))
+
+
+# --- power-iteration top principal component -----------------------------
+
+PI_T = 4              # power-iteration rounds
+PI_DIR_SCALE = 16384  # 2^14: direction vectors renormalize to +/- this
+
+
+def _pi_oracle() -> str:
+    """Unrolled power-iteration replay: the kmeans trajectory
+    discipline applied to covariance-free power iteration. All
+    arithmetic is HUGEINT; the per-round renormalization is integer
+    half-up against the max-abs component, so every round's direction
+    vector is bit-identical across engines."""
+    parts = [f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}.0 + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    st AS (SELECT COUNT(*) AS n FROM q),
+    yl AS (
+      SELECT q.vec_id, t.i AS dim,
+             CAST(s.n AS HUGEINT) * q.v[t.i]
+             - SUM(CAST(q.v[t.i] AS HUGEINT)) OVER (PARTITION BY t.i)
+               AS y
+      FROM q CROSS JOIN st s
+      CROSS JOIN unnest(generate_series(1, {KM_DIM})) AS t(i)
+    ),
+    w0 AS (
+      SELECT t.i AS dim, CAST({PI_DIR_SCALE} AS HUGEINT) AS w
+      FROM unnest(generate_series(1, {KM_DIM})) AS t(i)
+    )"""]
+    for t in range(PI_T):
+        parts.append(f""",
+    d{t} AS (
+      SELECT y.vec_id, SUM(y.y * w.w) AS d
+      FROM yl y JOIN w{t} w USING (dim) GROUP BY y.vec_id
+    ),
+    s{t} AS (
+      SELECT y.dim, SUM(y.y * d.d) AS s
+      FROM yl y JOIN d{t} d USING (vec_id) GROUP BY y.dim
+    ),
+    m{t} AS (SELECT GREATEST(MAX(abs(s)), 1) AS m FROM s{t}),
+    w{t + 1} AS (
+      SELECT dim, CASE WHEN s < 0 THEN -1 ELSE 1 END
+                  * ((2 * {PI_DIR_SCALE} * abs(s) + m) // (2 * m)) AS w
+      FROM s{t} CROSS JOIN m{t}
+    ),
+    o{t} AS (
+      SELECT CAST({t + 1} AS BIGINT) AS round_id,
+             array_to_string(list(w.w ORDER BY w.dim), ',') AS dir_q,
+             CAST(MAX(m.m) AS VARCHAR) AS scale_m
+      FROM w{t + 1} w CROSS JOIN m{t} m
+      HAVING COUNT(*) > 0
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM o{t}" for t in range(PI_T))
+    return f"WITH {''.join(parts)} {unions}"
+
+
+@register(
+    "power_iteration_top_pc",
+    oracle=_pi_oracle(),
+    tags=("embedding", "linear-algebra"),
+)
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    covariance-free power iteration — the 'all-but-the-top' embedding
+    post-processing primitive (Mu & Viswanath 2018: isotropy repair by
+    removing the top PCs) and the health check that catches a
+    collapsed encoder (one direction swallowing the variance).
+
+    Exact-arithmetic trajectory (the kmeans_centroids discipline
+    applied to linear algebra): vectors quantize at 2^16; centering is
+    exact by working on y_i = n*x_i - colsum (scale-invariant for the
+    direction, no division); each round computes w <- Y^T (Y w)
+    without ever materializing the 64x64 covariance, then
+    renormalizes to +/-2^14 by integer half-up against the max-abs
+    component (GREATEST(m,1) guards the all-zero corpus). Every
+    round's direction vector and normalizer hash-match the DuckDB
+    HUGEINT replay; intermediates stay inside DECIMAL(38,0) (the
+    overflow-sweep-audited _wide regime: products reach ~2^111 at the
+    64x probe scale, under the 1e38 ceiling).
+
+    Execution shape per round (T=4 total): the direction is a 64-int
+    literal broadcast into per-row JVM math — dot = one zip_with fold,
+    update = ONE aggregate with 64 map-side-combined wide column sums;
+    only a single row ever reaches the driver. At 100 TB: T scans,
+    each map + 1-row aggregate — no shuffle wider than 64 decimals,
+    same cost model as MLlib's RowMatrix power iteration."""
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
+                    .cast("bigint")).alias("v"))
+    head = vecs.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("v")[i].cast("decimal(38,0)")).alias(f"s{i}")
+          for i in range(KM_DIM)]).collect()[0]
+    n = int(head["n"])
+    schema = "round_id bigint, dir_q string, scale_m string"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    colsum = [int(head[f"s{i}"]) for i in range(KM_DIM)]
+    # y = n*x - colsum: exact int64 (|y| <= 2n * 2^17); pinned once —
+    # every round re-scans this frame twice.
+    y = vecs.select(
+        "vec_id",
+        F.zip_with(F.col("v"), F.lit(colsum).cast("array<bigint>"),
+                   lambda a, b: F.lit(n) * a - b).alias("y"))
+    y = y.localCheckpoint(eager=True)
+    w = [PI_DIR_SCALE] * KM_DIM
+    rows = []
+    for t in range(PI_T):
+        w_lit = F.lit(w).cast("array<bigint>")
+        dot = F.aggregate(
+            F.zip_with(F.col("y"), w_lit,
+                       lambda a, b: a.cast("decimal(19,0)") * b),
+            F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x)
+        upd = (y.select(dot.alias("d"), "y")
+               .agg(*[F.sum(F.col("y")[i].cast("decimal(19,0)")
+                            * F.col("d")).alias(f"s{i}")
+                      for i in range(KM_DIM)])
+               .collect()[0])
+        s = [int(upd[f"s{i}"]) for i in range(KM_DIM)]
+        m = max(max(abs(x) for x in s), 1)
+        w = [(-1 if x < 0 else 1)
+             * ((2 * PI_DIR_SCALE * abs(x) + m) // (2 * m)) for x in s]
+        rows.append((t + 1, ",".join(map(str, w)), str(m)))
+    return spark.createDataFrame(rows, schema)
