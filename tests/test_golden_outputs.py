@@ -108,5 +108,11 @@ def test_recursive_gapfill_fills_gaps(spark):
 
 def test_power_iteration_top_pc_golden(spark):
     n, d = _fingerprint(_q(spark, "power_iteration_top_pc"))
-    assert (n, d) == (4, "d973cf05f530d469"), (
+    assert (n, d) == (4, "a3eb03143f551ef7"), (
         f"power-iteration trajectory drifted: ({n}, {d!r})")
+
+
+def test_isotropy_repair_residuals_golden(spark):
+    n, d = _fingerprint(_q(spark, "isotropy_repair_residuals"))
+    assert (n, d) == (500, "f04a3d91dfbe3e1c"), (
+        f"isotropy repair drifted: ({n}, {d!r})")

@@ -175,3 +175,50 @@ def test_power_iteration_recovers_planted_direction(spark, tmp_path):
     w = np.array([int(x) for x in out[-1].dir_q.split(",")], float)
     cos = abs(w @ u) / (np.linalg.norm(w) * np.linalg.norm(u))
     assert cos > 0.999, cos
+
+
+def test_isotropy_repair_residuals_semantics(spark, tmp_path):
+    """norm2_before - resid_norm2 ~ proj_q^2 / (w.w) (the removed
+    variance IS the projection's energy, up to per-coordinate
+    half-up rounding), and on the planted-direction corpus the
+    repair removes almost ALL the variance — the operator's purpose."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    u = rng.normal(size=64)
+    u /= np.linalg.norm(u)
+    g = rng.normal(size=(300, 1)) * 3.0
+    X = (g * u + rng.normal(size=(300, 64)) * 0.02).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]], 0) for i in range(300)]
+    d = str(tmp_path / "planted")
+    (spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+     .write.parquet(f"{d}/embeddings.parquet"))
+
+    out = sketches.isotropy_repair_residuals(spark, d).collect()
+    assert len(out) == 300
+    tot_before = sum(r.norm2_before for r in out)
+    tot_after = sum(r.resid_norm2 for r in out)
+    # planted corpus: >99% of centered variance lives on u
+    assert tot_after < 0.01 * tot_before, (tot_after, tot_before)
+    for r in out:
+        assert 0 <= r.resid_norm2 <= r.norm2_before
+
+
+def test_isotropy_repair_covers_corpus(spark):
+    """Every embedding gets exactly one residual row. Exact
+    projection removal never increases a norm; the half-up coordinate
+    rounding can add at most ||r - r*||^2 + 2||r*|| ||r - r*|| with
+    ||r - r*|| <= sqrt(64)/2 = 4, i.e. slack <= 8*sqrt(before) + 16
+    (binding only when the true projection is ~0, as on this
+    near-isotropic corpus)."""
+    import math
+
+    out = sketches.isotropy_repair_residuals(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(
+        f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(out) == n_vecs
+    assert len({r.vec_id for r in out}) == n_vecs
+    for r in out:
+        slack = 8 * math.isqrt(r.norm2_before) + 16
+        assert r.resid_norm2 <= r.norm2_before + slack, r

@@ -55,6 +55,8 @@ CHECK_FAMILY = [
     "kmeans_centroids",
     "pagerank_purchase_graph",
     "hybrid_rrf_fusion",
+    "power_iteration_top_pc",
+    "isotropy_repair_residuals",
 ]
 
 

@@ -890,13 +890,22 @@ def _pi_oracle() -> str:
       FROM embeddings
     ),
     st AS (SELECT COUNT(*) AS n FROM q),
+    cs AS (
+      SELECT t.i AS dim, SUM(CAST(q.v[t.i] AS HUGEINT)) AS s
+      FROM q CROSS JOIN unnest(generate_series(1, {KM_DIM})) AS t(i)
+      GROUP BY t.i
+    ),
+    cm AS (
+      SELECT cs.dim,
+             CASE WHEN cs.s < 0 THEN -1 ELSE 1 END
+             * (abs(cs.s) // CAST(st.n AS HUGEINT)) AS c
+      FROM cs CROSS JOIN st
+    ),
     yl AS (
       SELECT q.vec_id, t.i AS dim,
-             CAST(s.n AS HUGEINT) * q.v[t.i]
-             - SUM(CAST(q.v[t.i] AS HUGEINT)) OVER (PARTITION BY t.i)
-               AS y
-      FROM q CROSS JOIN st s
-      CROSS JOIN unnest(generate_series(1, {KM_DIM})) AS t(i)
+             CAST(q.v[t.i] AS HUGEINT) - cm.c AS y
+      FROM q CROSS JOIN unnest(generate_series(1, {KM_DIM})) AS t(i)
+      JOIN cm ON cm.dim = t.i
     ),
     w0 AS (
       SELECT t.i AS dim, CAST({PI_DIR_SCALE} AS HUGEINT) AS w
@@ -929,6 +938,55 @@ def _pi_oracle() -> str:
     return f"WITH {''.join(parts)} {unions}"
 
 
+def _pi_run(spark: SparkSession, sf_dir: str):
+    """Shared power-iteration trajectory: returns (n, y, rows, w)
+    where y is the mean-centered quantized frame (localCheckpointed),
+    rows the per-round (round_id, dir_q, scale_m) tuples, and w the
+    final +/-2^14 direction. n == 0 short-circuits to (0, None, [],
+    None)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
+                    .cast("bigint")).alias("v"))
+    head = vecs.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("v")[i].cast("decimal(38,0)")).alias(f"s{i}")
+          for i in range(KM_DIM)]).collect()[0]
+    n = int(head["n"])
+    if n == 0:
+        return 0, None, [], None
+    colsum = [int(head[f"s{i}"]) for i in range(KM_DIM)]
+    cmean = [(-1 if c < 0 else 1) * (abs(c) // n) for c in colsum]
+    # y = x - (colsum div n): |y| ~ 2^17 regardless of n; pinned
+    # once — every round re-scans this frame twice.
+    y = vecs.select(
+        "vec_id",
+        F.zip_with(F.col("v"), F.lit(cmean).cast("array<bigint>"),
+                   lambda a, b: a - b).alias("y"))
+    y = y.localCheckpoint(eager=True)
+    w = [PI_DIR_SCALE] * KM_DIM
+    rows = []
+    for t in range(PI_T):
+        w_lit = F.lit(w).cast("array<bigint>")
+        # |y*w| <= 2^17 * 2^14, 64-term sum <= 2^37: pure int64
+        dot = F.aggregate(
+            F.zip_with(F.col("y"), w_lit, lambda a, b: a * b),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        upd = (y.select(dot.alias("d"), "y")
+               .agg(*[F.sum(F.col("y")[i].cast("decimal(38,0)")
+                            * F.col("d")).alias(f"s{i}")
+                      for i in range(KM_DIM)])
+               .collect()[0])
+        s = [int(upd[f"s{i}"]) for i in range(KM_DIM)]
+        m = max(max(abs(x) for x in s), 1)
+        w = [(-1 if x < 0 else 1)
+             * ((2 * PI_DIR_SCALE * abs(x) + m) // (2 * m)) for x in s]
+        rows.append((t + 1, ",".join(map(str, w)), str(m)))
+    return n, y, rows, w
+
+
 @register(
     "power_iteration_top_pc",
     oracle=_pi_oracle(),
@@ -942,61 +1000,111 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed encoder (one direction swallowing the variance).
 
     Exact-arithmetic trajectory (the kmeans_centroids discipline
-    applied to linear algebra): vectors quantize at 2^16; centering is
-    exact by working on y_i = n*x_i - colsum (scale-invariant for the
-    direction, no division); each round computes w <- Y^T (Y w)
-    without ever materializing the 64x64 covariance, then
-    renormalizes to +/-2^14 by integer half-up against the max-abs
-    component (GREATEST(m,1) guards the all-zero corpus). Every
-    round's direction vector and normalizer hash-match the DuckDB
-    HUGEINT replay; intermediates stay inside DECIMAL(38,0) (the
-    overflow-sweep-audited _wide regime: products reach ~2^111 at the
-    64x probe scale, under the 1e38 ceiling).
+    applied to linear algebra): vectors quantize at 2^16; centering
+    subtracts the exact integer mean (colsum div n, truncation toward
+    zero spelled identically on both engines via sign * abs-quotient),
+    so |y| stays ~2^17 INDEPENDENT of corpus size — the rejected
+    alternative y = n*x - colsum is division-free but its round
+    products grow as n^3 and breach DECIMAL(38,0) at ~10M vectors;
+    this form is safe to ~2^70 rows (the sub-quantum residual mean is
+    deterministic, identical cross-engine, and below quantization
+    noise). Each round computes w <- Y^T (Y w) without ever
+    materializing the 64x64 covariance, then renormalizes to +/-2^14
+    by integer half-up against the max-abs component (GREATEST(m,1)
+    guards the all-zero corpus). Every round's direction vector and
+    normalizer hash-match the DuckDB HUGEINT replay; the per-row dot
+    fits plain int64, only the corpus-sum runs in the
+    overflow-sweep-audited DECIMAL(38,0) _wide regime.
 
     Execution shape per round (T=4 total): the direction is a 64-int
     literal broadcast into per-row JVM math — dot = one zip_with fold,
     update = ONE aggregate with 64 map-side-combined wide column sums;
     only a single row ever reaches the driver. At 100 TB: T scans,
     each map + 1-row aggregate — no shuffle wider than 64 decimals,
-    same cost model as MLlib's RowMatrix power iteration."""
-    e = _t(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        F.transform("embedding",
-                    lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5))
-                    .cast("bigint")).alias("v"))
-    head = vecs.agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.col("v")[i].cast("decimal(38,0)")).alias(f"s{i}")
-          for i in range(KM_DIM)]).collect()[0]
-    n = int(head["n"])
+    same cost model as MLlib's RowMatrix power iteration (RowMatrix
+    caps at the same "tall-and-skinny" shape; here dim=64)."""
+    n, _, rows, _ = _pi_run(spark, sf_dir)
     schema = "round_id bigint, dir_q string, scale_m string"
     if n == 0:
         return spark.createDataFrame([], schema)
-    colsum = [int(head[f"s{i}"]) for i in range(KM_DIM)]
-    # y = n*x - colsum: exact int64 (|y| <= 2n * 2^17); pinned once —
-    # every round re-scans this frame twice.
-    y = vecs.select(
-        "vec_id",
-        F.zip_with(F.col("v"), F.lit(colsum).cast("array<bigint>"),
-                   lambda a, b: F.lit(n) * a - b).alias("y"))
-    y = y.localCheckpoint(eager=True)
-    w = [PI_DIR_SCALE] * KM_DIM
-    rows = []
-    for t in range(PI_T):
-        w_lit = F.lit(w).cast("array<bigint>")
-        dot = F.aggregate(
-            F.zip_with(F.col("y"), w_lit,
-                       lambda a, b: a.cast("decimal(19,0)") * b),
-            F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x)
-        upd = (y.select(dot.alias("d"), "y")
-               .agg(*[F.sum(F.col("y")[i].cast("decimal(19,0)")
-                            * F.col("d")).alias(f"s{i}")
-                      for i in range(KM_DIM)])
-               .collect()[0])
-        s = [int(upd[f"s{i}"]) for i in range(KM_DIM)]
-        m = max(max(abs(x) for x in s), 1)
-        w = [(-1 if x < 0 else 1)
-             * ((2 * PI_DIR_SCALE * abs(x) + m) // (2 * m)) for x in s]
-        rows.append((t + 1, ",".join(map(str, w)), str(m)))
     return spark.createDataFrame(rows, schema)
+
+
+def _repair_oracle() -> str:
+    """Composed on the PI chain: the final direction w{PI_T} and the
+    centered frame yl feed the projection removal; the half-up
+    quotient is the house sign * abs // algebra so residual
+    coordinates are bit-identical across engines."""
+    chain = _pi_oracle().split(" UNION ALL ")[0]
+    with_body = chain[len("WITH "):chain.rindex(" SELECT * FROM o0")]
+    return f"""WITH {with_body},
+    tw AS (SELECT SUM(w.w * w.w) AS ww FROM w{PI_T} w),
+    pv AS (
+      SELECT y.vec_id, SUM(y.y * w.w) AS p
+      FROM yl y JOIN w{PI_T} w USING (dim) GROUP BY y.vec_id
+    ),
+    rs AS (
+      SELECT y.vec_id,
+             y.y - (CASE WHEN p.p * w.w < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(p.p * w.w) + t.ww) // (2 * t.ww)) AS r,
+             y.y AS y0
+      FROM yl y JOIN w{PI_T} w USING (dim)
+      JOIN pv p USING (vec_id) CROSS JOIN tw t
+    )
+    SELECT r.vec_id,
+           CAST(p.p AS BIGINT) AS proj_q,
+           CAST(SUM(r.y0 * r.y0) AS BIGINT) AS norm2_before,
+           CAST(SUM(r.r * r.r) AS BIGINT) AS resid_norm2
+    FROM rs r JOIN pv p USING (vec_id)
+    GROUP BY r.vec_id, p.p"""
+
+
+@register(
+    "isotropy_repair_residuals",
+    oracle=_repair_oracle(),
+    tags=("embedding", "linear-algebra"),
+)
+def isotropy_repair_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top APPLIED (Mu & Viswanath 2018): remove each
+    embedding's projection onto the corpus' dominant principal
+    direction — the isotropy repair that measurably improves
+    similarity search on anisotropic encoders — and report, per
+    vector, the projection coefficient plus squared norms before and
+    after (their gap is exactly the variance the top PC swallowed;
+    ranking by |proj_q| surfaces the vectors a collapsed encoder
+    piled onto one axis).
+
+    Composed on `power_iteration_top_pc`: the Spark side reuses the
+    SAME trajectory run (shared `_pi_run`), the oracle the SAME CTE
+    chain, so repair cannot drift from the direction it repairs (the
+    corpus_release_prep composition discipline). Projection removal
+    is exact integer: c_i = half-up(p * w_i / (w.w)) via the house
+    sign * abs-quotient algebra, so residual coordinates — not just
+    norms — are bit-identical across engines; everything fits int64
+    (|p| <= 64 * 2^17 * 2^14 = 2^37 at real-data magnitudes, audited
+    to 2^61 in the 64x shift-inflated probe regime).
+
+    Execution: ONE map-only pass over the centered frame with the
+    direction + its Gram scalar broadcast as literals (SQL lambdas,
+    JVM codegen, no shuffle at all beyond the trajectory's own
+    aggregates) — at 100 TB this is the same cost as reading the
+    embedding column once."""
+    n, y, _, w = _pi_run(spark, sf_dir)
+    schema = ("vec_id bigint, proj_q bigint, norm2_before bigint, "
+              "resid_norm2 bigint")
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    wtw = sum(x * x for x in w)
+    arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    p = (f"aggregate(zip_with(y, {arr}, (a, b) -> a * b), 0L, "
+         f"(acc, x) -> acc + x)")
+    rn2 = (f"aggregate(zip_with(y, {arr}, (a, b) -> a - "
+           f"(CASE WHEN p * b < 0 THEN -1L ELSE 1L END) * "
+           f"((2 * abs(p * b) + {wtw}L) div (2 * {wtw}L))), 0L, "
+           f"(acc, r) -> acc + r * r)")
+    nb2 = "aggregate(y, 0L, (acc, a) -> acc + a * a)"
+    return (y.select("vec_id", F.expr(p).alias("p"), "y")
+             .select("vec_id",
+                     F.col("p").alias("proj_q"),
+                     F.expr(nb2).alias("norm2_before"),
+                     F.expr(rn2).alias("resid_norm2")))
