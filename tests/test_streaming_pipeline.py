@@ -43,6 +43,7 @@ def _store_state(spark, stores):
                                              "source").collect())),
         "assign": rows(stores.assign_dir, "vec_id", "cent_id",
                        "batch_id"),
+        "pca": rows(stores.pca_dir, "i", "j", "s", "batch_id"),
         "tombstones": rows(stores.tombstones_dir, "doc_id", "batch_id"),
         "weights": tuple(w),
     }
@@ -164,6 +165,24 @@ def test_profile_stores_equal_batch_over_kept_union(spark, pipeline_run):
     batch_assign = {(r.vec_id, r.cent_id) for r in
                     assign_against_store(kept_emb, cents).collect()}
     assert streamed_assign == batch_assign
+
+
+def test_pca_trajectory_equals_batch_over_kept_union(spark, pipeline_run,
+                                                     tmp_path):
+    """The pipeline's PCA moment store, accumulated across batches on
+    the kept vectors, yields the same power-iteration trajectory as a
+    single batch pass over the kept union."""
+    from transcript_analysis_spark.streaming.pca_store import (
+        foreach_batch_pca, trajectory_from_store)
+    stores = pipeline_run["stores"]
+    kept_ids = pl.read_kept(spark, stores.kept_dir).select("doc_id")
+    emb = spark.read.parquet(pipeline_run["emb_path"])
+    kept_emb = emb.join(kept_ids.select(F.col("doc_id").alias("vec_id")),
+                        "vec_id", "left_semi")
+    ref = str(tmp_path / "pca_ref")
+    foreach_batch_pca(kept_emb, 0, ref)
+    streamed = trajectory_from_store(spark, stores.pca_dir)
+    assert streamed and streamed == trajectory_from_store(spark, ref)
 
 
 def test_ordered_run_produces_no_tombstones(spark, pipeline_run):

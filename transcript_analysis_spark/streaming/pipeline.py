@@ -1,4 +1,4 @@
-"""The seven persisted-store streaming operators composed into ONE
+"""The eight persisted-store streaming operators composed into ONE
 end-to-end incremental corpus pipeline (r6 verdict item 5).
 
 Each store is individually proven (streamed == batch, replay no-op);
@@ -33,8 +33,11 @@ Per micro-batch of (doc_id, text, lang, source, n_chars) documents:
     6. CMS + HLL profile     (mergeable sketch deltas, sketch_store.py)
     7. IVF assignment        (frozen centroids + idempotent partition
        appends, ivf_store.py)
+    8. PCA moment deltas     (exact integer count/colsum/Gram sums,
+       pca_store.py; the trajectory derived from the merged store
+       equals the batch power-iteration query row for row)
 
-Stages 5-7 run on the KEPT subset — curate first, then train/profile/
+Stages 5-8 run on the KEPT subset — curate first, then train/profile/
 index, the order a corpus team actually runs.
 
 Equivalence contract (tests/test_streaming_pipeline.py): after N
@@ -71,6 +74,7 @@ from transcript_analysis_spark.streaming.ivf_store import (
     build_centroid_store, foreach_batch_ivf)
 from transcript_analysis_spark.streaming.neardup import (
     _try_read, foreach_batch_neardup, read_pairs)
+from transcript_analysis_spark.streaming.pca_store import foreach_batch_pca
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron, init_weight_store)
 from transcript_analysis_spark.streaming.sketch_store import (
@@ -81,7 +85,7 @@ DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 @dataclass(frozen=True)
 class PipelineStores:
-    """Directory layout of the composed pipeline's seven stores."""
+    """Directory layout of the composed pipeline's eight stores."""
     bands_dir: str          # near-dup LSH bands (append)
     pairs_dir: str          # near-dup pairs (batch_id partitions)
     tombstones_dir: str     # kept-set retractions (batch_id partitions)
@@ -95,6 +99,7 @@ class PipelineStores:
     hll_dir: str            # HLL register deltas (batch_id partitions)
     centroid_dir: str       # frozen IVF centroids
     assign_dir: str         # IVF assignments (batch_id partitions)
+    pca_dir: str            # PCA moment deltas (batch_id partitions)
 
     @classmethod
     def under(cls, root: str) -> "PipelineStores":
@@ -242,6 +247,8 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
         if n_vec:
             foreach_batch_ivf(batch_emb, batch_id,
                               stores.centroid_dir, stores.assign_dir)
+            # 8. PCA moment deltas for the same kept vectors
+            foreach_batch_pca(batch_emb, batch_id, stores.pca_dir)
 
     return {"batch_id": batch_id, "in": batch_docs.count(),
             "kept": kept.count(), "perceptron_applied": applied,
