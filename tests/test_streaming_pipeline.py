@@ -44,6 +44,7 @@ def _store_state(spark, stores):
         "assign": rows(stores.assign_dir, "vec_id", "cent_id",
                        "batch_id"),
         "pca": rows(stores.pca_dir, "i", "j", "s", "batch_id"),
+        "sample": rows(stores.sample_dir, "doc_id", "hv", "batch_id"),
         "tombstones": rows(stores.tombstones_dir, "doc_id", "batch_id"),
         "weights": tuple(w),
     }
@@ -91,7 +92,7 @@ def pipeline_run(spark, tmp_path_factory):
 
 
 def test_replay_changes_nothing_in_any_store(pipeline_run):
-    """The redelivered micro-batch is a no-op across ALL seven stores
+    """The redelivered micro-batch is a no-op across ALL nine stores
     — including the non-idempotent perceptron (watermark skip)."""
     assert pipeline_run["replay"]["perceptron_applied"] is False
     assert pipeline_run["mid_state"] == pipeline_run["replay_state"]
@@ -183,6 +184,24 @@ def test_pca_trajectory_equals_batch_over_kept_union(spark, pipeline_run,
     foreach_batch_pca(kept_emb, 0, ref)
     streamed = trajectory_from_store(spark, stores.pca_dir)
     assert streamed and streamed == trajectory_from_store(spark, ref)
+
+
+def test_holdout_sample_equals_batch_over_kept_union(spark,
+                                                     pipeline_run):
+    """The pipeline's merged bottom-k sample equals one batch
+    bottom-k pass over the kept union (min-k mergeability)."""
+    from transcript_analysis_spark.streaming.sample_store import (
+        batch_sample, read_sample)
+    stores = pipeline_run["stores"]
+    kept_ids = pl.read_kept(spark, stores.kept_dir).select("doc_id")
+    kept_docs = pipeline_run["docs"].join(kept_ids, "doc_id",
+                                          "left_semi")
+    batch = sorted((r.doc_id, r.hv)
+                   for r in batch_sample(kept_docs).collect())
+    streamed = sorted((r.doc_id, r.hv)
+                      for r in read_sample(spark,
+                                           stores.sample_dir).collect())
+    assert streamed == batch
 
 
 def test_ordered_run_produces_no_tombstones(spark, pipeline_run):

@@ -1,4 +1,4 @@
-"""The eight persisted-store streaming operators composed into ONE
+"""The nine persisted-store streaming operators composed into ONE
 end-to-end incremental corpus pipeline (r6 verdict item 5).
 
 Each store is individually proven (streamed == batch, replay no-op);
@@ -36,8 +36,11 @@ Per micro-batch of (doc_id, text, lang, source, n_chars) documents:
     8. PCA moment deltas     (exact integer count/colsum/Gram sums,
        pca_store.py; the trajectory derived from the merged store
        equals the batch power-iteration query row for row)
+    9. holdout sample        (bottom-k-by-content-hash deltas,
+       sample_store.py; min-k over deltas equals the batch
+       `uniform_hash_sample` over the kept union)
 
-Stages 5-8 run on the KEPT subset — curate first, then train/profile/
+Stages 5-9 run on the KEPT subset — curate first, then train/profile/
 index, the order a corpus team actually runs.
 
 Equivalence contract (tests/test_streaming_pipeline.py): after N
@@ -75,6 +78,8 @@ from transcript_analysis_spark.streaming.ivf_store import (
 from transcript_analysis_spark.streaming.neardup import (
     _try_read, foreach_batch_neardup, read_pairs)
 from transcript_analysis_spark.streaming.pca_store import foreach_batch_pca
+from transcript_analysis_spark.streaming.sample_store import (
+    foreach_batch_sample)
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron, init_weight_store)
 from transcript_analysis_spark.streaming.sketch_store import (
@@ -85,7 +90,7 @@ DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 @dataclass(frozen=True)
 class PipelineStores:
-    """Directory layout of the composed pipeline's eight stores."""
+    """Directory layout of the composed pipeline's nine stores."""
     bands_dir: str          # near-dup LSH bands (append)
     pairs_dir: str          # near-dup pairs (batch_id partitions)
     tombstones_dir: str     # kept-set retractions (batch_id partitions)
@@ -100,6 +105,7 @@ class PipelineStores:
     centroid_dir: str       # frozen IVF centroids
     assign_dir: str         # IVF assignments (batch_id partitions)
     pca_dir: str            # PCA moment deltas (batch_id partitions)
+    sample_dir: str         # holdout bottom-k deltas (batch_id partitions)
 
     @classmethod
     def under(cls, root: str) -> "PipelineStores":
@@ -167,7 +173,7 @@ def gate_dsir(docs: DataFrame, weight_store: DataFrame) -> DataFrame:
 def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
                                   stores: PipelineStores,
                                   emb_path: str | None = None) -> dict:
-    """One micro-batch through all seven stores (module docstring).
+    """One micro-batch through all nine stores (module docstring).
     Every stage writes through its own store's proven foreach/commit
     function; the gates recompute the same deterministic verdicts
     inline. Safe to replay with the same batch_id: partition stores
@@ -225,6 +231,11 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
     # 4. the kept-set — the pipeline's product
     _write_batch_partition(kept.select("doc_id"), batch_id,
                            stores.kept_dir, coalesce=1)
+
+    # 9. holdout sample delta over the same kept docs (bottom-k;
+    # ordered here with the other kept-subset stores — it needs only
+    # the kept frame, not the vector join below)
+    foreach_batch_sample(kept, batch_id, stores.sample_dir)
 
     # 5. perceptron online update on the kept docs (exactly-once)
     applied = foreach_batch_perceptron(kept, batch_id,
