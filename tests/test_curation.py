@@ -870,3 +870,52 @@ def test_perceptron_learns_separable_fixture(spark, tmp_path):
     assert all(r.accuracy == 1.0 for r in cells)
     assert {(r.actual, r.pred) for r in cells} == {(1, 1), (-1, -1)}
     assert sum(r.n for r in cells) == 30
+
+
+def test_kappa_and_calibration_on_separable_fixture(spark, tmp_path):
+    """On the same separable fixture the agreement/calibration audits
+    must report a PERFECT classifier: kappa = 1, observed agreement 1,
+    and a calibration table whose negative-margin bins are pure
+    negatives and positive-margin bins pure positives (step-monotone
+    pos_rate). On the unlearnable corpus kappa ~ 0 — the pair of
+    regimes proves the instruments measure signal, not plumbing."""
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.plans.curation import (
+        classifier_kappa_report, classifier_margin_calibration)
+
+    en_text = " ".join(["the", "and", "for", "the", "and"] * 4)
+    xx_text = " ".join(["xyzabcdef", "abcdefghi", "qrstuvwxy"] * 7)
+    rows = ([(i, en_text, "en", "s0") for i in range(15)]
+            + [(100 + i, xx_text, "de", "s0") for i in range(15)])
+    (spark.createDataFrame(rows, "doc_id long, text string, lang string,"
+                           " source string")
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.parquet(f"{tmp_path}/documents.parquet"))
+
+    k = classifier_kappa_report(spark, str(tmp_path)).collect()
+    assert len(k) == 1
+    assert k[0].n_total == 30 and k[0].n_agree == 30
+    assert k[0].observed_agree == 1.0
+    assert k[0].kappa == 1.0
+    assert 0.0 < k[0].chance_agree < 1.0  # both classes present
+
+    cal = classifier_margin_calibration(spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in cal) == 30
+    assert sum(r.n_pos for r in cal) == 15
+    for r in cal:
+        assert r.bin != 0  # a perfect separator leaves no near-zero margin
+        assert r.pos_rate == (1.0 if r.bin > 0 else 0.0)
+
+
+def test_kappa_near_zero_on_unlearnable_corpus(spark):
+    """The synthetic corpus's labels carry no linear signal, so the
+    pocket model's chance-corrected agreement must sit at ~0 even
+    though raw accuracy sits at the majority-class rate — exactly the
+    skew failure mode the kappa audit exists to expose."""
+    from transcript_analysis_spark.plans.curation import (
+        classifier_kappa_report)
+    k = classifier_kappa_report(spark, "/root/testdata/sf0.001").collect()
+    assert len(k) == 1
+    assert abs(k[0].kappa) < 0.1
+    assert k[0].observed_agree > 0.5  # majority-class accuracy looks fine

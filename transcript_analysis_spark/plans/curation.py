@@ -49,7 +49,9 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.functions.rounding import (
     duck_round_ratio,
+    duck_round_ratio_wide,
     spark_round_ratio,
+    spark_round_ratio_wide,
 )
 from transcript_analysis_spark.operators.components import connected_components
 from transcript_analysis_spark.plans.data_pipeline import (
@@ -1627,17 +1629,46 @@ def perceptron_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[f"err_epoch{k}" for k in range(1, PCT_EPOCHS + 1)]))
 
 
-@register(
-    "perceptron_classifier_eval",
-    oracle=f"""
-    WITH {_duck_pct_pipeline()},
-    pocket AS (
+# Pocket weight selection (Gallant 1990), shared verbatim by the
+# eval / kappa / calibration oracles so all three grade exactly the
+# registered trained model.
+_DUCK_POCKET = """pocket AS (
       SELECT CASE WHEN e2.err2 <= e3.err3 THEN e1.w0 ELSE e2.w0 END AS w0,
              CASE WHEN e2.err2 <= e3.err3 THEN e1.w1 ELSE e2.w1 END AS w1,
              CASE WHEN e2.err2 <= e3.err3 THEN e1.w2 ELSE e2.w2 END AS w2,
              CASE WHEN e2.err2 <= e3.err3 THEN e1.w3 ELSE e2.w3 END AS w3
       FROM e1 CROSS JOIN e2 CROSS JOIN e3
-    ),
+    )"""
+
+
+def _pct_pocket_weights(spark: SparkSession, f: DataFrame) -> DataFrame:
+    """The Spark twin of _DUCK_POCKET: of the epoch snapshots whose
+    training error was measured (weights entering epochs 2 and 3),
+    the one with the lower error — one 4-column broadcastable row."""
+    frames = _pct_epoch_frames(spark, f)
+    w_a = frames[0].select(*[F.col(f"w{k}").alias(f"a{k}")
+                             for k in range(4)])
+    w_b = frames[1].select(*[F.col(f"w{k}").alias(f"b{k}")
+                             for k in range(4)])
+    errs = frames[2].select("err2", "err3")
+    return (w_a.crossJoin(w_b).crossJoin(errs)
+            .select(*[F.when(F.col("err2") <= F.col("err3"),
+                             F.col(f"a{k}"))
+                      .otherwise(F.col(f"b{k}")).alias(f"w{k}")
+                      for k in range(4)]))
+
+
+def _pct_margin() -> "F.Column":
+    """sign-carrying integer margin of the broadcast weight row."""
+    return sum((F.col(f"w{k}") * F.col(f"x{k}") for k in range(1, 4)),
+               F.col("w0") * F.col("x0"))
+
+
+@register(
+    "perceptron_classifier_eval",
+    oracle=f"""
+    WITH {_duck_pct_pipeline()},
+    {_DUCK_POCKET},
     scoredp AS (
       SELECT f.doc_id, f.y,
              CASE WHEN (p.w0 * x0 + p.w1 * x1 + p.w2 * x2
@@ -1688,19 +1719,8 @@ def perceptron_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     separable corpus the same plan learns the boundary —
     tests/test_curation.py proves 100% on a constructed fixture."""
     f = _pct_features(spark, sf_dir)
-    frames = _pct_epoch_frames(spark, f)
-    w_a = frames[0].select(*[F.col(f"w{k}").alias(f"a{k}")
-                             for k in range(4)])
-    w_b = frames[1].select(*[F.col(f"w{k}").alias(f"b{k}")
-                             for k in range(4)])
-    errs = frames[2].select("err2", "err3")
-    weights = (w_a.crossJoin(w_b).crossJoin(errs)
-               .select(*[F.when(F.col("err2") <= F.col("err3"),
-                                F.col(f"a{k}"))
-                         .otherwise(F.col(f"b{k}")).alias(f"w{k}")
-                         for k in range(4)]))
-    margin = sum((F.col(f"w{k}") * F.col(f"x{k}") for k in range(1, 4)),
-                 F.col("w0") * F.col("x0"))
+    weights = _pct_pocket_weights(spark, f)
+    margin = _pct_margin()
     scoredp = (f.crossJoin(F.broadcast(weights))
                .select("doc_id", "y",
                        F.when(margin > 0, 1).otherwise(-1).alias("pred")))
@@ -1716,3 +1736,170 @@ def perceptron_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cell_share"),
                     spark_round_ratio("n_correct", "n_total", 6)
                     .alias("accuracy")))
+
+
+# --- classifier agreement + calibration audits ----------------------------
+
+@register(
+    "classifier_kappa_report",
+    oracle=f"""
+    WITH {_duck_pct_pipeline()},
+    {_DUCK_POCKET},
+    scoredp AS (
+      SELECT f.y,
+             CASE WHEN (p.w0 * x0 + p.w1 * x1 + p.w2 * x2
+                        + p.w3 * x3) > 0 THEN 1 ELSE -1 END AS pred
+      FROM f CROSS JOIN pocket p
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree,
+             CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_actual_pos,
+             CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pred_pos
+      FROM scoredp
+    )
+    SELECT n_total, n_agree, n_actual_pos, n_pred_pos,
+           {duck_round_ratio('n_agree', 'n_total', 6)} AS observed_agree,
+           {duck_round_ratio_wide(
+               'n_actual_pos * n_pred_pos'
+               ' + (n_total - n_actual_pos) * (n_total - n_pred_pos)',
+               'n_total * n_total', 6)} AS chance_agree,
+           {duck_round_ratio_wide(
+               'n_total * n_agree - n_actual_pos * n_pred_pos'
+               ' - (n_total - n_actual_pos) * (n_total - n_pred_pos)',
+               'n_total * n_total - n_actual_pos * n_pred_pos'
+               ' - (n_total - n_actual_pos) * (n_total - n_pred_pos)',
+               6)} AS kappa
+    FROM tot WHERE n_total > 0
+    """,
+    tags=("training", "classifier", "eval", "curation"),
+)
+def classifier_kappa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the in-engine-trained pocket perceptron vs the
+    ground-truth label — chance-corrected agreement, the audit number
+    a curation team reports next to raw accuracy (a gate that predicts
+    the majority class on a skewed corpus can post high accuracy with
+    kappa ~ 0; this query makes that failure mode a first-class,
+    oracle-checked output rather than a judgment call).
+
+    Exact integer rational end to end: kappa = (po - pe) / (1 - pe)
+    cleared of denominators is (n*n_agree - ap*pp - an*pn) /
+    (n^2 - ap*pp - an*pn) — all int64 counts, with the n^2-scale
+    products accumulated wide (DECIMAL(38,0)/HUGEINT) so the quotient
+    stays exact at any corpus size (at 10^9 docs n^2 = 10^18 rides the
+    int64 edge; Spark would wrap silently, the wide algebra cannot).
+    pe < 1 is guaranteed whenever both classes occur; the WHERE
+    n_total > 0 guard keeps the empty-input plan at zero rows on both
+    engines.
+
+    Plan shape at 100 TB: the trainer's bounded epoch aggregates + one
+    broadcast-weights map pass + ONE whole-corpus 4-counter aggregate
+    — no shuffle beyond the training epochs themselves.
+
+    Reference parity: the reference reports raw survey-answer parse
+    rates only (run_8values_survey.py logging); chance-corrected
+    agreement is part of the engine's added eval tier."""
+    f = _pct_features(spark, sf_dir)
+    weights = _pct_pocket_weights(spark, f)
+    scoredp = (f.crossJoin(F.broadcast(weights))
+               .select("y", F.when(_pct_margin() > 0, 1).otherwise(-1)
+                       .alias("pred")))
+    tot = scoredp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("y") == F.col("pred"), 1).otherwise(0))
+         .cast("long").alias("n_agree"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_actual_pos"),
+        F.sum(F.when(F.col("pred") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_pred_pos"))
+    pe_num = ("n_actual_pos * n_pred_pos"
+              " + (n_total - n_actual_pos) * (n_total - n_pred_pos)")
+    return (tot.filter(F.col("n_total") > 0)
+            .select("n_total", "n_agree", "n_actual_pos", "n_pred_pos",
+                    spark_round_ratio("n_agree", "n_total", 6)
+                    .alias("observed_agree"),
+                    spark_round_ratio_wide(pe_num, "n_total * n_total", 6)
+                    .alias("chance_agree"),
+                    spark_round_ratio_wide(
+                        f"n_total * n_agree - ({pe_num})",
+                        f"n_total * n_total - ({pe_num})", 6)
+                    .alias("kappa")))
+
+
+CAL_BINS = 8  # symmetric margin bins: -CAL_BINS .. +CAL_BINS
+
+
+@register(
+    "classifier_margin_calibration",
+    oracle=f"""
+    WITH {_duck_pct_pipeline()},
+    {_DUCK_POCKET},
+    sm AS (
+      SELECT f.y,
+             (p.w0 * x0 + p.w1 * x1 + p.w2 * x2 + p.w3 * x3) AS margin
+      FROM f CROSS JOIN pocket p
+    ),
+    mx AS (
+      SELECT GREATEST(CAST(MAX(abs(margin)) AS BIGINT) // {CAL_BINS}, 1)
+             AS w
+      FROM sm
+    ),
+    binned AS (
+      SELECT (CASE WHEN margin < 0 THEN -1 ELSE 1 END)
+             * LEAST(abs(margin) // w, {CAL_BINS}) AS bin,
+             y
+      FROM sm CROSS JOIN mx
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           {duck_round_ratio(
+               'SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)',
+               'COUNT(*)', 6)} AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+    tags=("training", "classifier", "eval", "curation"),
+)
+def classifier_margin_calibration(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Reliability table of the pocket perceptron: equi-width bins
+    over the EXACT integer margin (the model's native score), each
+    reporting how often the positive class actually occurs — the
+    reliability-diagram audit that tells a curation team whether a
+    threshold move trades precision for recall predictably (monotone
+    pos_rate across bins) or the score is uninformative (flat).
+
+    Determinism where float binning would wobble: the margin is an
+    int64, the bin width w = max(max|margin| div {CAL_BINS}, 1) is an
+    integer derived from one corpus aggregate, and bin assignment is
+    sign(margin) * min(|margin| div w, {CAL_BINS}) — truncating
+    division on non-negative operands, identical on both engines, so
+    every bin edge is exact (both engines' `div`/`//` truncate toward
+    zero; routing through abs() makes the sign convention moot).
+
+    Plan shape at 100 TB: one broadcast-weights map pass, one 1-row
+    max aggregate broadcast back, one <= {2 * CAL_BINS + 1}-group
+    aggregate. Empty corpus -> zero rows on both engines (the max is
+    NULL and the cross join carries no rows)."""
+    f = _pct_features(spark, sf_dir)
+    weights = _pct_pocket_weights(spark, f)
+    sm = (f.crossJoin(F.broadcast(weights))
+          .select("y", _pct_margin().alias("margin")))
+    mx = sm.agg(F.expr(
+        f"greatest(max(abs(margin)) div {CAL_BINS}, 1L)").alias("w"))
+    binned = (sm.crossJoin(F.broadcast(mx))
+              .select(F.expr(
+                  f"(case when margin < 0 then -1 else 1 end)"
+                  f" * least(abs(margin) div w, {CAL_BINS})").alias("bin"),
+                  "y"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_pos"))
+            .select("bin", "n_docs", "n_pos",
+                    spark_round_ratio("n_pos", "n_docs", 6)
+                    .alias("pos_rate")))
