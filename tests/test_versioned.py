@@ -388,3 +388,58 @@ def test_reader_on_old_version_survives_concurrent_vacuum(spark, tmp_path):
     reader = versioned.read_snapshot(spark, root, 1)   # lazy — not yet scanned
     versioned.vacuum_versions(spark, root, keep=1)     # runs mid-"scan"
     assert _rows(reader) == [(0, "x")]                 # completes fine
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
+    """compact_latest_version commits a NEW version with identical
+    rows in ~target-sized files; the fragmented old version stays on
+    disk for in-flight readers until vacuum reclaims it."""
+    from pyspark.sql import functions as F
+    root = str(tmp_path / "vt")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    versioned.commit_version(df.repartition(32), root)  # fragmented
+    v1_files = glob.glob(f"{root}/v_*1/part-*.parquet")
+    assert len(v1_files) == 32
+    old_reader = versioned.read_snapshot(spark, root, 1)
+
+    out = versioned.compact_latest_version(spark, root)
+    assert out is not None
+    new_v, n_files = out
+    assert new_v == 2 and n_files == 1
+    assert len(glob.glob(f"{root}/v_*2/part-*.parquet")) == 1
+    assert _rows(versioned.read_snapshot(spark, root)) == _rows(df)
+    # the pre-compaction snapshot is still fully readable
+    assert old_reader.count() == 2000
+    assert len(glob.glob(f"{root}/v_*1/part-*.parquet")) == 32
+
+
+def test_compaction_loses_race_to_writer_without_erasing_rows(
+        spark, tmp_path):
+    """A writer landing between the compaction's snapshot read and its
+    commit makes the base stale: the forced first attempt raises
+    StaleBaseError, and the public retry loop re-compacts the NEW
+    latest — the writer's row survives."""
+    root = str(tmp_path / "vt")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], ["k", "v"]).repartition(4),
+        root)
+    base = versioned.latest_version(spark, root)
+    stale_snap = versioned.read_snapshot(spark, root, base)
+    # concurrent writer wins the race
+    versioned.upsert_by_key_versioned(
+        spark.createDataFrame([(2, "b")], ["k", "v"]), root, ["k"])
+    # the compaction's stale first attempt must be rejected ...
+    with pytest.raises(versioned.StaleBaseError):
+        versioned.commit_version(stale_snap.repartition(1), root,
+                                 base_version=base)
+    # ... and the public API retries against the fresh latest
+    out = versioned.compact_latest_version(spark, root)
+    assert out is not None
+    assert _rows(versioned.read_snapshot(spark, root)) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_compaction_on_empty_table_is_noop(spark, tmp_path):
+    assert versioned.compact_latest_version(
+        spark, str(tmp_path / "vt")) is None

@@ -382,3 +382,61 @@ def diff_versions(spark: SparkSession, root: str, v_old: int, v_new: int,
         out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
     return (j.filter(~old_present | ~new_present | changed)
             .select(*out_cols))
+
+
+def compact_latest_version(spark: SparkSession, root: str,
+                           target_file_bytes: int = 128 * 1024 * 1024,
+                           max_retries: int = 5) -> tuple[int, int] | None:
+    """Small-file compaction for the versioned store — the OPTIMIZE of
+    the lakehouse engines, built entirely from the store's own commit
+    protocol: read the latest committed snapshot, rewrite it into
+    ceil(bytes / target) files, and commit the rewrite as a NEW
+    version carrying ``base_version`` (optimistic concurrency). The
+    logical content is unchanged by construction; only the file layout
+    improves. Returns ``(new_version, n_files)``, or ``None`` for an
+    empty table.
+
+    Why this shape survives every concurrent actor:
+    - READERS on any committed snapshot are untouched — compaction
+      never rewrites an existing version dir, it adds one (the old
+      layout is reclaimed later by ``vacuum_versions`` under its
+      retention guard, same as any superseded version).
+    - WRITERS that land between the snapshot read and the commit make
+      the compaction's base stale — :class:`StaleBaseError` under the
+      write lock — so a compaction can NEVER silently erase a
+      concurrent upsert (the lost-update hazard of naive in-place
+      OPTIMIZE). The loser here is the cheap side: compaction simply
+      re-reads the new latest and retries, up to ``max_retries``.
+    - A CRASH mid-rewrite leaves an uncommitted orphan dir above the
+      latest committed version — invisible to every reader, reclaimed
+      by vacuum once it ages past the retention window.
+
+    At 100 TB this is routine maintenance: per-batch streaming commits
+    accumulate file counts that bottleneck the scheduler and parquet
+    footer reads long before data volume does; compaction restores
+    ~target-sized files without a maintenance outage. Reference
+    analog: Postgres VACUUM FULL / CLUSTER rewriting the heap, made
+    outage-free by versioning (island_worker.py relies on autovacuum).
+    """
+    import random
+    import time
+
+    last_err: Exception | None = None
+    for attempt in range(max_retries + 1):
+        v = latest_version(spark, root)
+        if v is None:
+            return None
+        jvm, fs, _ = _fs(spark, root)
+        vdir = _version_dir(root, v)
+        total = int(fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(vdir)).getLength())
+        n_files = max(1, -(-total // target_file_bytes))
+        snap = read_snapshot(spark, root, v)
+        try:
+            return (commit_version(snap.repartition(n_files), root,
+                                   base_version=v), n_files)
+        except ConcurrentWriterError as e:   # includes StaleBaseError
+            last_err = e
+            if attempt < max_retries:
+                time.sleep(0.05 * (2 ** attempt) * (0.5 + random.random()))
+    raise last_err  # type: ignore[misc]
