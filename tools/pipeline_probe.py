@@ -1,0 +1,101 @@
+"""Bench-scale probe of the composed nine-store streaming pipeline.
+
+The pipeline's correctness contracts are pinned at sf0.001 in
+tests/test_streaming_pipeline.py; this probe drives the SAME
+foreach_batch chain at bench scale (sf0.1 by default, 50k docs) in N
+id-ordered micro-batches, times every batch, and re-verifies the two
+headline equivalences at that scale:
+
+  1. streamed kept-set == the batch composite of the three gates over
+     the union of batches;
+  2. the merged holdout sample == one batch bottom-k pass over the
+     kept union (the newest store, exercised at 100x its test scale).
+
+Usage: PYTHONPATH=/root/repo python tools/pipeline_probe.py \
+           [sf_dir] [n_batches]
+Prints one JSON line; run results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.session import get_spark
+    from transcript_analysis_spark.sources.tables import load_table
+    from transcript_analysis_spark.streaming import pipeline as pl
+    from transcript_analysis_spark.streaming.sample_store import (
+        batch_sample, read_sample)
+
+    spark = get_spark("pipeline_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    n_docs = docs.count()
+
+    with tempfile.TemporaryDirectory(prefix="pipeline_probe_") as root:
+        stores = pl.PipelineStores.under(root)
+        bench = docs.filter(F.col("doc_id") % 17 == 3)
+        t0 = time.monotonic()
+        pl.init_pipeline_stores(spark, stores, bench, docs,
+                                spark.read.parquet(emb_path))
+        init_s = round(time.monotonic() - t0, 3)
+
+        # id-ordered equal-width ranges (keep-first finality)
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        step = -(-hi // n_batches)
+        batch_secs = []
+        kept_total = 0
+        for b in range(n_batches):
+            part = docs.filter((F.col("doc_id") >= b * step)
+                               & (F.col("doc_id") < (b + 1) * step))
+            t0 = time.monotonic()
+            rep = pl.foreach_batch_corpus_pipeline(part, b, stores,
+                                                   emb_path)
+            batch_secs.append(round(time.monotonic() - t0, 3))
+            kept_total += rep["kept"]
+
+        # equivalence 1: kept == batch composite
+        t0 = time.monotonic()
+        streamed = {r.doc_id for r in
+                    pl.read_kept(spark, stores.kept_dir).collect()}
+        composite = {r.doc_id for r in pl.batch_composite_kept(
+            docs, spark.read.parquet(stores.bloom_dir),
+            spark.read.parquet(stores.dsir_weights_dir)).collect()}
+        kept_ok = streamed == composite
+
+        # equivalence 2: merged sample == batch bottom-k on kept union
+        kept_ids = pl.read_kept(spark, stores.kept_dir).select("doc_id")
+        kept_docs = docs.join(kept_ids, "doc_id", "left_semi")
+        batch_s = sorted((r.doc_id, r.hv)
+                         for r in batch_sample(kept_docs).collect())
+        stream_s = sorted((r.doc_id, r.hv) for r in
+                          read_sample(spark, stores.sample_dir).collect())
+        sample_ok = batch_s == stream_s
+        verify_s = round(time.monotonic() - t0, 3)
+
+    out = {"sf_dir": sf_dir, "n_docs": n_docs, "n_batches": n_batches,
+           "init_sec": init_s, "batch_secs": batch_secs,
+           "total_stream_sec": round(sum(batch_secs), 3),
+           "verify_sec": verify_s, "kept": kept_total,
+           "kept_equals_composite": kept_ok,
+           "sample_equals_batch": sample_ok}
+    print(json.dumps(out))
+    return 0 if (kept_ok and sample_ok) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
