@@ -320,3 +320,61 @@ def test_mixture_apply_consistent_with_plan(spark):
         if 100_000 < frac < 900_000 and len(rows) >= 20:
             kinds = {r.n_copies for r in rows}
             assert kinds == {lo, lo + 1}
+
+
+def test_ndcg_discount_table_matches_log2(spark):
+    """NDCG_DISCOUNTS is the half-up integer quantization of
+    1e6/log2(pos+1) — pinned so the shared constant cannot drift from
+    the formula it encodes."""
+    import math
+
+    from transcript_analysis_spark.plans.scale_ops import (NDCG_DISCOUNTS,
+                                                           NDCG_K)
+    assert len(NDCG_DISCOUNTS) == NDCG_K
+    for i, d in enumerate(NDCG_DISCOUNTS):
+        assert d == round(1e6 / math.log2(i + 2))
+    assert all(a > b for a, b in zip(NDCG_DISCOUNTS, NDCG_DISCOUNTS[1:]))
+
+
+def test_ndcg_perfect_and_inverted_rankings(spark, tmp_path):
+    """The instrument measures ORDER: a corpus where BM25 agrees with
+    graded relevance scores NDCG = 1; one where term-frequency
+    saturation inverts the order scores NDCG < 1."""
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.plans.scale_ops import bm25_ndcg_report
+
+    # aligned: the 3-term doc outscores 2-term outscores 1-term
+    # (equal lengths, one occurrence each -> idf sums dominate)
+    filler = " ".join(["zz"] * 20)
+    aligned = [
+        (1, f"spark hash merge {filler}", "en", "s0"),
+        (2, f"spark hash zz zz {filler}", "en", "s0"),
+        (3, f"spark zz zz zz {filler}", "en", "s0"),
+        (4, f"zz zz zz zz {filler}", "en", "s0"),
+    ]
+    (spark.createDataFrame(aligned, "doc_id long, text string,"
+                           " lang string, source string")
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.parquet(f"{tmp_path}/a/documents.parquet"))
+    r = bm25_ndcg_report(spark, f"{tmp_path}/a").collect()
+    assert len(r) == 1 and r[0].n_candidates == 3
+    assert r[0].ndcg10 == 1.0 and r[0].dcg10 == r[0].idcg10
+
+    # inverted: a short doc stuffed with one term out-ranks a very
+    # long doc containing all three terms once — BM25's length
+    # normalization crushes the long doc's saturation while the many
+    # short filler docs keep avgdl low (the classic keyword-stuffing
+    # failure NDCG exists to expose; plain recall cannot see it)
+    long_filler = " ".join(["zz"] * 397)
+    inverted = ([(1, "spark " * 12 + "spark", "en", "s0"),
+                 (2, f"spark hash merge {long_filler}", "en", "s0")]
+                + [(10 + i, " ".join(["zz"] * 10), "en", "s0")
+                   for i in range(18)])
+    (spark.createDataFrame(inverted, "doc_id long, text string,"
+                           " lang string, source string")
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.parquet(f"{tmp_path}/b/documents.parquet"))
+    r = bm25_ndcg_report(spark, f"{tmp_path}/b").collect()
+    assert len(r) == 1 and r[0].n_candidates == 2
+    assert 0.0 < r[0].ndcg10 < 1.0

@@ -1019,3 +1019,95 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  spark_round_ratio(
                      f"sum(least(fill, {B}))",
                      f"count(1) * {B}", 6).alias("utilization")))
+
+
+# --- ranking quality: NDCG@k of the BM25 retrieval ------------------------
+
+NDCG_K = 10
+# round(1e6 / log2(pos + 1)) for pos 1..10 — the standard DCG discount
+# as a FIXED integer constant table shared verbatim by both engines,
+# so the graded-relevance sum needs no transcendental at query time
+# and stays exact integer arithmetic.
+NDCG_DISCOUNTS = (1000000, 630930, 500000, 430677, 386853,
+                  356207, 333333, 315465, 301030, 289065)
+
+_BM25_ORACLE_SQL = _THIS_REG["bm25_scores"].oracle
+_DUCK_DISC_VALUES = ", ".join(
+    f"({i + 1}, {d})" for i, d in enumerate(NDCG_DISCOUNTS))
+_SPARK_DISC_MAP = "map(" + ", ".join(
+    f"{i + 1}, {d}L" for i, d in enumerate(NDCG_DISCOUNTS)) + ")"
+
+
+@register(
+    "bm25_ndcg_report",
+    oracle=f"""
+    WITH scored AS (SELECT * FROM ({_BM25_ORACLE_SQL}) b),
+    disc(pos, disc) AS (VALUES {_DUCK_DISC_VALUES}),
+    ranked AS (
+      SELECT n_matched,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+      FROM scored
+    ),
+    ideal AS (
+      SELECT n_matched,
+             row_number() OVER (ORDER BY n_matched DESC, doc_id) AS pos
+      FROM scored
+    ),
+    dcg AS (
+      SELECT CAST(SUM(r.n_matched * d.disc) AS BIGINT) AS dcg10
+      FROM ranked r JOIN disc d ON r.pos = d.pos
+    ),
+    idcg AS (
+      SELECT CAST(SUM(i.n_matched * d.disc) AS BIGINT) AS idcg10
+      FROM ideal i JOIN disc d ON i.pos = d.pos
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM scored)
+    SELECT n_candidates, dcg10, idcg10,
+           {duck_round_ratio('dcg10', 'idcg10', 6)} AS ndcg10
+    FROM nc CROSS JOIN dcg CROSS JOIN idcg
+    WHERE n_candidates > 0
+    """,
+    tags=("text-analysis", "ranking", "eval", "report"),
+)
+def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of the registered BM25 ranking against graded
+    term-containment relevance — the ranking-quality member of the
+    eval tier (recall@k grades the ANN indexes, kappa grades the
+    classifier, NDCG grades retrieval ORDER, which recall alone cannot
+    see). COMPOSED on `bm25_scores`' own oracle so the graded ranking
+    can never drift from the registered query; relevance is its exact
+    n_matched column (0-{len(BM25_TERMS)} query terms present).
+
+    Exactness: ranking order is total ((bm25 DESC, doc_id) — the
+    rounded score is hash-proven identical across engines), the DCG
+    discount is a fixed integer constant table (module constant
+    NDCG_DISCOUNTS = round(1e6/log2(pos+1))), so DCG and ideal-DCG are
+    plain int64 sums (<= 3e7) and NDCG is one exact half-up rational.
+
+    Plan shape at 100 TB: the BM25 pass is map-only + one tiny stats
+    broadcast; both top-{NDCG_K} cuts are TakeOrderedAndProject
+    (per-partition heaps, k-row merge — never a global sort); the
+    row_number windows run on the already-limited {NDCG_K}-row frames
+    (bounded, unlike the corpus-sized windows the bucketed-rank
+    pattern exists to avoid). Empty corpus -> zero rows both engines
+    (the n_candidates > 0 guard)."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(spark, sf_dir)
+    disc = F.expr(f"element_at({_SPARK_DISC_MAP}, pos)")
+
+    def _dcg(ordered, alias):
+        w = Window.orderBy(*ordered)
+        top = (scored.orderBy(*ordered).limit(NDCG_K)
+               .withColumn("pos", F.row_number().over(w)))
+        return top.agg(F.sum(F.col("n_matched") * disc).cast("long")
+                       .alias(alias))
+
+    dcg = _dcg([F.col("bm25").desc(), F.col("doc_id")], "dcg10")
+    idcg = _dcg([F.col("n_matched").desc(), F.col("doc_id")], "idcg10")
+    nc = scored.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return (nc.crossJoin(F.broadcast(dcg)).crossJoin(F.broadcast(idcg))
+            .filter(F.col("n_candidates") > 0)
+            .select("n_candidates", "dcg10", "idcg10",
+                    spark_round_ratio("dcg10", "idcg10", 6)
+                    .alias("ndcg10")))
