@@ -57,6 +57,10 @@ CHECK_FAMILY = [
     "hybrid_rrf_fusion",
     "power_iteration_top_pc",
     "isotropy_repair_residuals",
+    # chance-agreement products grow as n^2 — the exact regime the
+    # wide (DECIMAL(38,0)/HUGEINT) rational algebra exists for
+    "classifier_kappa_report",
+    "classifier_margin_calibration",
 ]
 
 

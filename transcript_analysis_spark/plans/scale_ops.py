@@ -1087,24 +1087,35 @@ def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: the BM25 pass is map-only + one tiny stats
     broadcast; both top-{NDCG_K} cuts are TakeOrderedAndProject
     (per-partition heaps, k-row merge — never a global sort); the
-    row_number windows run on the already-limited {NDCG_K}-row frames
-    (bounded, unlike the corpus-sized windows the bucketed-rank
-    pattern exists to avoid). Empty corpus -> zero rows both engines
-    (the n_candidates > 0 guard)."""
-    from pyspark.sql import Window
-
+    position-weighted sums then fold the <= {NDCG_K}-element sorted
+    array in one bounded higher-order expression — NO window spec at
+    all, so the unpartitioned-window plan gate stays clean by
+    construction. Empty corpus -> zero rows both engines (the
+    n_candidates > 0 guard)."""
     scored = bm25_scores(spark, sf_dir)
-    disc = F.expr(f"element_at({_SPARK_DISC_MAP}, pos)")
 
-    def _dcg(ordered, alias):
-        w = Window.orderBy(*ordered)
-        top = (scored.orderBy(*ordered).limit(NDCG_K)
-               .withColumn("pos", F.row_number().over(w)))
-        return top.agg(F.sum(F.col("n_matched") * disc).cast("long")
-                       .alias(alias))
+    def _dcg(ordered, sort_keys, alias):
+        # rank by folding the collected top-k (bounded: <= NDCG_K
+        # structs) in sort order; struct sort is lexicographic
+        # ascending, so descending keys enter negated
+        top = scored.orderBy(*ordered).limit(NDCG_K)
+        arr = F.sort_array(F.collect_list(F.struct(
+            *sort_keys, F.col("n_matched").alias("rel"))))
+        return (top.agg(arr.alias("arr"))
+                .select(F.expr(
+                    f"case when size(arr) = 0 then cast(null as bigint)"
+                    f" else aggregate(sequence(1, size(arr)),"
+                    f" cast(0 as bigint), (acc, i) -> acc"
+                    f" + arr[i-1].rel * element_at({_SPARK_DISC_MAP}, i))"
+                    f" end").alias(alias)))
 
-    dcg = _dcg([F.col("bm25").desc(), F.col("doc_id")], "dcg10")
-    idcg = _dcg([F.col("n_matched").desc(), F.col("doc_id")], "idcg10")
+    dcg = _dcg([F.col("bm25").desc(), F.col("doc_id")],
+               [(-F.col("bm25")).alias("k1"), F.col("doc_id").alias("k2")],
+               "dcg10")
+    idcg = _dcg([F.col("n_matched").desc(), F.col("doc_id")],
+                [(-F.col("n_matched")).alias("k1"),
+                 F.col("doc_id").alias("k2")],
+                "idcg10")
     nc = scored.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     return (nc.crossJoin(F.broadcast(dcg)).crossJoin(F.broadcast(idcg))
             .filter(F.col("n_candidates") > 0)
