@@ -198,3 +198,16 @@ def test_serve_dashboard_http_endpoint(engine):
         assert out["n_rows"] >= 1 and not out["cached"]
     finally:
         srv.shutdown()
+
+
+def test_round7_eval_facade(engine):
+    """The round-7 audit tier is reachable through the fluent API."""
+    k = engine.filter_agreement().collect()
+    assert len(k) == 1 and -1.0 <= k[0].kappa <= 1.0
+    cal = engine.filter_calibration().collect()
+    assert cal and all(0.0 <= r.pos_rate <= 1.0 for r in cal)
+    nd = engine.rank_quality().collect()
+    assert len(nd) == 1 and 0.0 < nd[0].ndcg10 <= 1.0
+    assert engine.dedup("simhash_pairs").count() >= 0
+    pc = engine.top_principal_component()
+    assert pc.count() > 0

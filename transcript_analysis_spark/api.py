@@ -118,6 +118,7 @@ class TranscriptEngine:
         "exact": "exact_dedup_groups",
         "minhash": "minhash_verified_pairs",
         "simhash": "simhash_fingerprints",
+        "simhash_pairs": "simhash_hamming_pairs",
         "components": "neardup_components",
         "embedding": "embedding_similar_pairs",
     }
@@ -526,6 +527,36 @@ class TranscriptEngine:
         except ImportError:   # tools/ not shipped alongside the package
             notes = ""
         return f"{notes}\n\n{plan}"
+
+    # --- eval tier (round-7 audits) --------------------------------------
+
+    def filter_agreement(self) -> DataFrame:
+        """Cohen's kappa of the trained filter vs ground truth —
+        chance-corrected agreement beside raw accuracy."""
+        return self._q("classifier_kappa_report")
+
+    def filter_calibration(self) -> DataFrame:
+        """Reliability table over the filter's exact integer margin
+        (per-bin positive rates)."""
+        return self._q("classifier_margin_calibration")
+
+    def rank_quality(self) -> DataFrame:
+        """NDCG@10 of the BM25 ranking vs graded term containment."""
+        return self._q("bm25_ndcg_report")
+
+    def tune_ann(self) -> DataFrame:
+        """Recall/cost frontier across the ANN index parameter grid
+        (the evidence behind the promoted production config)."""
+        return self._q("ann_param_sweep")
+
+    def top_principal_component(self) -> DataFrame:
+        """Power-iteration dominant PC trajectory (exact integers)."""
+        return self._q("power_iteration_top_pc")
+
+    def isotropy_repair(self) -> DataFrame:
+        """All-but-the-top residuals: per-vector projection removal
+        against the corpus' dominant direction."""
+        return self._q("isotropy_repair_residuals")
 
     def query(self, name: str) -> DataFrame:
         """Any registered query by name (the full engine surface)."""
