@@ -294,3 +294,59 @@ def test_perceptron_saw_exactly_the_kept_docs_once(spark, pipeline_run):
     n_kept = pl.read_kept(spark, stores.kept_dir).count()
     assert w["n_seen"] == n_kept
     assert json.loads(w["applied_json"]) == {"corpus_pipeline": 2}
+
+
+def test_consistent_snapshot_hides_inflight_batch(spark, tmp_path):
+    """The catalog manifest makes the nine stores read as ONE
+    snapshot: a batch whose partitions have landed but whose manifest
+    has not flipped (crash before publish) is invisible to consistent
+    readers, while raw per-store reads already see it; replaying the
+    batch WITH publish advances the watermark monotonically."""
+    from transcript_analysis_spark.sources.catalog import latest_catalog
+    from transcript_analysis_spark.streaming.sample_store import read_sample
+
+    root = str(tmp_path / "pipe")
+    cat = str(tmp_path / "cat")
+    stores = pl.PipelineStores.under(root)
+    docs = load_table(spark, SF_DIR, "documents")
+    emb_path = f"{SF_DIR}/embeddings.parquet"
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    pl.init_pipeline_stores(spark, stores, bench, docs,
+                            spark.read.parquet(emb_path))
+
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    pl.foreach_batch_corpus_pipeline(b0, 0, stores, emb_path, cat)
+    assert pl.snapshot_watermark(spark, cat) == 0
+
+    # batch 1 lands all stores but CRASHES before its publish
+    pl.foreach_batch_corpus_pipeline(b1, 1, stores, emb_path,
+                                     catalog_root=None)
+    raw = {r.doc_id for r in pl.read_kept(spark, stores.kept_dir)
+           .collect()}
+    cons = {r.doc_id for r in
+            pl.read_kept_consistent(spark, stores, cat).collect()}
+    assert cons < raw                        # in-flight batch hidden
+    assert max(r.batch_id for r in
+               pl.read_kept(spark, stores.kept_dir).collect()) == 1
+    assert pl.snapshot_watermark(spark, cat) == 0
+    # the sketch view is truncated to the SAME watermark as the kept
+    # view — no mixed-batch reads anywhere
+    cms_cons = pl.read_store_consistent(spark, stores.cms_dir, cat)
+    assert cms_cons.agg(F.max("batch_id")).collect()[0][0] == 0
+
+    # crash-retry replays batch 1 with its publish this time
+    pl.foreach_batch_corpus_pipeline(b1, 1, stores, emb_path, cat)
+    assert pl.snapshot_watermark(spark, cat) == 1
+    assert {r.doc_id for r in
+            pl.read_kept_consistent(spark, stores, cat).collect()} == raw
+
+    # republishing an older batch never moves readers backwards
+    pl.publish_snapshot(spark, stores, cat, 0)
+    assert pl.snapshot_watermark(spark, cat) == 1
+    assert latest_catalog(spark, cat) >= 3
+
+    # the sample store reads consistently through the same helper
+    assert read_sample(
+        spark, stores.sample_dir).count() >= pl.read_store_consistent(
+        spark, stores.sample_dir, cat).limit(1).count()

@@ -172,7 +172,8 @@ def gate_dsir(docs: DataFrame, weight_store: DataFrame) -> DataFrame:
 
 def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
                                   stores: PipelineStores,
-                                  emb_path: str | None = None) -> dict:
+                                  emb_path: str | None = None,
+                                  catalog_root: str | None = None) -> dict:
     """One micro-batch through all nine stores (module docstring).
     Every stage writes through its own store's proven foreach/commit
     function; the gates recompute the same deterministic verdicts
@@ -261,19 +262,83 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
             # 8. PCA moment deltas for the same kept vectors
             foreach_batch_pca(batch_emb, batch_id, stores.pca_dir)
 
+    if catalog_root is not None:
+        publish_snapshot(spark, stores, catalog_root, batch_id)
+
     return {"batch_id": batch_id, "in": batch_docs.count(),
             "kept": kept.count(), "perceptron_applied": applied,
             "vectors_assigned": n_vec}
 
 
+# --- consistent cross-store snapshots (sources/catalog.py) ----------------
+# Every store is individually recoverable, but their LATEST states can
+# interleave mid-batch: a reader polling between stage 4 and stage 6
+# would see batch N's kept-set beside batch N-1's sketches. The
+# manifest closes that: after all nine stages land, one catalog commit
+# pins the batch high-water mark (and the perceptron store's committed
+# version); consistent readers filter every partitioned store to
+# batch_id <= the pinned mark and read the weight store at the pinned
+# version — a snapshot-isolated view of the WHOLE pipeline, the
+# cross-table property the reference gets from Postgres transactions.
+
+_WATERMARK_KEY = "pipeline_batch_watermark"
+
+
+def publish_snapshot(spark: SparkSession, stores: PipelineStores,
+                     catalog_root: str, batch_id: int) -> int:
+    """Pin the just-completed batch as the consistent read point.
+    Idempotent under replay: republishing an already-covered batch
+    keeps the monotone high-water mark (max), so a crash-retry of an
+    old batch never moves consistent readers backwards."""
+    from transcript_analysis_spark.sources.catalog import transact
+    from transcript_analysis_spark.sources.versioned import latest_version
+
+    pv = latest_version(spark, stores.perceptron_root)
+
+    def tx(pinned: dict) -> dict:
+        wm = max(int(pinned.get(_WATERMARK_KEY, -1)), int(batch_id))
+        return {**pinned, _WATERMARK_KEY: wm,
+                stores.perceptron_root: int(pv)}
+
+    return transact(spark, catalog_root, tx)
+
+
+def snapshot_watermark(spark: SparkSession, catalog_root: str) -> int:
+    """The pinned batch high-water mark (-1 before any publish)."""
+    from transcript_analysis_spark.sources.catalog import read_catalog
+    return int(read_catalog(spark, catalog_root).get(_WATERMARK_KEY, -1))
+
+
+def read_kept_consistent(spark: SparkSession, stores: PipelineStores,
+                         catalog_root: str) -> DataFrame:
+    """The finalized kept-set at the pinned snapshot: kept minus
+    tombstones, both truncated to the published watermark — in-flight
+    batches are invisible even though their partitions already exist."""
+    wm = snapshot_watermark(spark, catalog_root)
+    kept = read_kept(spark, stores.kept_dir) \
+        .filter(F.col("batch_id") <= wm)
+    tombs = read_tombstones(spark, stores.tombstones_dir) \
+        .filter(F.col("batch_id") <= wm)
+    return kept.join(tombs.select("doc_id"), "doc_id", "left_anti")
+
+
+def read_store_consistent(spark: SparkSession, store_dir: str,
+                          catalog_root: str) -> DataFrame:
+    """Any batch_id-partitioned store truncated to the pinned
+    watermark (callers apply their store's own merge on top)."""
+    wm = snapshot_watermark(spark, catalog_root)
+    return spark.read.parquet(store_dir).filter(F.col("batch_id") <= wm)
+
+
 def run_corpus_pipeline_stream(stream_docs: DataFrame,
                                stores: PipelineStores,
                                checkpoint_dir: str,
-                               emb_path: str | None = None):
+                               emb_path: str | None = None,
+                               catalog_root: str | None = None):
     """AvailableNow foreachBatch driver for the composed pipeline."""
     return (stream_docs.writeStream
             .foreachBatch(lambda df, bid: foreach_batch_corpus_pipeline(
-                df, bid, stores, emb_path))
+                df, bid, stores, emb_path, catalog_root))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
