@@ -378,3 +378,31 @@ def test_ndcg_perfect_and_inverted_rankings(spark, tmp_path):
     r = bm25_ndcg_report(spark, f"{tmp_path}/b").collect()
     assert len(r) == 1 and r[0].n_candidates == 2
     assert 0.0 < r[0].ndcg10 < 1.0
+
+
+def test_epoch_shuffle_is_decorrelated_permutation(spark):
+    """Each epoch's positions are a 1..n permutation; the two epochs'
+    orders are genuinely different (salt decorrelation); shards are
+    full-sized except the tail."""
+    from collections import Counter
+
+    from transcript_analysis_spark.plans.scale_ops import (
+        SHUFFLE_EPOCHS, SHUFFLE_SHARD_DOCS, epoch_shuffle_plan)
+
+    rows = epoch_shuffle_plan(spark, "/root/testdata/sf0.001").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    n = len(by_epoch[0])
+    order = {}
+    for e, rs in by_epoch.items():
+        assert sorted(r.shuffle_pos for r in rs) == list(range(1, n + 1))
+        order[e] = [r.doc_id for r in
+                    sorted(rs, key=lambda r: r.shuffle_pos)]
+        sizes = Counter(r.shard for r in rs)
+        assert all(v == SHUFFLE_SHARD_DOCS for s, v in sizes.items()
+                   if s < max(sizes))
+    # decorrelated: the epoch orders agree on only a tiny prefix
+    agree = sum(a == b for a, b in zip(order[0], order[1]))
+    assert agree < n // 10

@@ -1122,3 +1122,110 @@ def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_candidates", "dcg10", "idcg10",
                     spark_round_ratio("dcg10", "idcg10", 6)
                     .alias("ndcg10")))
+
+
+# --- reproducible epoch data ordering -------------------------------------
+
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARD_DOCS = 100   # docs per training shard
+_SHUFFLE_BUCKETS = 1024
+_SHUFFLE_BDIV = MOD // _SHUFFLE_BUCKETS + 1
+# Per-epoch affine mix (a*h + b) % MOD over the one content hash.
+# The multiplier is the load-bearing part: MOD is prime, so each mix
+# is a bijection, and DISTINCT multipliers scramble the relative
+# order between epochs. (A same-length text-suffix salt — the first
+# design — reduces to h*31^len + C_e: the SAME multiplier with an
+# additive shift, which merely rotates the value circle and leaves
+# the two epoch orders almost identical. Caught by the decorrelation
+# test; a*h stays < 1.2e18, inside int64.)
+EPOCH_SALTS = ((1103515245, 12345), (1299709, 7919))
+
+
+def _epoch_mix(e: int, h_expr: str) -> str:
+    a, b = EPOCH_SALTS[e]
+    return f"(({a} * ({h_expr}) + {b}) % {MOD})"
+
+
+def _epoch_positions(frame: DataFrame, pos_col: str) -> DataFrame:
+    """Exact global 1..n ordering positions by (hv asc, doc_id asc)
+    WITHOUT a global single-task window — the ascending-integer twin
+    of curation's `_bucketed_rank`: hv is bucketed by integer div
+    (at most {_SHUFFLE_BUCKETS} buckets, ordering with hv), positions
+    are row_numbers within each bucket partition, and each bucket's
+    offset is the count of rows in strictly-lower buckets via a
+    non-equi join over the O(#buckets) count table."""
+    from pyspark.sql import Window
+    b = frame.withColumn("_bkt", F.expr(f"hv div {_SHUFFLE_BDIV}"))
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    offs = (counts.alias("x")
+            .join(F.broadcast(counts.alias("y")),
+                  F.col("y._bkt") < F.col("x._bkt"), "left")
+            .groupBy(F.col("x._bkt").alias("_bkt"))
+            .agg(F.coalesce(F.sum("y._c"), F.lit(0)).alias("_off")))
+    w = Window.partitionBy("_bkt").orderBy(F.asc("hv"), F.asc("doc_id"))
+    return (b.join(F.broadcast(offs), "_bkt")
+            .withColumn(pos_col,
+                        (F.col("_off") + F.row_number().over(w))
+                        .cast("long"))
+            .drop("_bkt", "_c", "_off"))
+
+
+def _duck_epoch_cte(e: int) -> str:
+    return (f"SELECT CAST({e} AS BIGINT) AS epoch, doc_id, "
+            f"{_epoch_mix(e, duck_char_hash('text'))} AS hv "
+            f"FROM documents")
+
+
+@register(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH u AS (
+      {" UNION ALL ".join(_duck_epoch_cte(e)
+                          for e in range(SHUFFLE_EPOCHS))}
+    ),
+    r AS (
+      SELECT epoch, doc_id, hv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                     ORDER BY hv, doc_id)
+                  AS BIGINT) AS shuffle_pos
+      FROM u
+    )
+    SELECT epoch, doc_id, hv, shuffle_pos,
+           (shuffle_pos - 1) // {SHUFFLE_SHARD_DOCS} AS shard
+    FROM r
+    """,
+    tags=("training-prep", "ordering"),
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch global data ordering — the "data order
+    seed" of a pretraining run, made a deterministic artifact instead
+    of runtime RNG state: epoch e orders the corpus by an epoch-keyed
+    affine mix of the content hash ((a_e*h + b_e) mod prime, distinct
+    multipliers — see EPOCH_SALTS for why a suffix salt fails), so the
+    order is (a) a uniform permutation per epoch, (b) decorrelated
+    BETWEEN epochs (the property epoch reshuffles exist for, pinned by
+    test), (c) identical across engines, runs, and restarts (no
+    rand()/seed state to lose on preemption), and (d) stable under
+    append-only growth for already-positioned prefixes of the hash
+    order. Positions then map onto fixed-size training shards.
+
+    Plan shape at 100 TB: the per-epoch global 1..n positions use the
+    ascending bucketed-rank scheme (partitioned window over <=
+    {_SHUFFLE_BUCKETS} hash-range buckets + one O(#buckets) broadcast
+    non-equi join) — never one task sorting the world; epochs are
+    independent map passes unioned. The DuckDB oracle is the plain
+    corpus-wide ROW_NUMBER the pattern replaces."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = []
+    for e in range(SHUFFLE_EPOCHS):
+        f = d.select(
+            F.lit(e).cast("long").alias("epoch"), "doc_id",
+            F.expr(_epoch_mix(e, spark_char_hash("text"))).alias("hv"))
+        frames.append(_epoch_positions(f, "shuffle_pos"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "epoch", "doc_id", "hv", "shuffle_pos",
+        F.expr(f"(shuffle_pos - 1) div {SHUFFLE_SHARD_DOCS}")
+         .cast("long").alias("shard"))
