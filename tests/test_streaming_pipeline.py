@@ -350,3 +350,62 @@ def test_consistent_snapshot_hides_inflight_batch(spark, tmp_path):
     assert read_sample(
         spark, stores.sample_dir).count() >= pl.read_store_consistent(
         spark, stores.sample_dir, cat).limit(1).count()
+
+
+def test_store_compaction_is_lossless_and_replay_safe(spark, tmp_path):
+    """Compacting every batch partition at or below watermark-1 into
+    one stamped partition changes NOTHING any reader or replayer can
+    observe: consistent views identical, merged store reads identical,
+    and a crash-retry replay of the newest published batch is still a
+    byte-level no-op against the compacted store."""
+    import glob
+
+    from transcript_analysis_spark.streaming.sample_store import read_sample
+    from transcript_analysis_spark.streaming.sketch_store import read_sketch
+
+    root = str(tmp_path / "pipe")
+    cat = str(tmp_path / "cat")
+    stores = pl.PipelineStores.under(root)
+    docs = load_table(spark, SF_DIR, "documents")
+    emb_path = f"{SF_DIR}/embeddings.parquet"
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    pl.init_pipeline_stores(spark, stores, bench, docs,
+                            spark.read.parquet(emb_path))
+
+    batches = [docs.filter(F.col("doc_id") < 170),
+               docs.filter((F.col("doc_id") >= 170)
+                           & (F.col("doc_id") < 340)),
+               docs.filter(F.col("doc_id") >= 340)]
+    for b, part in enumerate(batches):
+        pl.foreach_batch_corpus_pipeline(part, b, stores, emb_path, cat)
+    assert pl.snapshot_watermark(spark, cat) == 2
+
+    def views():
+        return {
+            "kept": sorted(r.doc_id for r in pl.read_kept_consistent(
+                spark, stores, cat).collect()),
+            "sample": sorted((r.doc_id, r.hv) for r in read_sample(
+                spark, stores.sample_dir).collect()),
+            "cms": sorted(map(tuple, read_sketch(
+                spark, stores.cms_dir).collect())),
+        }
+
+    before = views()
+    n_parts_before = len(glob.glob(f"{stores.kept_dir}/batch_id=*"))
+    compacted = pl.compact_pipeline_stores(spark, stores, cat)
+    assert compacted, "nothing compacted"
+    assert stores.kept_dir in compacted
+    assert views() == before
+    # partitions 0 and 1 collapsed into one stamped batch_id=1
+    parts = sorted(int(p.rsplit("=", 1)[1]) for p in
+                   glob.glob(f"{stores.kept_dir}/batch_id=*"))
+    assert parts == [1, 2] and n_parts_before == 3
+
+    # the newest published batch replays as a no-op on the compacted
+    # store (crash after publish, before the checkpoint commit)
+    pre = _store_state(spark, stores)
+    rep = pl.foreach_batch_corpus_pipeline(batches[2], 2, stores,
+                                           emb_path, cat)
+    assert rep["perceptron_applied"] is False
+    assert _store_state(spark, stores) == pre
+    assert views() == before

@@ -143,14 +143,18 @@ def _acquire_swap_lock(fs, jvm, path: str):
     return lock
 
 
-def write_and_swap(df: DataFrame, path: str) -> None:
+def write_and_swap(df: DataFrame, path: str,
+                   partition_by: list[str] | None = None) -> None:
     """Write `df` to a sibling temp dir, then atomically swap it into
     `path` via filesystem rename — the rewrite primitive every
     read-modify-write sink (upsert, compaction) shares. A lock file
     enforces single-writer; the temp dir is cleaned up if any step
     after the write raises; a crash between the two renames leaves a
     `__rewrite_old_*` dir that `upsert_by_key` detects and recovers.
-    For SNAPSHOT-ISOLATED concurrent readers use
+    With `partition_by`, the rewrite preserves a partitioned layout —
+    required when the target keeps receiving dynamic-partition
+    overwrites (mixing bare files into a partitioned dir would break
+    them). For SNAPSHOT-ISOLATED concurrent readers use
     `sources/versioned.py` (immutable version dirs + pointer)."""
     import uuid
     spark = df.sparkSession
@@ -165,7 +169,10 @@ def write_and_swap(df: DataFrame, path: str) -> None:
     old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__rewrite_old_{token}")
     try:
         try:
-            df.write.mode("overwrite").parquet(tmp)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
             # exists() first: some Hadoop FS impls THROW on a missing
             # rename source instead of returning false
             if not fs.exists(jpath) or not fs.rename(jpath, old):

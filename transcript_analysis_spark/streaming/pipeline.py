@@ -330,6 +330,56 @@ def read_store_consistent(spark: SparkSession, store_dir: str,
     return spark.read.parquet(store_dir).filter(F.col("batch_id") <= wm)
 
 
+def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
+                            catalog_root: str,
+                            coalesce: int = 1) -> dict[str, int]:
+    """Routine maintenance for the batch_id-partitioned stores: every
+    partition at or below the SAFE compaction point is collapsed into
+    ONE partition stamped with that point — at 100 TB, thousands of
+    per-batch delta partitions bottleneck the scheduler and parquet
+    footer reads long before data volume does.
+
+    Why this is lossless for every reader and writer:
+    - Consistent readers filter ``batch_id <= watermark``; the
+      collapsed partition's stamp is <= the published watermark, and
+      the watermark is monotone (publish_snapshot), so the filtered
+      row set is IDENTICAL before and after.
+    - The arrival-time gates filter ``batch_id <= current`` for
+      current > watermark — again unchanged.
+    - Replays: under foreachBatch checkpointing only the in-flight
+      batch can be redelivered, and a crash after publish but before
+      the checkpoint commit can still replay the watermark batch
+      itself — so the compaction point is ``watermark - 1``, leaving
+      the newest published partition untouched for its potential
+      dynamic-partition overwrite.
+    Returns {store dir: rows compacted}."""
+    from transcript_analysis_spark.sources.sinks import write_and_swap
+
+    through = snapshot_watermark(spark, catalog_root) - 1
+    out: dict[str, int] = {}
+    batch_stores = (stores.pairs_dir, stores.decontam_dir,
+                    stores.dsir_scores_dir, stores.kept_dir,
+                    stores.cms_dir, stores.hll_dir, stores.assign_dir,
+                    stores.pca_dir, stores.sample_dir,
+                    stores.tombstones_dir)
+    for d in batch_stores:
+        df = _try_read(spark, d)
+        if df is None or through < 0:
+            continue
+        old = df.filter(F.col("batch_id") <= through)
+        n = old.count()
+        if n == 0:
+            continue
+        collapsed = (old.drop("batch_id")
+                     .withColumn("batch_id", F.lit(int(through)))
+                     .coalesce(coalesce))
+        recent = df.filter(F.col("batch_id") > through)
+        write_and_swap(collapsed.unionByName(recent), d,
+                       partition_by=["batch_id"])
+        out[d] = n
+    return out
+
+
 def run_corpus_pipeline_stream(stream_docs: DataFrame,
                                stores: PipelineStores,
                                checkpoint_dir: str,
