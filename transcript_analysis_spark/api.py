@@ -558,6 +558,11 @@ class TranscriptEngine:
         against the corpus' dominant direction."""
         return self._q("isotropy_repair_residuals")
 
+    def order_epochs(self) -> DataFrame:
+        """Reproducible per-epoch data ordering onto training shards
+        (deterministic data-order seed; epoch-decorrelated)."""
+        return self._q("epoch_shuffle_plan")
+
     def query(self, name: str) -> DataFrame:
         """Any registered query by name (the full engine surface)."""
         return self._q(name)
