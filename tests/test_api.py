@@ -211,3 +211,5 @@ def test_round7_eval_facade(engine):
     assert engine.dedup("simhash_pairs").count() >= 0
     pc = engine.top_principal_component()
     assert pc.count() > 0
+    ep = engine.order_epochs()
+    assert ep.select("epoch").distinct().count() == 2
