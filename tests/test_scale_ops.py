@@ -406,3 +406,13 @@ def test_epoch_shuffle_is_decorrelated_permutation(spark):
     # decorrelated: the epoch orders agree on only a tiny prefix
     agree = sum(a == b for a, b in zip(order[0], order[1]))
     assert agree < n // 10
+
+
+def test_epoch_shuffle_plan_has_no_single_partition_window(spark):
+    """The bucketed-rank discipline, asserted at the PLAN level: every
+    window in the executed plan is partitioned (hash exchange on the
+    bucket key), never a single-partition global sort-the-world."""
+    plan = plan_of(_q(spark, "epoch_shuffle_plan"))
+    assert "Window" in plan                      # the ranks are windows
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
