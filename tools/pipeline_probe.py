@@ -48,6 +48,7 @@ def main() -> int:
 
     with tempfile.TemporaryDirectory(prefix="pipeline_probe_") as root:
         stores = pl.PipelineStores.under(root)
+        cat = os.path.join(root, "catalog")
         bench = docs.filter(F.col("doc_id") % 17 == 3)
         t0 = time.monotonic()
         pl.init_pipeline_stores(spark, stores, bench, docs,
@@ -64,7 +65,7 @@ def main() -> int:
                                & (F.col("doc_id") < (b + 1) * step))
             t0 = time.monotonic()
             rep = pl.foreach_batch_corpus_pipeline(part, b, stores,
-                                                   emb_path)
+                                                   emb_path, cat)
             batch_secs.append(round(time.monotonic() - t0, 3))
             kept_total += rep["kept"]
 
@@ -85,6 +86,20 @@ def main() -> int:
         stream_s = sorted((r.doc_id, r.hv) for r in
                           read_sample(spark, stores.sample_dir).collect())
         sample_ok = batch_s == stream_s
+
+        # equivalence 3: with every batch published, the catalog-
+        # consistent view equals the raw finalized kept-set, and the
+        # watermark-safe compaction leaves it untouched
+        wm_ok = pl.snapshot_watermark(spark, cat) == n_batches - 1
+        cons = {r.doc_id for r in pl.read_kept_consistent(
+            spark, stores, cat).collect()}
+        final = {r.doc_id for r in pl.read_kept_final(
+            spark, stores.kept_dir, stores.tombstones_dir).collect()}
+        consistent_ok = wm_ok and cons == final
+        pl.compact_pipeline_stores(spark, stores, cat)
+        after = {r.doc_id for r in pl.read_kept_consistent(
+            spark, stores, cat).collect()}
+        compaction_ok = after == cons
         verify_s = round(time.monotonic() - t0, 3)
 
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "n_batches": n_batches,
@@ -92,9 +107,12 @@ def main() -> int:
            "total_stream_sec": round(sum(batch_secs), 3),
            "verify_sec": verify_s, "kept": kept_total,
            "kept_equals_composite": kept_ok,
-           "sample_equals_batch": sample_ok}
+           "sample_equals_batch": sample_ok,
+           "consistent_equals_final": consistent_ok,
+           "compaction_lossless": compaction_ok}
     print(json.dumps(out))
-    return 0 if (kept_ok and sample_ok) else 1
+    return 0 if (kept_ok and sample_ok and consistent_ok
+                 and compaction_ok) else 1
 
 
 if __name__ == "__main__":
