@@ -78,3 +78,40 @@ def test_approx_sketches_within_tolerance_of_exact(spark):
         g = got[k]
         assert abs(g.approx_custs - e.n_custs) / e.n_custs <= 0.05, k
         assert abs(g.approx_median - e.median) / e.median <= 0.05, k
+
+
+def test_comparator_rejects_every_mismatch_class(spark):
+    """Meta-test of the gate itself: the comparator must FAIL on each
+    class of defect it exists to catch — a comparator that cannot
+    reject anything proves nothing when it passes 176 queries."""
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, 2.5), (2, 3.5)], ["k", "v"])
+    good_rows = [(1, 2.5), (2, 3.5)]
+
+    ok, _ = compare("t", df, good_rows, ["k", "v"])
+    assert ok
+
+    ok, msg = compare("t", df, [(1, 2.5), (2, 3.75)], ["k", "v"])
+    assert not ok and "col" in msg or "delta" in msg   # value mismatch
+
+    ok, msg = compare("t", df, [(1, 2.5)], ["k", "v"])
+    assert not ok and "row counts differ" in msg
+
+    ok, msg = compare("t", df, good_rows, ["k", "w"])
+    assert not ok and "columns differ" in msg
+
+    # float-only drift is a ROUNDING-CONTRACT violation, not tolerance
+    ok, msg = compare("t", df, [(1, 2.5000001), (2, 3.5)], ["k", "v"])
+    assert not ok and "rounding contract" in msg
+
+    # pandas dtype-kind skew (driver hashes through pandas)
+    duck_pdf = pd.DataFrame({"k": pd.array([1.0, 2.0], dtype="float64"),
+                             "v": [2.5, 3.5]})
+    ok, msg = compare("t", df, good_rows, ["k", "v"], duck_pdf=duck_pdf)
+    assert not ok and "dtype skew" in msg
+
+    # non-scalar output columns would crash the driver's hasher
+    arr = spark.createDataFrame([(1, [1, 2])], ["k", "a"])
+    ok, msg = compare("t", arr, [(1, (1, 2))], ["k", "a"])
+    assert not ok and "non-scalar" in msg
