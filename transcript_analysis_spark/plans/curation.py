@@ -1903,3 +1903,57 @@ def classifier_margin_calibration(spark: SparkSession,
             .select("bin", "n_docs", "n_pos",
                     spark_round_ratio("n_pos", "n_docs", 6)
                     .alias("pos_rate")))
+
+
+# --- release funnel report ------------------------------------------------
+
+def _register_release_funnel() -> None:
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    rel_oracle = _REGISTRY["corpus_release_prep"].oracle
+
+    @register(
+        "release_funnel_report",
+        oracle=f"""
+        WITH rel AS ({rel_oracle}),
+        tot AS (
+          SELECT split, CAST(COUNT(*) AS BIGINT) AS n_split
+          FROM rel GROUP BY split
+        ),
+        g AS (
+          SELECT split, drop_reason,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM rel GROUP BY split, drop_reason
+        )
+        SELECT g.split, g.drop_reason, g.n_docs, t.n_split,
+               {duck_round_ratio('g.n_docs', 't.n_split', 6)}
+                 AS split_share
+        FROM g JOIN tot t ON t.split = g.split
+        """,
+        tags=("curation", "report", "composite"),
+    )
+    def release_funnel_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+        """The release decision as a FUNNEL datasheet: per
+        (split, drop_reason) document counts and each reason's share
+        of its split — the table a curation review reads to see where
+        the corpus went (and that the split hash is unbiased: the
+        drop-reason mix should look alike across train/val/test,
+        since the split hash is salt-decorrelated from every gate).
+        COMPOSED on `corpus_release_prep`'s registered oracle, so the
+        funnel can never drift from the shipped decision; exact
+        integer counts + one half-up ratio. Plan shape at 100 TB: the
+        composite's own plan + two tiny aggregates on (split,
+        drop_reason) — O(|splits| x |reasons|) rows out."""
+        from transcript_analysis_spark.plans.registry import _REGISTRY
+        rel = _REGISTRY["corpus_release_prep"].fn(spark, sf_dir)
+        tot = rel.groupBy("split").agg(
+            F.count(F.lit(1)).cast("long").alias("n_split"))
+        g = rel.groupBy("split", "drop_reason").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+        return (g.join(F.broadcast(tot), "split")
+                .select("split", "drop_reason", "n_docs", "n_split",
+                        spark_round_ratio("n_docs", "n_split", 6)
+                        .alias("split_share")))
+
+
+_register_release_funnel()
