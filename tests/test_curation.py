@@ -919,3 +919,25 @@ def test_kappa_near_zero_on_unlearnable_corpus(spark):
     assert len(k) == 1
     assert abs(k[0].kappa) < 0.1
     assert k[0].observed_agree > 0.5  # majority-class accuracy looks fine
+
+
+def test_split_bias_chi2_is_small_on_unbiased_split(spark):
+    """The split hash is salt-decorrelated from every gate, so the
+    drop-reason mix must be independent of the split: chi2 should sit
+    in the vicinity of its dof (mean of the null distribution), far
+    from any bias signal. Also pins dof = (R-1)(C-1) and the e9
+    quantization convention."""
+    from transcript_analysis_spark.plans import all_queries
+    qs = all_queries()
+    r = qs["split_bias_chi2"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    rel = qs["corpus_release_prep"].fn(spark, "/root/testdata/sf0.001")
+    n_splits = rel.select("split").distinct().count()
+    n_reasons = rel.select("drop_reason").distinct().count()
+    assert row.dof == (n_splits - 1) * (n_reasons - 1)
+    assert row.chi2 >= 0
+    assert row.chi2 == row.chi2_e9 / 1e9
+    # unbiased: far below any significance threshold (~2x dof covers
+    # the bulk of the null; 10x dof would scream leakage)
+    assert row.chi2 < 10 * row.dof

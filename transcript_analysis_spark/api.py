@@ -558,6 +558,15 @@ class TranscriptEngine:
         against the corpus' dominant direction."""
         return self._q("isotropy_repair_residuals")
 
+    def release_funnel(self) -> DataFrame:
+        """Per-(split, drop_reason) release funnel datasheet."""
+        return self._q("release_funnel_report")
+
+    def split_bias_test(self) -> DataFrame:
+        """Chi-square independence test of drop_reason vs split —
+        leakage of the split hash into curation would show here."""
+        return self._q("split_bias_chi2")
+
     def order_epochs(self) -> DataFrame:
         """Reproducible per-epoch data ordering onto training shards
         (deterministic data-order seed; epoch-decorrelated)."""

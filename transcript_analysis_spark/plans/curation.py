@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from transcript_analysis_spark.functions.rounding import (
     duck_round_ratio,
     duck_round_ratio_wide,
+    duck_round_ratio_wide_q,
     spark_round_ratio,
     spark_round_ratio_wide,
 )
@@ -1957,3 +1958,99 @@ def _register_release_funnel() -> None:
 
 
 _register_release_funnel()
+
+
+def _register_split_bias() -> None:
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    rel_oracle = _REGISTRY["corpus_release_prep"].oracle
+
+    @register(
+        "split_bias_chi2",
+        oracle=f"""
+        WITH rel AS ({rel_oracle}),
+        cell AS (
+          SELECT split, drop_reason,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM rel GROUP BY split, drop_reason
+        ),
+        r AS (SELECT split, CAST(SUM(n) AS BIGINT) AS rn
+              FROM cell GROUP BY split),
+        c AS (SELECT drop_reason, CAST(SUM(n) AS BIGINT) AS cn
+              FROM cell GROUP BY drop_reason),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cell),
+        -- every (split, reason) pair, zero-filled: absent cells still
+        -- contribute (N*0 - rn*cn)^2 / (N*rn*cn)
+        grid AS (
+          SELECT r.split, c.drop_reason, r.rn, c.cn, t.nt,
+                 COALESCE(cell.n, 0) AS n
+          FROM r CROSS JOIN c CROSS JOIN t
+          LEFT JOIN cell ON cell.split = r.split
+                        AND cell.drop_reason = c.drop_reason
+        ),
+        contrib AS (
+          SELECT {duck_round_ratio_wide_q(
+              '(nt * n - rn * cn) * (nt * n - rn * cn)',
+              'nt * rn * cn', 9)} AS q
+          FROM grid
+        )
+        SELECT t.nt AS n_total,
+               CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
+                 * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof,
+               CAST(SUM(q) AS BIGINT) AS chi2_e9,
+               CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1000000000
+                 AS chi2
+        FROM contrib CROSS JOIN t
+        GROUP BY t.nt
+        """,
+        tags=("curation", "statistics", "report", "composite"),
+    )
+    def split_bias_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Chi-square independence test of drop_reason vs split — the
+        statistical form of the funnel's split-bias check: the split
+        hash is salt-decorrelated from every gate, so the drop-reason
+        mix must be independent of the split and chi2 should sit near
+        its dof. A large value would mean the split assignment leaks
+        into curation decisions (a real release blocker: the val set
+        would not be exchangeable with train).
+
+        Exactness: per-cell contributions (N*n - r*c)^2 / (N*r*c) are
+        exact integer rationals half-up-quantized at 1e9 and summed as
+        integers — both engines perform the IDENTICAL per-cell
+        rounding, so the statistic reproduces bit-for-bit (the
+        documented per-cell-rounded convention; error <= #cells/2e9).
+        The squared numerator reaches (N*n)^2 ~ 1e20 at sf0.1 — past
+        int64 — so the algebra runs wide (DECIMAL(38,0)/HUGEINT).
+        Absent cells are zero-filled via the (splits x reasons) grid:
+        their expected count still contributes. Plan shape at 100 TB:
+        the composite's plan + one contingency aggregate + a
+        |splits| x |reasons| driver-sized grid."""
+        from transcript_analysis_spark.functions.rounding import (
+            spark_round_ratio_wide_q)
+        from transcript_analysis_spark.plans.registry import _REGISTRY
+        rel = _REGISTRY["corpus_release_prep"].fn(spark, sf_dir)
+        cell = rel.groupBy("split", "drop_reason").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        cell = cell.localCheckpoint(eager=False)
+        r = cell.groupBy("split").agg(F.sum("n").cast("long").alias("rn"))
+        c = (cell.groupBy("drop_reason")
+             .agg(F.sum("n").cast("long").alias("cn")))
+        t = cell.agg(F.sum("n").cast("long").alias("nt"))
+        grid = (r.crossJoin(c).crossJoin(F.broadcast(t))
+                .join(cell, ["split", "drop_reason"], "left")
+                .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+        contrib = grid.select(spark_round_ratio_wide_q(
+            "(nt * n - rn * cn) * (nt * n - rn * cn)",
+            "nt * rn * cn", 9).alias("q"))
+        dims = (r.agg(F.count(F.lit(1)).alias("nr"))
+                .crossJoin(c.agg(F.count(F.lit(1)).alias("nc"))))
+        agg = contrib.agg(F.sum("q").cast("long").alias("chi2_e9"))
+        return (t.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(agg))
+                .select(F.col("nt").alias("n_total"),
+                        ((F.col("nr") - 1) * (F.col("nc") - 1))
+                        .cast("long").alias("dof"),
+                        "chi2_e9",
+                        (F.col("chi2_e9").cast("double")
+                         / F.lit(1e9)).alias("chi2")))
+
+
+_register_split_bias()
