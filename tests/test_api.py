@@ -213,3 +213,7 @@ def test_round7_eval_facade(engine):
     assert pc.count() > 0
     ep = engine.order_epochs()
     assert ep.select("epoch").distinct().count() == 2
+    fu = engine.release_funnel().collect()
+    assert fu and all(0.0 <= r.split_share <= 1.0 for r in fu)
+    sb = engine.split_bias_test().collect()
+    assert len(sb) == 1 and sb[0].chi2 >= 0
