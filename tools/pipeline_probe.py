@@ -1,4 +1,4 @@
-"""Bench-scale probe of the composed nine-store streaming pipeline.
+"""Bench-scale probe of the composed ten-store streaming pipeline.
 
 The pipeline's correctness contracts are pinned at sf0.001 in
 tests/test_streaming_pipeline.py; this probe drives the SAME
@@ -9,7 +9,9 @@ headline equivalences at that scale:
   1. streamed kept-set == the batch composite of the three gates over
      the union of batches;
   2. the merged holdout sample == one batch bottom-k pass over the
-     kept union (the newest store, exercised at 100x its test scale).
+     kept union;
+  3. streamed islands == the registered flagship over the full corpus
+     (the tenth store, new r8, exercised at 100x its test scale).
 
 Usage: PYTHONPATH=/root/repo python tools/pipeline_probe.py \
            [sf_dir] [n_batches]
@@ -87,6 +89,19 @@ def main() -> int:
                           read_sample(spark, stores.sample_dir).collect())
         sample_ok = batch_s == stream_s
 
+        # equivalence 2b (new r8): streamed islands == the registered
+        # flagship over the full corpus (the tenth store, exercised at
+        # bench scale)
+        from transcript_analysis_spark.plans.domain import (
+            islands_from_docs)
+        from transcript_analysis_spark.streaming.islands_store import (
+            read_islands)
+        stream_i = sorted(map(tuple, read_islands(
+            spark, stores.islands_dir).collect()))
+        batch_i = sorted(map(tuple, islands_from_docs(
+            docs.select("doc_id", "text")).collect()))
+        islands_ok = stream_i == batch_i and len(stream_i) > 0
+
         # equivalence 3: with every batch published, the catalog-
         # consistent view equals the raw finalized kept-set, and the
         # watermark-safe compaction leaves it untouched
@@ -108,10 +123,12 @@ def main() -> int:
            "verify_sec": verify_s, "kept": kept_total,
            "kept_equals_composite": kept_ok,
            "sample_equals_batch": sample_ok,
+           "islands_equal_flagship": islands_ok,
+           "n_islands": len(stream_i),
            "consistent_equals_final": consistent_ok,
            "compaction_lossless": compaction_ok}
     print(json.dumps(out))
-    return 0 if (kept_ok and sample_ok and consistent_ok
+    return 0 if (kept_ok and sample_ok and islands_ok and consistent_ok
                  and compaction_ok) else 1
 
 

@@ -59,7 +59,15 @@ def _scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     697.9M-pair work matrix (SURVEY §2.3 J8); score arrays are computed
     as per-row JVM array expressions — no shuffle, no Python.
     """
-    docs = fanout(load_table(spark, sf_dir, "documents"))
+    return scored_documents_from(fanout(load_table(spark, sf_dir,
+                                                   "documents")))
+
+
+def scored_documents_from(docs: DataFrame) -> DataFrame:
+    """The scoring product over an arbitrary (doc_id, text) frame —
+    shared by the batch flagship and the streaming islands store so
+    their score derivations cannot drift."""
+    spark = docs.sparkSession
     models = spark.range(N_MODELS).select(F.col("id").alias("model_id"))
     raw = _RAW_EXPR.format(w="w", pos="(i + 1)", model="model_id")
     return (
@@ -70,9 +78,12 @@ def _scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segments_from(load_table(spark, sf_dir, "documents"))
+
+
+def segments_from(docs: DataFrame) -> DataFrame:
     """Derived caption segments: 10 words / 4.0 s each per document
     (the `vid_transcript_table` shape, `sql/schema.sql:67-77`)."""
-    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.size(F.split("text", " ")).alias("wc"))
         .filter(F.col("wc") > 0)
@@ -187,12 +198,24 @@ def islands_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     `build_islands_from_scores.py:321-332`). Smoothing is per-row JVM
     array math; one shuffle for the islands grouping; one equi+range
     hash join for times."""
-    scored = isl.smooth_scores(_scored_documents(spark, sf_dir),
+    return islands_from_docs(
+        fanout(load_table(spark, sf_dir, "documents")))
+
+
+def islands_from_docs(docs: DataFrame) -> DataFrame:
+    """The full flagship chain over an arbitrary (doc_id, text) frame.
+
+    Factored out so the streaming islands store
+    (streaming/islands_store.py) runs the IDENTICAL operator chain per
+    micro-batch — islands for a (doc, model) pair depend only on that
+    doc's text, so per-doc results computed batch-at-a-time union to
+    exactly the batch plan's output."""
+    scored = isl.smooth_scores(scored_documents_from(docs),
                                score_col="raw", out_col="smoothed")
     found = isl.find_islands(scored, keys=["doc_id", "model_id"],
                              score_col="raw", smoothed_col="smoothed")
     ranged = isl.with_word_range(found)
-    segments = _segments(spark, sf_dir)
+    segments = segments_from(docs)
     timed = isl.with_time_range(ranged, segments, key="doc_id")
     return timed.select(
         "doc_id", "model_id", "start_index", "end_index",

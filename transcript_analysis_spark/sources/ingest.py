@@ -294,6 +294,84 @@ def fetch_transcripts(vids: DataFrame,
     return vids.select("vid_id").mapInPandas(run, SEGMENT_SCHEMA)
 
 
+# --- channel-metadata repair (`fix_missing_channel_info.py:59-141`) ----
+
+CHANNEL_SCHEMA = StructType([
+    StructField("channel_id", StringType()),
+    StructField("channel_handle", StringType()),
+    StructField("channel_snippet", StringType()),   # JSON string
+])
+
+
+def channels_needing_repair(channels: DataFrame) -> DataFrame:
+    """The reference's repair predicate
+    (`fix_missing_channel_info.py:73-80`): NULL/'nan' handle, NULL
+    snippet, or a snippet whose title is missing. Pure column logic —
+    at scale this prunes to the (tiny) broken subset before any API
+    traffic."""
+    from pyspark.sql import functions as F
+    return channels.filter(
+        F.col("channel_handle").isNull()
+        | (F.col("channel_handle") == "nan")
+        | F.col("channel_snippet").isNull()
+        | F.get_json_object("channel_snippet", "$.title").isNull())
+
+
+def repair_channel_info(channels: DataFrame,
+                        transport_factory: Callable[[], object],
+                        sleep_s: float = 0.0) -> DataFrame:
+    """Repaired (channel_id, channel_handle, channel_snippet) rows for
+    ONLY the channels the repair predicate selects — the distributed
+    form of `fix_missing_channel_info.py:96-141`:
+
+    - fetch snippet+handle batched DETAILS_BATCH ids per `channels`
+      API call, one transport per partition (mapInPandas, like
+      fetch_video_details);
+    - merge: new snippet keys overlay the existing snippet JSON
+      (reference :113-121); handle falls back to the current one when
+      the API has none (:124);
+    - channels the API does not return are skipped (:108-110) — they
+      stay broken and a re-run retries them.
+
+    Callers land the result with ``sinks.upsert_by_key(...,
+    keys=["channel_id"])``; repaired rows no longer match the
+    predicate, so the repair is idempotent (re-run selects nothing).
+    """
+    import json as _json
+
+    todo = channels_needing_repair(channels).select(
+        "channel_id", "channel_handle", "channel_snippet")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        for pdf in batches:
+            rows: list[tuple] = []
+            recs = pdf.to_dict("records")
+            for i in range(0, len(recs), DETAILS_BATCH):
+                chunk = recs[i:i + DETAILS_BATCH]
+                if sleep_s:
+                    time.sleep(sleep_s)
+                got = {r["channel_id"]: r for r in transport.channel_info(
+                    [c["channel_id"] for c in chunk])}
+                for c in chunk:
+                    info = got.get(c["channel_id"])
+                    if info is None:       # API has no such channel
+                        continue
+                    cur = c["channel_snippet"]
+                    try:
+                        merged = dict(_json.loads(cur)) if cur else {}
+                    except ValueError:
+                        merged = {}
+                    merged.update(info.get("snippet") or {})
+                    handle = info.get("handle") or c["channel_handle"]
+                    rows.append((c["channel_id"], handle,
+                                 _json.dumps(merged, sort_keys=True)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CHANNEL_SCHEMA.fields])
+
+    return todo.mapInPandas(run, CHANNEL_SCHEMA)
+
+
 def new_segments_only(segments: DataFrame, existing: DataFrame) -> DataFrame:
     """Idempotent re-crawl: drop rows whose (vid_id, start) already
     exists — the anti-join form of the reference's existing_starts
@@ -314,7 +392,10 @@ class FakeTubeTransport:
       with TransientFetchError;
     - ``no_api_vids``: primary transcript always NoTranscriptError
       (VTT fallback path);
-    - ``no_vtt_vids``: VTT also missing (marker-row path).
+    - ``no_vtt_vids``: VTT also missing (marker-row path);
+    - ``gone_channels``: channels API returns no item (repair skips);
+    - ``handleless_channels``: channel exists but has no customUrl
+      (repair keeps the current handle).
     """
 
     def __init__(self, videos_per_channel: int = 120,
@@ -323,7 +404,9 @@ class FakeTubeTransport:
                  playlist_404: set[str] | None = None,
                  flaky_vids: dict[str, int] | None = None,
                  no_api_vids: set[str] | None = None,
-                 no_vtt_vids: set[str] | None = None):
+                 no_vtt_vids: set[str] | None = None,
+                 gone_channels: set[str] | None = None,
+                 handleless_channels: set[str] | None = None):
         self.videos_per_channel = videos_per_channel
         self.lines_per_video = lines_per_video
         self.quota_after = quota_after
@@ -331,6 +414,8 @@ class FakeTubeTransport:
         self.flaky_vids = dict(flaky_vids or {})
         self.no_api_vids = no_api_vids or set()
         self.no_vtt_vids = no_vtt_vids or set()
+        self.gone_channels = gone_channels or set()
+        self.handleless_channels = handleless_channels or set()
         self.calls = 0
 
     # -- internals ------------------------------------------------------
@@ -389,6 +474,24 @@ class FakeTubeTransport:
             out.append({"vid_id": v, "title": f"Video {v}",
                         "published_at": f"2024-01-{1 + h % 28:02d}T00:00:00Z",
                         "duration_sec": 60 + h % 3600})
+        return out
+
+    def channel_info(self, channel_ids: list[str]) -> list[dict]:
+        self._tick()
+        if len(channel_ids) > DETAILS_BATCH:
+            raise AssertionError(
+                f"API contract violated: {len(channel_ids)} ids > "
+                f"{DETAILS_BATCH}")
+        out = []
+        for c in channel_ids:
+            if c in self.gone_channels:
+                continue
+            h = int(hashlib.sha256(c.encode()).hexdigest()[:8], 16)
+            handle = (None if c in self.handleless_channels
+                      else f"handle{h % 1000}")
+            out.append({"channel_id": c, "handle": handle,
+                        "snippet": {"title": f"Channel {c}",
+                                    "country": "US" if h % 2 else "GB"}})
         return out
 
     def transcript(self, vid_id: str) -> list[tuple[str, float, float]]:

@@ -1,5 +1,6 @@
-"""The nine persisted-store streaming operators composed into ONE
-end-to-end incremental corpus pipeline (r6 verdict item 5).
+"""The ten persisted-store streaming operators composed into ONE
+end-to-end incremental corpus pipeline (r6 verdict item 5; islands
+store added r8 per the r7 verdict).
 
 Each store is individually proven (streamed == batch, replay no-op);
 the reference's production loop (SURVEY §3.1-3.3) is the COMPOSITION,
@@ -9,6 +10,12 @@ micro-batch — is what this module makes a first-class, tested unit.
 
 Per micro-batch of (doc_id, text, lang, source, n_chars) documents:
 
+    0. flagship islands      (islands_store.py) — the reference's own
+       incremental workload: smooth → gaps-and-islands → word/time
+       ranges for JUST the arriving docs, landed as batch_id
+       partitions; union across batches == islands_flagship. Runs on
+       arriving (pre-gate) docs because the reference islands every
+       (vid, model) pair before curation.
     1. incremental near-dup  (LSH band store, neardup.py)
        gate: drop any doc that shares a band bucket with a SMALLER
        doc_id (keep-first). With id-ordered arrival the verdict is
@@ -82,6 +89,8 @@ from transcript_analysis_spark.streaming.sample_store import (
     foreach_batch_sample)
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron, init_weight_store)
+from transcript_analysis_spark.streaming.islands_store import (
+    foreach_batch_islands)
 from transcript_analysis_spark.streaming.sketch_store import (
     foreach_batch_hll, foreach_batch_sketch)
 
@@ -90,7 +99,7 @@ DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 @dataclass(frozen=True)
 class PipelineStores:
-    """Directory layout of the composed pipeline's nine stores."""
+    """Directory layout of the composed pipeline's ten stores."""
     bands_dir: str          # near-dup LSH bands (append)
     pairs_dir: str          # near-dup pairs (batch_id partitions)
     tombstones_dir: str     # kept-set retractions (batch_id partitions)
@@ -106,6 +115,7 @@ class PipelineStores:
     assign_dir: str         # IVF assignments (batch_id partitions)
     pca_dir: str            # PCA moment deltas (batch_id partitions)
     sample_dir: str         # holdout bottom-k deltas (batch_id partitions)
+    islands_dir: str        # flagship islands (batch_id partitions)
 
     @classmethod
     def under(cls, root: str) -> "PipelineStores":
@@ -183,6 +193,13 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
     stage row counts (driver-side observability only)."""
     spark = batch_df.sparkSession
     batch_docs = batch_df.select(*DOC_COLS).localCheckpoint(eager=True)
+
+    # 0. flagship islands for the ARRIVING docs (pre-gates — the
+    # reference scores and islands every (vid, model) pair before any
+    # curation, island_worker.py:150-184). Pure per-doc math ⇒ the
+    # union across batches equals islands_flagship over the corpus.
+    foreach_batch_islands(batch_docs.select("doc_id", "text"), batch_id,
+                          stores.islands_dir)
 
     # 1. near-dup: grow the band store, land this batch's pairs
     foreach_batch_neardup(batch_docs.select("doc_id", "text"), batch_id,
@@ -361,7 +378,7 @@ def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
                     stores.dsir_scores_dir, stores.kept_dir,
                     stores.cms_dir, stores.hll_dir, stores.assign_dir,
                     stores.pca_dir, stores.sample_dir,
-                    stores.tombstones_dir)
+                    stores.islands_dir, stores.tombstones_dir)
     for d in batch_stores:
         df = _try_read(spark, d)
         if df is None or through < 0:
