@@ -17,3 +17,18 @@ _spec.loader.exec_module(coverage_check)
 
 def test_docs_in_sync_with_registry():
     assert coverage_check.problems() == []
+
+
+def test_no_stray_temp_files_in_package():
+    """A zero-byte api.py.tmp once landed in the package tree (r7
+    verdict hygiene item) — reject editor/merge cruft classes so it
+    cannot recur."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bad_suffixes = (".tmp", ".orig", ".rej", ".bak", ".swp")
+    stray = []
+    for base in ("transcript_analysis_spark", "tools", "tests"):
+        for dirpath, _dirnames, filenames in os.walk(
+                os.path.join(root, base)):
+            stray += [os.path.join(dirpath, f) for f in filenames
+                      if f.endswith(bad_suffixes)]
+    assert stray == []

@@ -183,3 +183,116 @@ def test_new_segments_only_idempotent_recrawl(spark):
     fresh = new_segments_only(second, first.select("vid_id", "start"))
     assert fresh.count() == 4
     assert {r.vid_id for r in fresh.collect()} == {_vid_at(more, 4)}
+
+
+# --- channel-metadata repair (fix_missing_channel_info.py parity) -------
+
+def _channels_df(spark):
+    """Five channels: complete, NULL handle, 'nan' handle, NULL
+    snippet, snippet-without-title."""
+    import json
+    rows = [
+        ("UCok", "goodhandle", json.dumps({"title": "Fine", "k": 1})),
+        ("UCnullhandle", None, json.dumps({"title": "HasTitle"})),
+        ("UCnanhandle", "nan", json.dumps({"title": "AlsoTitled"})),
+        ("UCnullsnippet", "keepme", None),
+        ("UCnotitle", "alsokeep", json.dumps({"country": "DE"})),
+    ]
+    return spark.createDataFrame(
+        rows, "channel_id string, channel_handle string, "
+              "channel_snippet string")
+
+
+def test_repair_selects_only_broken_channels(spark):
+    from transcript_analysis_spark.sources.ingest import (
+        channels_needing_repair)
+    got = {r.channel_id
+           for r in channels_needing_repair(_channels_df(spark)).collect()}
+    assert got == {"UCnullhandle", "UCnanhandle", "UCnullsnippet",
+                   "UCnotitle"}
+
+
+def test_repair_fetches_merges_and_is_idempotent(spark, tmp_path):
+    """Only NULL/nan rows are touched; snippet merge keeps existing
+    keys; API-less handles fall back to the current value; gone
+    channels are skipped; after upsert a re-run selects nothing."""
+    import json
+
+    from transcript_analysis_spark.sources.ingest import (
+        channels_needing_repair, repair_channel_info)
+    from transcript_analysis_spark.sources.sinks import upsert_by_key
+
+    chans = _channels_df(spark)
+
+    def factory():
+        return FakeTubeTransport(gone_channels={"UCnanhandle"},
+                                 handleless_channels={"UCnullsnippet"})
+
+    fixed = repair_channel_info(chans, factory)
+    rows = {r.channel_id: r for r in fixed.collect()}
+    # gone channel skipped, complete channel never fetched
+    assert set(rows) == {"UCnullhandle", "UCnullsnippet", "UCnotitle"}
+    # fetched handle lands; handleless keeps the current handle
+    assert rows["UCnullhandle"].channel_handle is not None
+    assert rows["UCnullsnippet"].channel_handle == "keepme"
+    # merge: new snippet keys overlay, existing keys survive
+    sn = json.loads(rows["UCnotitle"].channel_snippet)
+    assert sn["title"] == "Channel UCnotitle" and sn["country"] in ("US", "GB")
+    # repaired rows no longer match the predicate
+    assert channels_needing_repair(fixed).count() == 0
+
+    # upsert + re-run = no-op on everything but the gone channel
+    path = str(tmp_path / "channels")
+    chans.write.parquet(path)
+    upsert_by_key(fixed, path, keys=["channel_id"])
+    after = spark.read.parquet(path)
+    assert after.count() == 5
+    kept = {r.channel_id: r.channel_handle for r in after.collect()}
+    assert kept["UCok"] == "goodhandle"          # untouched
+    todo2 = channels_needing_repair(after)
+    assert {r.channel_id for r in todo2.collect()} == {"UCnanhandle"}
+    assert repair_channel_info(after, factory).count() == 0
+
+
+def test_repair_respects_details_batch_limit(spark):
+    """151 broken channels through one partition must split into 50-id
+    API calls (the fake transport asserts the contract)."""
+    from transcript_analysis_spark.sources.ingest import (
+        repair_channel_info)
+    rows = [(f"UCbulk{i:04d}", None, None) for i in range(151)]
+    chans = spark.createDataFrame(
+        rows, "channel_id string, channel_handle string, "
+              "channel_snippet string")
+    fixed = repair_channel_info(chans.coalesce(1), FakeTubeTransport)
+    assert fixed.count() == 151
+
+
+def test_url_transport_channel_info_normalizes_handle():
+    """UrlTubeTransport.channel_info strips @/site-prefix/c from
+    customUrl the way the reference does (no network: fake http)."""
+    from transcript_analysis_spark.operators import http_transport as ht
+
+    t = ht.UrlTubeTransport("k", base_url="http://x")
+    calls = {}
+
+    def fake_get(resource, params):
+        calls["resource"], calls["params"] = resource, params
+        return {"items": [
+            {"id": "UC1", "snippet": {"customUrl": "@MyHandle",
+                                      "title": "T1"}},
+            {"id": "UC2", "snippet": {"customUrl":
+                                      "https://www.youtube.com/c/Other",
+                                      "title": "T2"}},
+            {"id": "UC3", "snippet": {"title": "NoUrl"}},
+        ]}
+
+    t._get = fake_get
+    got = t.channel_info(["UC1", "UC2", "UC3"])
+    assert calls["resource"] == "channels"
+    assert calls["params"]["id"] == "UC1,UC2,UC3"
+    by_id = {g["channel_id"]: g for g in got}
+    assert by_id["UC1"]["handle"] == "MyHandle"
+    assert by_id["UC2"]["handle"] == "Other"
+    assert by_id["UC3"]["handle"] is None
+    with pytest.raises(AssertionError):
+        t.channel_info([f"UC{i}" for i in range(51)])

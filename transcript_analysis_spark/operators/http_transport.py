@@ -234,6 +234,29 @@ class UrlTubeTransport:
             })
         return out
 
+    def channel_info(self, channel_ids: list[str]) -> list[dict]:
+        """Channel snippet + handle for the repair job
+        (`sources/ingest.repair_channel_info`). Handle comes from the
+        snippet's customUrl, normalized the way the reference does
+        (`fix_missing_channel_info.py:39-44`: strip '@', the site
+        prefix, and 'c/'); None when the channel has none."""
+        if len(channel_ids) > DETAILS_BATCH:
+            raise AssertionError(
+                f"API contract violated: {len(channel_ids)} ids > "
+                f"{DETAILS_BATCH}")
+        page = self._get("channels", {
+            "part": "snippet", "id": ",".join(channel_ids)})
+        out = []
+        for it in page.get("items", []):
+            sn = it.get("snippet", {}) or {}
+            custom = sn.get("customUrl", "") or ""
+            handle = (custom.replace("@", "")
+                      .replace("https://www.youtube.com/", "")
+                      .replace("c/", "")) or None
+            out.append({"channel_id": it.get("id"),
+                        "handle": handle, "snippet": sn})
+        return out
+
     def transcript(self, vid_id: str):
         raise NoTranscriptError(
             f"{vid_id}: the YouTube Data API serves no transcript "
