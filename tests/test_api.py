@@ -217,3 +217,25 @@ def test_round7_eval_facade(engine):
     assert fu and all(0.0 <= r.split_share <= 1.0 for r in fu)
     sb = engine.split_bias_test().collect()
     assert len(sb) == 1 and sb[0].chi2 >= 0
+
+
+def test_catalog_introspection_facade(engine):
+    """describe_catalog (footer metadata, no scan) must agree with the
+    oracle-checked catalog_row_counts plan table for table, and the
+    dashboard serves the counts query like any registered query."""
+    desc = {r.table_name: r for r in engine.describe_catalog().collect()}
+    counts = {r.table_name: r.row_count
+              for r in engine.catalog_counts().collect()}
+    assert set(desc) == set(counts) and len(desc) == 10
+    for t, row in desc.items():
+        assert row.row_count == counts[t]
+        assert row.n_columns >= 2 and row.n_files >= 1
+        assert row.total_bytes > 0
+        assert f"{row.columns}".count(":") >= row.n_columns
+
+    from transcript_analysis_spark.serving.dashboard import DashboardService
+    svc = DashboardService(engine.spark, engine.sf_dir, ttl_sec=300)
+    rows, hit = svc.run("catalog_row_counts")
+    assert not hit and {r.table_name for r in rows} == set(desc)
+    rows2, hit2 = svc.run("catalog_row_counts")
+    assert hit2 and rows2 == rows

@@ -572,6 +572,18 @@ class TranscriptEngine:
         (deterministic data-order seed; epoch-decorrelated)."""
         return self._q("epoch_shuffle_plan")
 
+    def describe_catalog(self) -> DataFrame:
+        """Per-table schema, exact footer row counts, and file layout
+        for every catalog table — `inspect_schema.py` parity, answered
+        from parquet metadata without a scan."""
+        from transcript_analysis_spark.sources.tables import describe_tables
+        return describe_tables(self.spark, self.sf_dir)
+
+    def catalog_counts(self) -> DataFrame:
+        """Exact per-table row counts as a verifiable Spark plan (the
+        oracle-checked half of describe_catalog)."""
+        return self._q("catalog_row_counts")
+
     def query(self, name: str) -> DataFrame:
         """Any registered query by name (the full engine surface)."""
         return self._q(name)

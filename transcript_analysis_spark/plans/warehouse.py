@@ -1180,3 +1180,36 @@ def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_round_ratio("rk - 1", "n - 1", 6))
     return ranked.select("c_custkey", "c_nationkey", "acctbal",
                          "rk", "n", pct.alias("pct_rank"))
+
+
+# --- catalog row counts (inspect_schema.py parity, new r8) ----------------
+
+@register(
+    "catalog_row_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT CAST('{t}' AS VARCHAR) AS table_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS row_count FROM {t}"
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings")),
+    tags=("warehouse", "catalog", "A1"),
+)
+def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-table row counts across the whole catalog — the
+    countable half of the reference's `inspect_schema.py:33-87`
+    catalog walk (its schema/layout half is the `describe_tables`
+    facade in sources/tables.py, which answers from parquet footers
+    without a scan; THIS query states the same counts as a verifiable
+    plan). Ten one-row count aggregates unioned: each is map-side
+    combined, none shuffles more than a single long per partition."""
+    from transcript_analysis_spark.sources.tables import TABLES, load_table
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.count("*").cast("bigint").alias("row_count"))
+        .select(F.lit(t).alias("table_name"), "row_count")
+        for t in TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
