@@ -21,6 +21,34 @@ from transcript_analysis_spark.plans import all_queries
 from transcript_analysis_spark.session import get_spark
 
 
+CALIBRATION_REF_SEC = None   # pinned after first quiet-machine measure
+
+
+def calibration_seconds(spark) -> float:
+    """Fixed machine-speed micro-benchmark (r7 verdict item: defend
+    the bench against environment drift). A constant-shape compute-
+    bound job — 200M-row codegen range with an integer fold, no IO, no
+    shuffle beyond the final 32->1 aggregate — whose cost is invariant
+    to every repo change. Recorded beside the query timings so uniform
+    environment inflation (machine contention on the driver host) is
+    measurable: if calibration drifts +20% vs its pinned reference,
+    +20% on unchanged queries is the machine, not the plans. Measured
+    with the same warm + min-of-5 discipline as the queries."""
+    def run():
+        (spark.range(0, 200_000_000, 1, 32)
+         .selectExpr("sum(id * 3 + (id % 7)) as s", "count(1) as c")
+         .write.format("noop").mode("overwrite").save())
+    for _ in range(3):                      # warm (C2 JIT needs >1)
+        run()
+    best = None
+    for _ in range(5):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -54,14 +82,23 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    cal = calibration_seconds(spark)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+        # machine-speed control (NOT in the total): constant-shape
+        # compute job vs its quiet-machine reference — divides out
+        # uniform environment drift in cross-round comparisons
+        "calibration_sec": cal,
+    }
+    if CALIBRATION_REF_SEC:
+        out["calibration_ref_sec"] = CALIBRATION_REF_SEC
+        out["machine_drift"] = round(cal / CALIBRATION_REF_SEC, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,14 @@ CHECK_FAMILY = [
     # wide (DECIMAL(38,0)/HUGEINT) rational algebra exists for
     "classifier_kappa_report",
     "classifier_margin_calibration",
+    # r8: the newest wide-algebra queries (r7 verdict item 6) —
+    # split_bias_chi2's squared per-cell numerators pass int64 at
+    # sf0.1 but are exactly the growth regime this sweep exists for;
+    # the funnel/ndcg/epoch trio quantize corpus-sized sums
+    "split_bias_chi2",
+    "bm25_ndcg_report",
+    "release_funnel_report",
+    "epoch_shuffle_plan",
 ]
 
 

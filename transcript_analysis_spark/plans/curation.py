@@ -1915,7 +1915,7 @@ def _register_release_funnel() -> None:
     @register(
         "release_funnel_report",
         oracle=f"""
-        WITH rel AS ({rel_oracle}),
+        WITH rel AS MATERIALIZED ({rel_oracle}),
         tot AS (
           SELECT split, CAST(COUNT(*) AS BIGINT) AS n_split
           FROM rel GROUP BY split
@@ -1968,7 +1968,12 @@ def _register_split_bias() -> None:
         "split_bias_chi2",
         oracle=f"""
         WITH rel AS ({rel_oracle}),
-        cell AS (
+        -- MATERIALIZED is load-bearing at scale: DuckDB inlines CTEs
+        -- by default, and cell is referenced from four branches
+        -- (r/c/t/grid) — inlined, the whole release-prep plan would
+        -- evaluate four times (measured: >79 GB spill death at 64x;
+        -- materialized, one evaluation of rel into a tiny table)
+        cell AS MATERIALIZED (
           SELECT split, drop_reason,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM rel GROUP BY split, drop_reason
