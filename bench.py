@@ -21,13 +21,17 @@ from transcript_analysis_spark.plans import all_queries
 from transcript_analysis_spark.session import get_spark
 
 
-CALIBRATION_REF_SEC = None   # pinned after first quiet-machine measure
+# Quiet-machine reference for the calibration micro-query, pinned r8
+# from its in-bench position (after the 21 headliners, fully-warm
+# JVM): 0.202 s; standalone min-of-5 measures ran 0.216-0.251.
+# machine_drift = calibration_sec / this; ~1.0 on an idle host.
+CALIBRATION_REF_SEC = 0.21
 
 
 def calibration_seconds(spark) -> float:
     """Fixed machine-speed micro-benchmark (r7 verdict item: defend
     the bench against environment drift). A constant-shape compute-
-    bound job — 200M-row codegen range with an integer fold, no IO, no
+    bound job — 800M-row codegen range with an integer fold, no IO, no
     shuffle beyond the final 32->1 aggregate — whose cost is invariant
     to every repo change. Recorded beside the query timings so uniform
     environment inflation (machine contention on the driver host) is
@@ -35,7 +39,7 @@ def calibration_seconds(spark) -> float:
     +20% on unchanged queries is the machine, not the plans. Measured
     with the same warm + min-of-5 discipline as the queries."""
     def run():
-        (spark.range(0, 200_000_000, 1, 32)
+        (spark.range(0, 800_000_000, 1, 32)
          .selectExpr("sum(id * 3 + (id % 7)) as s", "count(1) as c")
          .write.format("noop").mode("overwrite").save())
     for _ in range(3):                      # warm (C2 JIT needs >1)

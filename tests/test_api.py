@@ -239,3 +239,17 @@ def test_catalog_introspection_facade(engine):
     assert not hit and {r.table_name for r in rows} == set(desc)
     rows2, hit2 = svc.run("catalog_row_counts")
     assert hit2 and rows2 == rows
+
+
+def test_gopher_rules_facade(engine):
+    """Rule semantics pinned on the corpus: keep == AND of the four
+    rules, and the gate is non-degenerate (both verdicts occur)."""
+    rows = engine.gopher_rules().collect()
+    assert rows and all(
+        r.keep == (r.r_word_count and r.r_mean_word_len
+                   and r.r_alpha_ratio and r.r_stopwords) for r in rows)
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.r_word_count == (50 <= r.n_words <= 100000)
+        assert r.r_stopwords == (r.n_stop_kinds >= 2)

@@ -140,6 +140,11 @@ class TranscriptEngine:
         """Gopher-style repetition fractions + repetitive flag."""
         return self._q("repetition_signals")
 
+    def gopher_rules(self) -> DataFrame:
+        """The Gopher Table-A1 rule gate (word count / mean word
+        length / alpha ratio / stopword presence) per document."""
+        return self._q("gopher_quality_flags")
+
     def classify_quality(self) -> DataFrame:
         """Hashed-bag-of-words linear keep/drop scores."""
         return self._q("quality_classifier_scores")

@@ -847,6 +847,89 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             -- text is single-space-joined, so total word chars =
+             -- n_chars - (n_words - 1); exact in both engines
+             CAST(n_chars AS BIGINT) - CAST(len(words) AS BIGINT) + 1
+               AS sum_wl,
+             CAST(len(list_filter(words,
+               w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter({[*_STOPWORDS]},
+               s -> list_contains(words, s))) AS BIGINT) AS n_stop_kinds
+      FROM d
+    )
+    SELECT doc_id, n_words,
+           (CAST((CASE WHEN (sum_wl) < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(CAST((sum_wl) AS BIGINT)) * 10000 + (n_words))
+                // (2 * (n_words))) AS DOUBLE) / 10000)
+             AS mean_word_len,
+           n_alpha, n_stop_kinds,
+           n_words BETWEEN 50 AND 100000             AS r_word_count,
+           3 * n_words <= sum_wl AND sum_wl <= 10 * n_words
+             AS r_mean_word_len,
+           5 * n_alpha >= 4 * n_words                AS r_alpha_ratio,
+           n_stop_kinds >= 2                         AS r_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND 3 * n_words <= sum_wl AND sum_wl <= 10 * n_words
+             AND 5 * n_alpha >= 4 * n_words
+             AND n_stop_kinds >= 2                   AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "curation"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free quality rules (Rae et al. 2021,
+    Table A1) as a per-document gate: word count in [50, 100k], mean
+    word length in [3, 10], >= 80% of words containing an alphabetic
+    character, and >= 2 distinct stopwords present (the 'real
+    language' check). The symbol-ratio and ellipsis-line rules have no
+    signal in this corpus (no punctuation) and are omitted.
+
+    Every rule is an EXACT integer comparison (cross-multiplied
+    rationals — 3*n <= sum_len, 5*alpha >= 4*n), so the gate is
+    engine-deterministic with no rounding contract needed; the one
+    reported float (mean word length) goes through the usual half-up
+    ratio. Map-only over the corpus — at 100 TB this is a single scan
+    with zero shuffle, the cheapest filter a pipeline runs and the
+    first one Gopher-style curation applies."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("words"))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    m = d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        (F.col("n_chars").cast("long") - F.size("words").cast("long")
+         + 1).alias("sum_wl"),
+        F.size(F.expr("filter(words, w -> w rlike '[a-z]')"))
+         .cast("long").alias("n_alpha"),
+        F.size(F.expr(f"filter({stop_arr}, "
+                      f"s -> array_contains(words, s))"))
+         .cast("long").alias("n_stop_kinds"))
+    r_wc = F.col("n_words").between(50, 100000)
+    r_mwl = ((3 * F.col("n_words") <= F.col("sum_wl"))
+             & (F.col("sum_wl") <= 10 * F.col("n_words")))
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop_kinds") >= 2
+    return m.select(
+        "doc_id", "n_words",
+        spark_round_ratio("sum_wl", "n_words", 4).alias("mean_word_len"),
+        "n_alpha", "n_stop_kinds",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("keep"))
+
+
+@register(
     "language_id_heuristic",
     oracle="""
     WITH d AS (

@@ -111,13 +111,24 @@ def pr_sectioned_oracle(k: int, key_shift: int) -> str:
     """
 
 
-def _spark_graph(spark: SparkSession, sf_dir: str):
+def _spark_graph(spark: SparkSession, sf_dir: str,
+                 materialize_base: bool = False):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     base = (o.join(li, o.o_orderkey == li.l_orderkey)
             .select((F.col("o_custkey") * 2).alias("a"),
                     (F.col("l_suppkey") * 2 + 1).alias("b"))
             .distinct())
+    if materialize_base:
+        # One eager materialization of the distinct pair set — the
+        # narrowest frame every downstream subplan (both union
+        # directions x T+1 round references) re-derives otherwise.
+        # Measured at sf0.1 (r8): 3.2-3.7s -> 2.6-2.8s for the 3-round
+        # pagerank vs relying on ReusedExchange alone; checkpointing
+        # the WIDER ed/deg frames instead was worth far less. At
+        # cluster scale base is O(distinct pairs) — the smallest thing
+        # worth pinning, and exactly what GraphX would materialize.
+        base = base.localCheckpoint(eager=True)
     edges = (base.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionAll(base.select(F.col("b").alias("src"),
                                    F.col("a").alias("dst"))))
@@ -138,12 +149,13 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact trajectory hash-matches DuckDB's unrolled replay. The
     undirected edge construction leaves no dangling nodes (every node
     appearing in the graph has out-degree >= 1)."""
-    edges, deg = _spark_graph(spark, sf_dir)
-    # The whole T-round loop builds ONE plan executed in one job;
-    # Catalyst's ReusedExchange dedupes the repeated edges/deg
-    # subplans, so no checkpoint is needed (measured: an eager
-    # localCheckpoint of (src, dst, deg) was a net LOSS — it pays
-    # materialization for reuse the optimizer already provides).
+    edges, deg = _spark_graph(spark, sf_dir, materialize_base=True)
+    # The T-round loop builds ONE plan; Catalyst's ReusedExchange
+    # dedupes the repeated edges/deg subplans past the pinned base.
+    # Materialization history: an eager localCheckpoint of the WIDE
+    # (src, dst, deg) frame was a net loss (r5 measurement) — but
+    # pinning just the narrow distinct pair set wins ~18% (r8
+    # re-measurement per the r7 verdict; see _spark_graph).
     nn = deg.agg(F.count("*").alias("n"))
     base_pr = F.expr(f"{PR_MASS} div n")
     r = (deg.join(F.broadcast(nn))
