@@ -253,3 +253,40 @@ def test_gopher_rules_facade(engine):
     for r in rows:
         assert r.r_word_count == (50 <= r.n_words <= 100000)
         assert r.r_stopwords == (r.n_stop_kinds >= 2)
+
+
+def test_island_audit_loop_facade(engine, tmp_path):
+    """The roadmap's audit loop end-to-end: sample is deterministic
+    across calls, judgments persist idempotently (re-recording a
+    verdict overwrites, not duplicates), and the precision report's
+    overall row equals judged reality."""
+    from pyspark.sql import functions as F
+
+    s1 = engine.audit_islands().collect()
+    s2 = engine.audit_islands().collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    assert len(s1) == 25
+    assert all(r.island_text and r.word_start <= r.word_end for r in s1)
+
+    path = str(tmp_path / "judgments")
+    verdicts = engine.audit_islands().select(
+        "doc_id", "model_id", "start_index",
+        (F.col("average_score") >= 0.5).alias("is_real"))
+    engine.record_island_judgments(verdicts, path)
+    engine.record_island_judgments(verdicts, path)      # idempotent
+    rep = {(r.model_id): r for r in
+           engine.island_precision_report(path).collect()}
+    overall = rep[None]
+    assert overall.n_judged == 25
+    truth = sum(1 for r in s1 if r.average_score >= 0.5)
+    assert overall.n_real == truth
+    assert sum(v.n_judged for k, v in rep.items() if k is not None) == 25
+
+    # tuning table: stricter configs cover monotonically fewer
+    # positions (island COUNT is not monotone — lower thresholds
+    # merge adjacent islands — but total span is: superset flags +
+    # weaker keep rule)
+    tun = {(r.threshold, r.min_len): r.total_span
+           for r in engine.island_tuning().collect()}
+    assert tun[(0.5, 6)] >= tun[(0.6, 8)] >= tun[(0.7, 10)] >= tun[(0.8, 12)]
+    assert tun[(0.8, 12)] > 0

@@ -381,3 +381,25 @@ def test_lsh_band_tuning_report_plan_shape(spark):
     plan = plan_of(_q(spark, "lsh_band_tuning_report"))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gopher_flags_map_only_no_shuffle_no_python(spark):
+    """The Gopher rule gate is a single map-only corpus pass: no
+    exchange at all, no join, no Python eval — the cheapest filter a
+    curation pipeline runs (r8)."""
+    plan = plan_of(_q(spark, "gopher_quality_flags"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_catalog_row_counts_partial_aggregated_scans(spark):
+    """Every per-table count must partial-aggregate at the scan (one
+    long per partition through each exchange) — never a wide
+    collect-then-count (r8)."""
+    import re
+    plan = plan_of(_q(spark, "catalog_row_counts"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # ten scans -> ten partial_count + final count pairs
+    assert len(re.findall(r"partial_count", plan)) >= 10

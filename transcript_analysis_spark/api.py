@@ -577,6 +577,49 @@ class TranscriptEngine:
         (deterministic data-order seed; epoch-decorrelated)."""
         return self._q("epoch_shuffle_plan")
 
+    # -- island audit loop (reference ROADMAP Workstream 2) ---------------
+
+    def audit_islands(self) -> DataFrame:
+        """Deterministic reviewer sample: N islands with their
+        transcript span text (same N every run, so judgments stay
+        attached across sessions)."""
+        return self._q("island_audit_sample")
+
+    def island_tuning(self) -> DataFrame:
+        """Threshold/min-length sensitivity table of the flagship
+        islands product (one smoothing pass, |configs| aggregates)."""
+        return self._q("island_param_sensitivity")
+
+    def record_island_judgments(self, judgments: DataFrame,
+                                path: str) -> None:
+        """Persist reviewer yes/no verdicts — (doc_id, model_id,
+        start_index, is_real) — keyed on the island identity:
+        re-submitting a verdict overwrites it (upsert), so review
+        sessions are idempotent (the reference's `island_audit` table,
+        ROADMAP.md Workstream 2)."""
+        from transcript_analysis_spark.sources.sinks import upsert_by_key
+        upsert_by_key(
+            judgments.select("doc_id", "model_id", "start_index",
+                             "is_real"),
+            path, keys=["doc_id", "model_id", "start_index"])
+
+    def island_precision_report(self, path: str) -> DataFrame:
+        """Judged precision per model plus the overall row (model_id
+        NULL) — the number that gates method changes in the
+        reference's roadmap ('compare NLTK vs KenLM island quality
+        head-to-head')."""
+        j = self.spark.read.parquet(path)
+        from transcript_analysis_spark.functions.rounding import (
+            spark_round_ratio)
+        from pyspark.sql import functions as F
+        return (j.rollup("model_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_judged"),
+                     F.sum(F.when(F.col("is_real"), 1).otherwise(0))
+                      .cast("long").alias("n_real"),
+                     spark_round_ratio(
+                         "sum(case when is_real then 1 else 0 end)",
+                         "count(1)", 4).alias("precision")))
+
     def describe_catalog(self) -> DataFrame:
         """Per-table schema, exact footer row counts, and file layout
         for every catalog table — `inspect_schema.py` parity, answered

@@ -122,11 +122,14 @@ _RAW_CTE = f"""
 """
 
 
-@register(
-    "islands_flagship",
-    oracle=f"""
-    WITH {_TOK_CTE},
-    {_RAW_CTE},
+def _norm_ctes(materialized: bool = False) -> str:
+    """The shared smooth-and-normalize oracle CTEs (conv -> norm),
+    used by the flagship AND the parameter-sensitivity sweep so the
+    smoothing replay cannot drift between them. `materialized` forces
+    one evaluation when norm is referenced from several config
+    branches (the DuckDB CTE-inlining lesson, SCALE.md r8)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""
     conv AS (
       SELECT r1.doc_id, r1.model_id, r1.pos, r1.raw,
              ROUND(SUM(r2.raw * kern.w), {isl.SMOOTH_ROUND}) AS conv
@@ -137,14 +140,22 @@ _RAW_CTE = f"""
        AND r2.pos = r1.pos + kern.off
       GROUP BY r1.doc_id, r1.model_id, r1.pos, r1.raw
     ),
-    norm AS (
+    norm AS{m} (
       SELECT doc_id, model_id, pos, raw,
              CASE WHEN MAX(conv) OVER (PARTITION BY doc_id, model_id) > 0
                   THEN ROUND(conv / MAX(conv) OVER (PARTITION BY doc_id, model_id),
                              {isl.SMOOTH_ROUND})
                   ELSE conv END AS sm
       FROM conv
-    ),
+    )"""
+
+
+@register(
+    "islands_flagship",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    {_RAW_CTE},
+    {_norm_ctes()},
     flagged AS (
       SELECT *,
              (pos - 1) - ROW_NUMBER() OVER (PARTITION BY doc_id, model_id
@@ -1071,3 +1082,170 @@ def fourgram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum(cast(round(s * 1e9, 0) as bigint))",
                     "count(1)", 6, n_prescale=9).alias("avg_logprob"),
                  F.count(F.lit(1)).alias("n_scored")))
+
+
+# --- island audit & tuning (reference ROADMAP Workstream 2, r8) -----------
+#
+# The reference's roadmap calls the island audit tool the gate for
+# everything else ("precision QA — gates everything",
+# ROADMAP.md Workstream 2): sample islands for human review, and tune
+# smoothing/min-length/threshold against the judged precision. The
+# Spark-side halves of that loop are both registered queries; the
+# human-judgment persistence + precision report live in the engine
+# facade (api.record_island_judgments / island_precision_report).
+
+ISLAND_SWEEP_CONFIGS = [(0.5, 6), (0.6, 8), (0.7, 10), (0.8, 12)]
+AUDIT_SAMPLE_N = 25
+_AUDIT_HASH = 2654435761   # Knuth multiplicative constant
+_AUDIT_MOD = 1_000_000_007
+
+
+def _sweep_config_sql(i: int, t: float, m: int) -> str:
+    from transcript_analysis_spark.functions.rounding import duck_round_ratio
+    return f"""
+    f{i} AS (
+      SELECT doc_id, model_id, pos, raw,
+             (pos - 1) - ROW_NUMBER() OVER (PARTITION BY doc_id, model_id
+                                            ORDER BY pos) AS grp
+      FROM norm WHERE sm >= CAST({t!r} AS DOUBLE)
+    ),
+    i{i} AS (
+      SELECT doc_id, model_id,
+             CAST(MIN(pos) - 1 AS BIGINT)       AS s,
+             CAST(MAX(pos) - 1 AS BIGINT)       AS e,
+             ROUND(AVG(raw), {isl.SCORE_ROUND}) AS a
+      FROM f{i} GROUP BY doc_id, model_id, grp
+      HAVING MAX(pos) - MIN(pos) >= {m}
+    ),
+    a{i} AS (
+      SELECT CAST({t!r} AS DOUBLE) AS threshold,
+             CAST({m} AS BIGINT)   AS min_len,
+             CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS total_span,
+             CASE WHEN COUNT(*) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE {duck_round_ratio('SUM(e - s + 1)', 'COUNT(*)', 4)}
+             END AS avg_len,
+             CAST(COALESCE(SUM(CAST(ROUND(a * 1000000) AS BIGINT)), 0)
+                  AS BIGINT) AS score_e6_sum
+      FROM i{i}
+    )"""
+
+
+def _register_island_sweep() -> None:
+    parts = [f"WITH {_TOK_CTE},\n{_RAW_CTE},\n{_norm_ctes(materialized=True)}"]
+    for i, (t, m) in enumerate(ISLAND_SWEEP_CONFIGS):
+        parts.append(_sweep_config_sql(i, t, m))
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM a{i}" for i in range(len(ISLAND_SWEEP_CONFIGS)))
+
+    @register(
+        "island_param_sensitivity",
+        oracle=",".join(parts) + "\n" + union,
+        tags=("islands", "tuning", "report"),
+    )
+    def island_param_sensitivity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        """Threshold/min-length sensitivity sweep of the flagship
+        islands product — the tuning table the reference's roadmap
+        wants behind its audit tool ("tune smoothing window / min
+        length / score threshold", ROADMAP.md Workstream 2): per
+        config, island count, docs covered, span total, mean length,
+        and the exact 1e6-quantized sum of island scores.
+
+        One smoothing pass is shared by every config (the smoothed
+        frame is built once; each config re-runs only the cheap
+        flag->group->aggregate tail); the oracle mirrors that with a
+        MATERIALIZED norm CTE. Output is |configs| rows — a
+        driver-sized decision table. At 100 TB the sweep costs one
+        smoothing scan + |configs| grouped aggregates, not |configs|
+        corpus re-scores."""
+        scored = isl.smooth_scores(_scored_documents(spark, sf_dir),
+                                   score_col="raw", out_col="smoothed")
+        outs = []
+        for t, m in ISLAND_SWEEP_CONFIGS:
+            found = isl.find_islands(scored, keys=["doc_id", "model_id"],
+                                     score_col="raw",
+                                     smoothed_col="smoothed",
+                                     threshold=t, min_island_length=m)
+            n = F.count(F.lit(1))
+            span = F.sum(F.col("end_index") - F.col("start_index") + 1)
+            outs.append(found.agg(
+                n.cast("long").alias("n_islands"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.coalesce(span, F.lit(0)).cast("long").alias("total_span"),
+                F.when(n == 0, F.lit(0.0)).otherwise(
+                    spark_round_ratio(
+                        "sum(end_index - start_index + 1)",
+                        "count(1)", 4)).alias("avg_len"),
+                F.coalesce(
+                    F.sum(F.expr("cast(round(average_score * 1000000) "
+                                 "as bigint)")),
+                    F.lit(0)).cast("long").alias("score_e6_sum"),
+            ).select(F.lit(t).alias("threshold"),
+                     F.lit(m).cast("long").alias("min_len"), "*"))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
+        return out
+
+
+_register_island_sweep()
+
+
+@register(
+    "island_audit_sample",
+    oracle=f"""
+    WITH isl_out AS (
+      {_ISLANDS_ORACLE_BODY}
+    ),
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sampled AS (
+      SELECT i.doc_id, i.model_id, i.start_index, i.end_index,
+             i.word_start, i.word_end, i.average_score,
+             array_to_string(
+               d.words[CAST(i.word_start AS BIGINT):CAST(i.word_end AS BIGINT)],
+               ' ') AS island_text,
+             ((i.doc_id * 31 + i.model_id * 7 + i.start_index)
+               % {_AUDIT_MOD}) * {_AUDIT_HASH} % {_AUDIT_MOD} AS hv
+      FROM isl_out i JOIN d ON d.doc_id = i.doc_id
+    )
+    SELECT doc_id, model_id, start_index, end_index, word_start,
+           word_end, island_text, average_score, hv
+    FROM sampled
+    ORDER BY hv, doc_id, model_id, start_index
+    LIMIT {AUDIT_SAMPLE_N}
+    """,
+    tags=("islands", "audit", "sampling"),
+)
+def island_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reviewer sample for the island audit tool
+    (ROADMAP.md Workstream 2: "pull N random islands, show each
+    island's transcript span in context ... mark yes/no"): the
+    flagship's islands, each joined back to its document to extract
+    the island's word-span text, ranked by a content-keyed
+    multiplicative hash (reproducible "random" — the same N islands
+    every run, so judgments stay attached), top N taken.
+
+    The hash reduces mod 1e9+7 BEFORE the Knuth multiply so the
+    product stays far inside int64 at any corpus size. Plan shape:
+    flagship plan + one doc_id equi-join + TakeOrderedAndProject —
+    the sample never sorts more than the island table."""
+    isl_out = islands_flagship(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words"))
+    hv = (((F.col("doc_id") * 31 + F.col("model_id") * 7
+            + F.col("start_index")) % _AUDIT_MOD)
+          * _AUDIT_HASH % _AUDIT_MOD)
+    joined = (isl_out.join(d, "doc_id")
+              .select("doc_id", "model_id", "start_index", "end_index",
+                      "word_start", "word_end",
+                      F.array_join(F.expr(
+                          "slice(words, cast(word_start as int), "
+                          "cast(word_end - word_start + 1 as int))"),
+                          " ").alias("island_text"),
+                      "average_score", hv.alias("hv")))
+    return (joined.orderBy("hv", "doc_id", "model_id", "start_index")
+            .limit(AUDIT_SAMPLE_N))
