@@ -179,3 +179,48 @@ def test_skew_stats_and_salt_recommendation(spark):
                F.count(F.lit(1)).alias("n"),
                F.sum("v").alias("total")).collect()}
     assert got == exp
+
+
+def test_parse_answer_source_rungs(spark):
+    """answer_source labels the parse rung: JSON object, bare digit,
+    or the Neutral(3) default (the refusal case)."""
+    from transcript_analysis_spark.operators.eightvalues import parse_answers
+    rows = [("a", '{"answer": 4} something'),
+            ("b", "I pick 2 obviously"),
+            ("c", "I refuse to answer that")]
+    out = {r[0]: r for r in parse_answers(
+        spark.createDataFrame(rows, ["run_id", "llm_out"])
+    ).select("run_id", "answer", "answer_source").collect()}
+    assert (out["a"].answer, out["a"].answer_source) == (4, "json")
+    assert (out["b"].answer, out["b"].answer_source) == (2, "digit")
+    assert (out["c"].answer, out["c"].answer_source) == (3, "default")
+
+
+def test_calibration_report_roadmap_readout(spark):
+    """ROADMAP W3: per model — baseline lean, probe swing (for minus
+    against), refusal rate. Crafted frame: 'steerable' swings +2 with
+    no refusals; 'stuck' reads the same both ways and refuses half."""
+    from transcript_analysis_spark.operators.eightvalues import (
+        calibration_report)
+    rows = [
+        # model, mode, answer, answer_source
+        ("steerable", "baseline", 3, "json"),
+        ("steerable", "baseline", 4, "json"),
+        ("steerable", "probe_for", 5, "json"),
+        ("steerable", "probe_for", 5, "digit"),
+        ("steerable", "probe_against", 3, "json"),
+        ("steerable", "probe_against", 3, "json"),
+        ("stuck", "baseline", 3, "default"),
+        ("stuck", "probe_for", 3, "json"),
+        ("stuck", "probe_against", 3, "default"),
+        ("stuck", "probe_against", 3, "json"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["model", "mode", "answer", "answer_source"])
+    rep = {r.model: r for r in calibration_report(df).collect()}
+    s = rep["steerable"]
+    assert (s.baseline_lean, s.mean_for, s.mean_against) == (3.5, 5.0, 3.0)
+    assert s.probe_swing == 2.0 and s.refusal_rate == 0.0
+    t = rep["stuck"]
+    assert t.probe_swing == 0.0 and t.baseline_lean == 3.0
+    assert t.refusal_rate == 0.5 and t.n_answers == 4 and t.n_refused == 2

@@ -577,6 +577,14 @@ class TranscriptEngine:
         (deterministic data-order seed; epoch-decorrelated)."""
         return self._q("epoch_shuffle_plan")
 
+    def survey_calibration(self, answers: DataFrame) -> DataFrame:
+        """ROADMAP W3 read-out over parsed survey answers (model,
+        mode, answer, answer_source): per-model baseline lean, probe
+        swing, refusal rate — the trust-selection table."""
+        from transcript_analysis_spark.operators.eightvalues import (
+            calibration_report)
+        return calibration_report(answers)
+
     # -- island audit loop (reference ROADMAP Workstream 2) ---------------
 
     def audit_islands(self) -> DataFrame:

@@ -100,19 +100,26 @@ def fake_llm_answer(runs_with_context: DataFrame) -> DataFrame:
 def parse_answers(responses: DataFrame) -> DataFrame:
     """F7 parse chain (reference `parse_answer`,
     `run_8values_survey.py:222-262`): JSON object -> bare digit ->
-    Neutral(3)."""
+    Neutral(3). `answer_source` records which rung matched ('json' |
+    'digit' | 'default') — 'default' is the refusal/unparseable case
+    the ROADMAP's calibration read-out counts per model."""
     ext = responses.withColumns({
         "json_str": F.regexp_extract("llm_out", r"\{[^}]*\}", 0),
         "digit_str": F.regexp_extract("llm_out", r"([1-5])", 1),
     })
-    return ext.withColumn(
-        "answer",
-        F.coalesce(
-            F.when(F.col("json_str") != "",
-                   F.get_json_object("json_str", "$.answer").cast("long")),
-            F.when(F.col("digit_str") != "",
-                   F.col("digit_str").cast("long")),
-            F.lit(3))).drop("json_str", "digit_str")
+    json_ans = F.when(
+        F.col("json_str") != "",
+        F.get_json_object("json_str", "$.answer").cast("long"))
+    digit_ans = F.when(F.col("digit_str") != "",
+                       F.col("digit_str").cast("long"))
+    return (ext
+            .withColumn("answer",
+                        F.coalesce(json_ans, digit_ans, F.lit(3)))
+            .withColumn("answer_source",
+                        F.when(json_ans.isNotNull(), "json")
+                         .when(digit_ans.isNotNull(), "digit")
+                         .otherwise("default"))
+            .drop("json_str", "digit_str"))
 
 
 def axis_scores(answers: DataFrame, questions: DataFrame) -> DataFrame:
@@ -297,3 +304,59 @@ def run_survey_http(spark: SparkSession, sf_dir: str,
                 F.coalesce(F.col("response"), F.lit("")).alias("llm_out")))
     answers = parse_answers(answered)
     return axis_scores(answers, questions)
+
+
+def calibration_report(answers: DataFrame) -> DataFrame:
+    """The ROADMAP Workstream-3 calibration read-out ("per model,
+    baseline lean + probe swing (for vs against) + refusal rate →
+    choose the model(s) to trust for the transcript pass"): one
+    grouped aggregate over parsed answers carrying (model, mode,
+    answer, answer_source).
+
+    - baseline_lean: mean answer in 'baseline' mode (1..5; 3 =
+      neutral) — the model's unprompted position;
+    - probe swing: mean('probe_for') - mean('probe_against') — a
+      steerable model swings strongly positive; a stuck one reads the
+      same either way;
+    - refusal_rate: share of answers that fell through the parse
+      chain to the Neutral default ('default' answer_source).
+
+    All ratios are exact-integer half-up rounded; empty modes report
+    0.0 rather than dividing by zero. Driver-sized output (one row
+    per model)."""
+    from transcript_analysis_spark.functions.rounding import (
+        spark_round_ratio)
+
+    def mode_sum(mode: str) -> F.Column:
+        return F.sum(F.when(F.col("mode") == mode, F.col("answer"))
+                     .otherwise(0)).cast("long")
+
+    def mode_n(mode: str) -> F.Column:
+        return F.sum(F.when(F.col("mode") == mode, 1)
+                     .otherwise(0)).cast("long")
+
+    per = answers.groupBy("model").agg(
+        mode_sum("baseline").alias("base_sum"),
+        mode_n("baseline").alias("base_n"),
+        mode_sum("probe_for").alias("for_sum"),
+        mode_n("probe_for").alias("for_n"),
+        mode_sum("probe_against").alias("against_sum"),
+        mode_n("probe_against").alias("against_n"),
+        F.sum(F.when(F.col("answer_source") == "default", 1)
+              .otherwise(0)).cast("long").alias("n_refused"),
+        F.count(F.lit(1)).cast("long").alias("n_answers"))
+
+    def safe_mean(s: str, n: str) -> F.Column:
+        return F.when(F.col(n) == 0, F.lit(0.0)).otherwise(
+            spark_round_ratio(s, n, 4))
+
+    return per.select(
+        "model", "n_answers", "n_refused",
+        safe_mean("base_sum", "base_n").alias("baseline_lean"),
+        safe_mean("for_sum", "for_n").alias("mean_for"),
+        safe_mean("against_sum", "against_n").alias("mean_against"),
+        F.round(safe_mean("for_sum", "for_n")
+                - safe_mean("against_sum", "against_n"), 4)
+         .alias("probe_swing"),
+        spark_round_ratio("n_refused", "n_answers", 4)
+         .alias("refusal_rate"))

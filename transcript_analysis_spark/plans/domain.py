@@ -1249,3 +1249,43 @@ def island_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "average_score", hv.alias("hv")))
     return (joined.orderBy("hv", "doc_id", "model_id", "start_index")
             .limit(AUDIT_SAMPLE_N))
+
+
+@register(
+    "island_length_histogram",
+    oracle=f"""
+    WITH isl_out AS (
+      {_ISLANDS_ORACLE_BODY}
+    ),
+    len AS (
+      SELECT model_id,
+             CAST(end_index - start_index + 1 AS BIGINT) AS island_len
+      FROM isl_out
+    )
+    SELECT model_id,
+           CAST((island_len // 5) * 5 AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT)              AS n_islands,
+           CAST(MIN(island_len) AS BIGINT)       AS min_len,
+           CAST(MAX(island_len) AS BIGINT)       AS max_len
+    FROM len
+    GROUP BY model_id, 2
+    """,
+    tags=("islands", "report", "A6"),
+)
+def island_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Island length distribution per model — the first chart of the
+    reference ROADMAP's analysis workstream ("length distributions",
+    Workstream 5): flagship island lengths in fixed 5-position
+    buckets. Composed on the flagship (Spark frame AND oracle body),
+    so the distribution cannot drift from the shipped islands; one
+    grouped count over the island table — driver-sized output."""
+    isl_out = islands_flagship(spark, sf_dir)
+    ln = (F.col("end_index") - F.col("start_index") + 1)
+    return (isl_out
+            .select("model_id", ln.alias("island_len"))
+            .groupBy("model_id",
+                     ((F.col("island_len") / 5).cast("long") * 5)
+                     .alias("len_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.min("island_len").cast("long").alias("min_len"),
+                 F.max("island_len").cast("long").alias("max_len")))
