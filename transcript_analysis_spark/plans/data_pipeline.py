@@ -2604,3 +2604,55 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     cand_ivf, ivf_top, gt_cos))
             .unionByName(report_row("pq_adc_rerank", "l2",
                                     shortlist, pq_top, gt_l2)))
+
+
+# --- 8values compass rollup (reference ROADMAP Workstream 6, r8) ----------
+
+def _register_compass() -> None:
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+    axis_oracle = _REGISTRY["eightvalues_axis_scores"].oracle
+    mean_cols_sql = ", ".join(
+        f"""(CAST((CASE WHEN (SUM(CAST(ROUND({ax} * 1000) AS BIGINT))) < 0
+                 THEN -1 ELSE 1 END)
+           * ((2 * abs(CAST(SUM(CAST(ROUND({ax} * 1000) AS BIGINT))
+                       AS BIGINT)) * 10 + COUNT(*))
+              // (2 * COUNT(*))) AS DOUBLE) / 10000) AS mean_{ax}"""
+        for ax in ("econ", "dipl", "govt", "scty"))
+
+    @register(
+        "eightvalues_compass_by_nation",
+        oracle=f"""
+        WITH axis AS MATERIALIZED ({axis_oracle})
+        SELECT c.c_nationkey                    AS nationkey,
+               CAST(COUNT(*) AS BIGINT)         AS n_runs,
+               {mean_cols_sql}
+        FROM axis a JOIN customer c ON c.c_custkey = a.run_id
+        GROUP BY c.c_nationkey
+        """,
+        tags=("A11", "F8", "report"),
+    )
+    def eightvalues_compass_by_nation(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+        """The classic 8values compass rolled up per speaker group
+        (ROADMAP Workstream 6: "the compass per speaker / channel") —
+        mean axis position over each nation's runs, composed on the
+        REGISTERED axis query/oracle so the rollup cannot drift from
+        the per-run scores. Mean-of-rounded-scores is computed by
+        recovering each 3dp score as an exact integer (round(x*1000)
+        is exact — the score IS k/1000), summing as int64, and
+        half-up rounding once at 4dp: no float-summation order
+        hazard. One broadcast dim join + one grouped aggregate."""
+        axis = eightvalues_axis_scores(spark, sf_dir)
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("run_id"),
+            F.col("c_nationkey").alias("nationkey"))
+        j = axis.join(F.broadcast(c), "run_id")
+        return (j.groupBy("nationkey")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_runs"),
+                     *[spark_round_ratio(
+                         f"sum(cast(round({ax} * 1000) as bigint))",
+                         "count(1)", 4, n_prescale=3).alias(f"mean_{ax}")
+                       for ax in ("econ", "dipl", "govt", "scty")]))
+
+
+_register_compass()
