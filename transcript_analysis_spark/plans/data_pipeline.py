@@ -2656,3 +2656,68 @@ def _register_compass() -> None:
 
 
 _register_compass()
+
+
+def _register_question_agreement() -> None:
+    from transcript_analysis_spark.functions.rounding import duck_round_ratio
+
+    @register(
+        "survey_question_agreement",
+        oracle=f"""
+        WITH resp AS (
+          SELECT o_orderkey % 10                    AS question_id,
+                 CAST(o_orderkey % 5 + 1 AS BIGINT) AS answer
+          FROM orders WHERE o_orderstatus <> 'P'
+        ),
+        s AS (
+          SELECT question_id,
+                 CAST(COUNT(*) AS BIGINT)          AS n_answers,
+                 CAST(SUM(answer) AS BIGINT)       AS s1,
+                 CAST(SUM(answer * answer) AS BIGINT) AS s2
+          FROM resp GROUP BY question_id
+        )
+        SELECT question_id, n_answers,
+               {duck_round_ratio('s1', 'n_answers', 4)} AS mean_answer,
+               -- population variance as one exact rational:
+               -- (n*s2 - s1^2) / n^2, half-up at 4dp
+               {duck_round_ratio('n_answers * s2 - s1 * s1',
+                                 'n_answers * n_answers', 4)}
+                 AS answer_variance,
+               ({duck_round_ratio('n_answers * s2 - s1 * s1',
+                                  'n_answers * n_answers', 4)})
+                 > CAST(1.5 AS DOUBLE) AS low_agreement
+        FROM s
+        """,
+        tags=("A11", "report", "statistics"),
+    )
+    def survey_question_agreement(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        """Per-question answer variance across runs — the ROADMAP
+        Workstream-6 bullet "confidence/variance across repeats; flag
+        low-agreement questions". Failed responses (status 'P', the
+        Neutral-multiplier rows) are excluded: they carry no opinion.
+        Population variance is computed as ONE exact integer rational
+        (n*s2 - s1^2)/n^2 half-up at 4dp — answers are small ints, so
+        the numerator stays ~n^2*25, inside int64 to ~600M answers
+        per question; the flag threshold 1.5 marks questions whose
+        answers spread beyond ~uniform disagreement. One grouped
+        aggregate, 10 rows out."""
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+        resp = o.select((F.col("o_orderkey") % 10).alias("question_id"),
+                        (F.col("o_orderkey") % 5 + 1).cast("long")
+                        .alias("answer"))
+        s = resp.groupBy("question_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_answers"),
+            F.sum("answer").cast("long").alias("s1"),
+            F.sum(F.col("answer") * F.col("answer")).cast("long")
+             .alias("s2"))
+        var = spark_round_ratio("n_answers * s2 - s1 * s1",
+                                "n_answers * n_answers", 4)
+        return s.select(
+            "question_id", "n_answers",
+            spark_round_ratio("s1", "n_answers", 4).alias("mean_answer"),
+            var.alias("answer_variance"),
+            (var > 1.5).alias("low_agreement"))
+
+
+_register_question_agreement()
