@@ -71,3 +71,90 @@ def test_writestream_driver_equals_flagship(spark, tmp_path):
     got = _rows(read_islands(spark, idir))
     want = _rows(islands_flagship(spark, SF_DIR))
     assert got == want
+
+
+def test_rescore_latest_wins_including_zero_island_revisions(spark, tmp_path):
+    """The reference's re-score workflow: a doc re-delivered with
+    changed text supersedes its old islands — INCLUDING when the
+    revision produces zero islands (the case an island-row max would
+    get wrong). Latest view == flagship chain over the updated
+    corpus; the raw view still holds both generations."""
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.plans.domain import islands_from_docs
+    from transcript_analysis_spark.streaming.islands_store import (
+        read_islands_latest)
+
+    idir = str(tmp_path / "islands")
+    docs = _docs(spark)
+    foreach_batch_islands(docs, 0, idir)
+
+    # revise an even/odd split: evens get reshuffled text (new islands
+    # possible), odds collapse to one word (guaranteed zero islands)
+    revised = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("revision "), F.col("text")))
+         .otherwise(F.lit("stub")).alias("text"))
+    foreach_batch_islands(revised, 1, idir)
+
+    got = _rows(read_islands_latest(spark, idir))
+    want = _rows(islands_from_docs(revised))
+    assert got == want
+    # odd docs must have vanished from the latest view
+    assert not any(r[0] % 2 == 1 for r in got)
+    # ...but the raw arrival-time view keeps generation 0
+    raw_docs = {r[0] for r in _rows(read_islands(spark, idir))}
+    assert any(d % 2 == 1 for d in raw_docs)
+
+    # replay of the re-score batch changes nothing
+    before = _rows(spark.read.parquet(idir))
+    foreach_batch_islands(revised, 1, idir)
+    assert _rows(spark.read.parquet(idir)) == before
+    assert _rows(read_islands_latest(spark, idir)) == want
+
+
+def test_upsert_compaction_drops_superseded_generations(spark, tmp_path):
+    """compact_islands_store keeps only each doc's latest generation
+    within the compacted range: the latest view is unchanged, the
+    superseded islands AND delivery rows are gone, and batches above
+    the compaction point stay untouched (a later re-delivery still
+    wins)."""
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.streaming.islands_store import (
+        compact_islands_store, deliveries_dir_of, read_islands_latest)
+
+    idir = str(tmp_path / "islands")
+    docs = _docs(spark)
+    foreach_batch_islands(docs, 0, idir)
+    revised = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("revision "), F.col("text")))
+         .otherwise(F.lit("stub")).alias("text"))
+    foreach_batch_islands(revised, 1, idir)
+    # batch 2: a second revision of doc 0 only, ABOVE the compaction point
+    third = revised.filter(F.col("doc_id") == 0).select(
+        "doc_id", F.concat(F.lit("again "), F.col("text")).alias("text"))
+    foreach_batch_islands(third, 2, idir)
+
+    before = _rows(read_islands_latest(spark, idir))
+    dropped = compact_islands_store(spark, idir, through=1)
+    after = _rows(read_islands_latest(spark, idir))
+    assert after == before
+    assert dropped[idir] > 0                       # gen-0 islands gone
+    assert dropped[deliveries_dir_of(idir)] > 0    # gen-0 deliveries gone
+    # every remaining <=1 row is its doc's latest <=1 generation
+    isl_rows = spark.read.parquet(idir)
+    stale = (isl_rows.filter("batch_id = 0")
+             .join(spark.read.parquet(deliveries_dir_of(idir))
+                   .filter("batch_id = 1").select("doc_id"),
+                   "doc_id", "left_semi"))
+    assert stale.count() == 0
+    # the uncompacted batch-2 re-delivery still wins for doc 0
+    assert all(r[-1] == 2 for r in
+               spark.read.parquet(deliveries_dir_of(idir))
+               .filter("doc_id = 0")
+               .groupBy("doc_id").agg(F.max("batch_id").alias("b"))
+               .select("doc_id", "b").collect())

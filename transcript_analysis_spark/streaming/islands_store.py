@@ -26,6 +26,14 @@ tools/pipeline_probe.py at sf0.1): for ANY split of the corpus into
 micro-batches, in ANY order, the union of batch partitions equals
 `islands_flagship`'s batch output row for row, and replaying an
 already-applied batch changes nothing.
+
+Re-score support (the reference's actual steady-state — new scores
+for an ALREADY-islanded pair replace its islands): each batch also
+records its delivered doc list in a sibling store;
+`read_islands_latest` resolves latest-wins through the deliveries
+(not the island rows — a revision yielding ZERO islands must still
+retract the old ones), and `compact_islands_store` is the
+upsert-correct compaction that drops superseded generations outright.
 """
 
 from __future__ import annotations
@@ -46,28 +54,63 @@ def islands_for_batch(batch_docs: DataFrame) -> DataFrame:
     return islands_from_docs(batch_docs.select("doc_id", "text"))
 
 
+def deliveries_dir_of(islands_dir: str) -> str:
+    """Sibling store recording WHICH docs each batch delivered
+    (doc_id, batch_id) — island-independent, so a re-score that
+    produces ZERO islands still supersedes the doc's old islands in
+    the latest-wins view."""
+    return islands_dir.rstrip("/") + "_deliveries"
+
+
 def foreach_batch_islands(batch_df: DataFrame, batch_id: int,
                           islands_dir: str) -> None:
     """Compute and land one batch's islands as a batch_id partition
-    (dynamic overwrite ⇒ replay-idempotent)."""
+    (dynamic overwrite ⇒ replay-idempotent), plus the batch's
+    delivered-doc list in the sibling deliveries store (same
+    idempotence discipline; one tiny file per batch)."""
     spark = batch_df.sparkSession
-    out = (islands_for_batch(batch_df)
-           .withColumn("batch_id", F.lit(int(batch_id)))
-           .coalesce(1))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        out = (islands_for_batch(batch_df)
+               .withColumn("batch_id", F.lit(int(batch_id)))
+               .coalesce(1))
         (out.write.mode("overwrite").partitionBy("batch_id")
          .parquet(islands_dir))
+        delivered = (batch_df.select("doc_id").distinct()
+                     .withColumn("batch_id", F.lit(int(batch_id)))
+                     .coalesce(1))
+        (delivered.write.mode("overwrite").partitionBy("batch_id")
+         .parquet(deliveries_dir_of(islands_dir)))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_islands(spark: SparkSession, islands_dir: str) -> DataFrame:
     """All maintained island rows (flagship columns; batch_id kept for
-    store maintenance, dropped here for the product view)."""
+    store maintenance, dropped here for the product view). Assumes
+    each doc arrived exactly once; for re-score streams use
+    `read_islands_latest`."""
     return spark.read.parquet(islands_dir).select(*ISLAND_COLS)
+
+
+def read_islands_latest(spark: SparkSession, islands_dir: str) -> DataFrame:
+    """Latest-wins product view: when the SAME doc is re-delivered in
+    a later batch (the reference's re-score workflow — new score rows
+    for an existing (vid, model) pair replace its islands,
+    `island_worker.py:150-184` upsert), only the newest delivery's
+    islands for that doc count. The doc's latest batch comes from the
+    DELIVERIES store, not from the island rows themselves — a
+    re-score whose revised text yields zero islands must still
+    retract the old ones (an island-row max would keep them). One
+    semi-join against the bounded one-row-per-doc latest frame — no
+    window over the island table."""
+    df = spark.read.parquet(islands_dir)
+    latest = (spark.read.parquet(deliveries_dir_of(islands_dir))
+              .groupBy("doc_id").agg(F.max("batch_id").alias("batch_id")))
+    return (df.join(latest, ["doc_id", "batch_id"], "left_semi")
+            .select(*ISLAND_COLS))
 
 
 def run_islands_stream(stream_docs: DataFrame, islands_dir: str,
@@ -81,3 +124,44 @@ def run_islands_stream(stream_docs: DataFrame, islands_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def compact_islands_store(spark: SparkSession, islands_dir: str,
+                          through: int) -> dict[str, int]:
+    """Upsert-store compaction: collapse every partition at or below
+    `through`, DROPPING superseded generations — a doc re-delivered
+    later (within the compacted range) keeps only its newest islands
+    and delivery row, stamped with the doc's own latest batch_id.
+
+    The pipeline's generic batch-stamp compaction
+    (`pipeline.compact_pipeline_stores`) is lossless only for
+    set-union stores; here batch_id is SEMANTIC (latest-wins), so a
+    blind collapse to one stamp would resurface superseded islands
+    beside their replacements. Dropping losers is the correct — and
+    smaller — rewrite: exactly what the reference's per-pair upsert
+    table looks like after any single point in time. Both views are
+    preserved by construction: `read_islands_latest` sees the same
+    rows (the survivors ARE the latest generation, stamps intact so
+    later uncompacted batches still win), and replay safety holds
+    because only partitions strictly below any in-flight batch are
+    touched (pass `through = watermark - 1`, the
+    compact_pipeline_stores discipline). Returns rows dropped per
+    store."""
+    from transcript_analysis_spark.sources.sinks import write_and_swap
+
+    ddir = deliveries_dir_of(islands_dir)
+    deliveries = spark.read.parquet(ddir)
+    latest = (deliveries.filter(F.col("batch_id") <= int(through))
+              .groupBy("doc_id")
+              .agg(F.max("batch_id").alias("batch_id")))
+    out: dict[str, int] = {}
+    for d, frame in ((islands_dir, spark.read.parquet(islands_dir)),
+                     (ddir, deliveries)):
+        old = frame.filter(F.col("batch_id") <= int(through))
+        keep = old.join(latest, ["doc_id", "batch_id"], "left_semi")
+        dropped = old.count() - keep.count()
+        recent = frame.filter(F.col("batch_id") > int(through))
+        write_and_swap(keep.coalesce(1).unionByName(recent), d,
+                       partition_by=["batch_id"])
+        out[d] = dropped
+    return out

@@ -90,7 +90,11 @@ from transcript_analysis_spark.streaming.sample_store import (
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron, init_weight_store)
 from transcript_analysis_spark.streaming.islands_store import (
-    foreach_batch_islands)
+    deliveries_dir_of, foreach_batch_islands)
+
+
+def _islands_deliveries(stores: "PipelineStores") -> str:
+    return deliveries_dir_of(stores.islands_dir)
 from transcript_analysis_spark.streaming.sketch_store import (
     foreach_batch_hll, foreach_batch_sketch)
 
@@ -378,7 +382,8 @@ def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
                     stores.dsir_scores_dir, stores.kept_dir,
                     stores.cms_dir, stores.hll_dir, stores.assign_dir,
                     stores.pca_dir, stores.sample_dir,
-                    stores.islands_dir, stores.tombstones_dir)
+                    stores.islands_dir, _islands_deliveries(stores),
+                    stores.tombstones_dir)
     for d in batch_stores:
         df = _try_read(spark, d)
         if df is None or through < 0:
