@@ -403,3 +403,22 @@ def test_catalog_row_counts_partial_aggregated_scans(spark):
     assert "Join" not in plan
     # ten scans -> ten partial_count + final count pairs
     assert len(re.findall(r"partial_count", plan)) >= 10
+
+
+def test_island_audit_sample_take_ordered_not_global_sort(spark):
+    """The reviewer sample must cut with TakeOrderedAndProject (top-N
+    push), never a full global Sort+Limit over the island table, and
+    stay free of cartesian products and Python eval (r8)."""
+    plan = plan_of(_q(spark, "island_audit_sample"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_island_param_sensitivity_no_cartesian_no_python(spark):
+    """The config sweep is unioned aggregates over the shared smoothed
+    frame — no cartesian blowup, no Python eval; every join is the
+    flagship's own equi/broadcast shapes (r8)."""
+    plan = plan_of(_q(spark, "island_param_sensitivity"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -158,3 +158,53 @@ def test_upsert_compaction_drops_superseded_generations(spark, tmp_path):
                .filter("doc_id = 0")
                .groupBy("doc_id").agg(F.max("batch_id").alias("b"))
                .select("doc_id", "b").collect())
+
+
+def test_latest_view_invariant_under_random_delivery_histories(spark, tmp_path):
+    """Property (fixed-seed scenarios): for ANY sequence of initial
+    deliveries and re-scores, read_islands_latest equals the flagship
+    chain over the corpus's CURRENT text state — before and after
+    compaction at every admissible point."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.plans.domain import islands_from_docs
+    from transcript_analysis_spark.streaming.islands_store import (
+        compact_islands_store, read_islands_latest)
+
+    base = {r.doc_id: r.text
+            for r in _docs(spark).filter(F.col("doc_id") < 40).collect()}
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        idir = str(tmp_path / f"islands_{seed}")
+        current = dict(base)
+        ids = sorted(base)
+        # batch 0: everyone arrives; batches 1..3: random re-scores
+        histories = [list(ids)]
+        for _ in range(3):
+            chosen = rng.sample(ids, k=rng.randint(3, 10))
+            histories.append(chosen)
+        for bid, docs_in_batch in enumerate(histories):
+            rows = []
+            for d in docs_in_batch:
+                if bid > 0:
+                    # revision: shuffle words or collapse to a stub
+                    if rng.random() < 0.3:
+                        current[d] = "stub"
+                    else:
+                        w = current[d].split(" ")
+                        rng.shuffle(w)
+                        current[d] = " ".join(w)
+                rows.append((d, current[d]))
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            foreach_batch_islands(bdf, bid, idir)
+
+        want = _rows(islands_from_docs(
+            spark.createDataFrame(sorted(current.items()),
+                                  "doc_id long, text string")))
+        assert _rows(read_islands_latest(spark, idir)) == want
+        for through in (0, 2):
+            compact_islands_store(spark, idir, through=through)
+            assert _rows(read_islands_latest(spark, idir)) == want

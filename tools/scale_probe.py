@@ -69,6 +69,13 @@ CHECK_FAMILY = [
     "bm25_ndcg_report",
     "release_funnel_report",
     "epoch_shuffle_plan",
+    # r8 continuation: survey math over scaled orders (variance
+    # numerator n*s2 - s1^2 grows ~n^2 per question; compass means sum
+    # 1e3-quantized scores over all runs) and the integer rule gate
+    # over scaled documents
+    "survey_question_agreement",
+    "eightvalues_compass_by_nation",
+    "gopher_quality_flags",
 ]
 
 
