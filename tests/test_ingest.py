@@ -296,3 +296,32 @@ def test_url_transport_channel_info_normalizes_handle():
     assert by_id["UC3"]["handle"] is None
     with pytest.raises(AssertionError):
         t.channel_info([f"UC{i}" for i in range(51)])
+
+
+def test_repair_null_handle_without_api_custom_url_stays_selectable(spark):
+    """A NULL-handle channel whose API snippet has no customUrl gets
+    the snippet value but remains broken-by-predicate — it is retried
+    on the next run (the reference's own semantics: its SELECT
+    re-picks such rows every run). The retry converges the moment the
+    API starts serving a handle."""
+    import json
+
+    from transcript_analysis_spark.sources.ingest import (
+        channels_needing_repair, repair_channel_info)
+
+    chans = spark.createDataFrame(
+        [("UCnohandleanywhere", None, None)],
+        "channel_id string, channel_handle string, channel_snippet string")
+
+    fixed = repair_channel_info(
+        chans, lambda: FakeTubeTransport(
+            handleless_channels={"UCnohandleanywhere"}))
+    row = fixed.collect()[0]
+    assert row.channel_handle is None            # API had none
+    assert json.loads(row.channel_snippet)["title"]   # snippet repaired
+    assert channels_needing_repair(fixed).count() == 1  # retried next run
+
+    # ...and once the API serves a handle, the retry converges
+    healed = repair_channel_info(fixed, FakeTubeTransport)
+    assert healed.collect()[0].channel_handle is not None
+    assert channels_needing_repair(healed).count() == 0

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from transcript_analysis_spark.sources.tables import load_table
+from transcript_analysis_spark.streaming import islands_store
 from transcript_analysis_spark.streaming import pipeline as pl
 from transcript_analysis_spark.streaming.perceptron_store import read_weights
 from transcript_analysis_spark.streaming.sketch_store import (
@@ -45,6 +46,11 @@ def _store_state(spark, stores):
                        "batch_id"),
         "pca": rows(stores.pca_dir, "i", "j", "s", "batch_id"),
         "sample": rows(stores.sample_dir, "doc_id", "hv", "batch_id"),
+        "islands": rows(stores.islands_dir, "doc_id", "model_id",
+                        "start_index", "end_index", "batch_id"),
+        "deliveries": rows(
+            islands_store.deliveries_dir_of(stores.islands_dir),
+            "doc_id", "batch_id"),
         "tombstones": rows(stores.tombstones_dir, "doc_id", "batch_id"),
         "weights": tuple(w),
     }
@@ -202,6 +208,24 @@ def test_holdout_sample_equals_batch_over_kept_union(spark,
                       for r in read_sample(spark,
                                            stores.sample_dir).collect())
     assert streamed == batch
+
+
+def test_pipeline_islands_equal_flagship_chain(spark, pipeline_run):
+    """The tenth store through the COMPOSED pipeline (stage 0, the
+    pre-gate arriving docs): union of batch partitions == the
+    registered flagship chain over all documents, and the latest-wins
+    view agrees (single delivery per doc ⇒ identical)."""
+    from transcript_analysis_spark.plans.domain import islands_from_docs
+    stores = pipeline_run["stores"]
+    docs = pipeline_run["docs"]
+    want = sorted(map(tuple, islands_from_docs(
+        docs.select("doc_id", "text")).collect()))
+    got = sorted(map(tuple, islands_store.read_islands(
+        spark, stores.islands_dir).collect()))
+    assert got == want and len(got) > 0
+    latest = sorted(map(tuple, islands_store.read_islands_latest(
+        spark, stores.islands_dir).collect()))
+    assert latest == want
 
 
 def test_ordered_run_produces_no_tombstones(spark, pipeline_run):
@@ -388,6 +412,11 @@ def test_store_compaction_is_lossless_and_replay_safe(spark, tmp_path):
                 spark, stores.sample_dir).collect()),
             "cms": sorted(map(tuple, read_sketch(
                 spark, stores.cms_dir).collect())),
+            # latest-wins product view: the delegated upsert-correct
+            # compaction must leave it untouched (the generic collapse
+            # provably would not, for multi-delivery histories)
+            "islands": sorted(map(tuple, islands_store.read_islands_latest(
+                spark, stores.islands_dir).collect())),
         }
 
     before = views()

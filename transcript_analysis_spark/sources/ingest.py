@@ -334,8 +334,14 @@ def repair_channel_info(channels: DataFrame,
       stay broken and a re-run retries them.
 
     Callers land the result with ``sinks.upsert_by_key(...,
-    keys=["channel_id"])``; repaired rows no longer match the
-    predicate, so the repair is idempotent (re-run selects nothing).
+    keys=["channel_id"])``. Fully-repaired rows no longer match the
+    predicate, so a re-run selects nothing for them. One honest
+    exception (same as the reference, whose SELECT re-picks such rows
+    every run): a NULL/'nan'-handle channel whose API snippet carries
+    no customUrl gets its snippet merged but keeps the broken handle —
+    it stays selectable and will be re-tried on the next run, because
+    the API may grow the handle later. The upsert itself is idempotent
+    either way (same inputs ⇒ same row).
     """
     import json as _json
 

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.domain import islands_from_docs
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 ISLAND_COLS = ("doc_id", "model_id", "start_index", "end_index",
                "word_start", "word_end", "time_start_sec",
@@ -68,23 +70,10 @@ def foreach_batch_islands(batch_df: DataFrame, batch_id: int,
     (dynamic overwrite ⇒ replay-idempotent), plus the batch's
     delivered-doc list in the sibling deliveries store (same
     idempotence discipline; one tiny file per batch)."""
-    spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out = (islands_for_batch(batch_df)
-               .withColumn("batch_id", F.lit(int(batch_id)))
-               .coalesce(1))
-        (out.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(islands_dir))
-        delivered = (batch_df.select("doc_id").distinct()
-                     .withColumn("batch_id", F.lit(int(batch_id)))
-                     .coalesce(1))
-        (delivered.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(deliveries_dir_of(islands_dir)))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_batch_partition(islands_for_batch(batch_df), batch_id,
+                          islands_dir, coalesce=1)
+    write_batch_partition(batch_df.select("doc_id").distinct(), batch_id,
+                          deliveries_dir_of(islands_dir), coalesce=1)
 
 
 def read_islands(spark: SparkSession, islands_dir: str) -> DataFrame:
@@ -153,15 +142,22 @@ def compact_islands_store(spark: SparkSession, islands_dir: str,
     deliveries = spark.read.parquet(ddir)
     latest = (deliveries.filter(F.col("batch_id") <= int(through))
               .groupBy("doc_id")
-              .agg(F.max("batch_id").alias("batch_id")))
+              .agg(F.max("batch_id").alias("batch_id"))
+              .localCheckpoint(eager=True))   # one row per doc, reused 4x
     out: dict[str, int] = {}
     for d, frame in ((islands_dir, spark.read.parquet(islands_dir)),
                      (ddir, deliveries)):
         old = frame.filter(F.col("batch_id") <= int(through))
-        keep = old.join(latest, ["doc_id", "batch_id"], "left_semi")
-        dropped = old.count() - keep.count()
+        # Materialize the survivor set once: the write below and the
+        # observability count then read the checkpoint instead of
+        # re-running the filter + semi-join per action. Both counts
+        # must run BEFORE write_and_swap — after the swap the lazy
+        # `old` plan would point at deleted files.
+        keep = (old.join(latest, ["doc_id", "batch_id"], "left_semi")
+                .localCheckpoint(eager=True))
+        n_dropped = old.count() - keep.count()
         recent = frame.filter(F.col("batch_id") > int(through))
         write_and_swap(keep.coalesce(1).unionByName(recent), d,
                        partition_by=["batch_id"])
-        out[d] = dropped
+        out[d] = n_dropped
     return out

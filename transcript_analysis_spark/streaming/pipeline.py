@@ -90,11 +90,7 @@ from transcript_analysis_spark.streaming.sample_store import (
 from transcript_analysis_spark.streaming.perceptron_store import (
     foreach_batch_perceptron, init_weight_store)
 from transcript_analysis_spark.streaming.islands_store import (
-    deliveries_dir_of, foreach_batch_islands)
-
-
-def _islands_deliveries(stores: "PipelineStores") -> str:
-    return deliveries_dir_of(stores.islands_dir)
+    compact_islands_store, foreach_batch_islands)
 from transcript_analysis_spark.streaming.sketch_store import (
     foreach_batch_hll, foreach_batch_sketch)
 
@@ -373,16 +369,25 @@ def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
       itself — so the compaction point is ``watermark - 1``, leaving
       the newest published partition untouched for its potential
       dynamic-partition overwrite.
-    Returns {store dir: rows compacted}."""
+    Returns {store dir: rows compacted} (for the latest-wins islands
+    and deliveries stores, delegated below: rows DROPPED as
+    superseded)."""
     from transcript_analysis_spark.sources.sinks import write_and_swap
 
     through = snapshot_watermark(spark, catalog_root) - 1
     out: dict[str, int] = {}
+    # The islands + deliveries stores are LATEST-WINS (batch_id is
+    # semantic — a later re-delivery supersedes), so the blind
+    # one-stamp collapse below would resurface superseded islands
+    # beside their replacements; they get the upsert-correct
+    # compaction instead (drop superseded generations, stamps intact).
+    if through >= 0 and _try_read(spark, stores.islands_dir) is not None:
+        out.update(compact_islands_store(spark, stores.islands_dir,
+                                         through))
     batch_stores = (stores.pairs_dir, stores.decontam_dir,
                     stores.dsir_scores_dir, stores.kept_dir,
                     stores.cms_dir, stores.hll_dir, stores.assign_dir,
                     stores.pca_dir, stores.sample_dir,
-                    stores.islands_dir, _islands_deliveries(stores),
                     stores.tombstones_dir)
     for d in batch_stores:
         df = _try_read(spark, d)
