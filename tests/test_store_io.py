@@ -1,0 +1,71 @@
+"""Shared store-write discipline: the size-aware partition policy and
+the per-write dynamic-overwrite contract (r8 verdict item 1 — no more
+hard-coded coalesce(1) single-task funnels for unbounded stores)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from transcript_analysis_spark.streaming.store_io import (
+    DEFAULT_ROW_BYTES, TARGET_PARTITION_BYTES, partitions_for,
+    write_batch_partition)
+
+
+def test_partitions_for_small_inputs_stay_one_file():
+    assert partitions_for(0) == 1
+    assert partitions_for(1) == 1
+    # a driver-sized sketch delta (16k rows x 256 B ~ 4 MB) -> 1 file
+    assert partitions_for(16_384) == 1
+
+
+def test_partitions_for_scales_linearly_with_input():
+    rows_per_file = TARGET_PARTITION_BYTES // DEFAULT_ROW_BYTES
+    assert partitions_for(rows_per_file) == 1
+    assert partitions_for(rows_per_file + 1) == 2
+    # a 100 TB-ish store: 1e12 rows x 256 B = 256 TB -> ~2M write
+    # tasks of ~128 MB each, never one task
+    assert partitions_for(10**12) == (10**12 * 256 + (128 << 20) - 1) \
+        // (128 << 20)
+    # 10x the rows -> 10x the partitions (within ceil rounding)
+    a, b = partitions_for(10**9), partitions_for(10**10)
+    assert 9 <= b / a <= 11
+
+
+def test_partitions_for_respects_row_byte_estimate():
+    # islands rows (96 B) pack ~2.7x denser than the 256 B default
+    assert partitions_for(10**9, avg_row_bytes=96) < partitions_for(
+        10**9, avg_row_bytes=256)
+
+
+def test_write_batch_partition_dynamic_overwrite_no_session_mutation(
+        spark, tmp_path):
+    """A batch write must only replace its own partition, and must not
+    leave the session's partitionOverwriteMode altered (the r8 advice
+    race: a concurrent writer restoring 'static' mid-write would
+    truncate a sibling store)."""
+    out = str(tmp_path / "store")
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                            "static")
+    df1 = spark.range(5).select(F.col("id").alias("doc_id"))
+    write_batch_partition(df1, 0, out, size_aware=True)
+    df2 = spark.range(5, 8).select(F.col("id").alias("doc_id"))
+    write_batch_partition(df2, 1, out, size_aware=True)
+    # overwrite batch 0 with fewer rows: batch 1 must survive
+    df3 = spark.range(2).select(F.col("id").alias("doc_id"))
+    write_batch_partition(df3, 0, out, size_aware=True)
+    got = {(r.doc_id, r.batch_id)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(0, 0), (1, 0), (5, 1), (6, 1), (7, 1)}
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static") == before
+
+
+def test_write_batch_partition_small_batch_lands_one_file(spark, tmp_path):
+    out = str(tmp_path / "store")
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    # many input partitions, tiny payload -> the size policy collapses
+    # the write to a single file
+    write_batch_partition(df.repartition(16), 7, out, size_aware=True)
+    part = os.path.join(out, "batch_id=7")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 1

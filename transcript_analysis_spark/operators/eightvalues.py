@@ -315,7 +315,8 @@ def calibration_report(answers: DataFrame) -> DataFrame:
 
     - baseline_lean: mean answer in 'baseline' mode (1..5; 3 =
       neutral) — the model's unprompted position;
-    - probe swing: mean('probe_for') - mean('probe_against') — a
+    - probe swing: mean('probe_for') - mean('probe_against'),
+      computed as one exact rational over the common denominator — a
       steerable model swings strongly positive; a stuck one reads the
       same either way;
     - refusal_rate: share of answers that fell through the parse
@@ -350,13 +351,28 @@ def calibration_report(answers: DataFrame) -> DataFrame:
         return F.when(F.col(n) == 0, F.lit(0.0)).otherwise(
             spark_round_ratio(s, n, 4))
 
+    # The swing is ONE exact rational on the raw sums —
+    # (for_sum/for_n) - (against_sum/against_n) over the common
+    # denominator — rounded once, never a float subtraction of two
+    # already-rounded doubles (representation error near .00005
+    # boundaries could flip the last digit; r8 advice item). An empty
+    # mode contributes its guarded 0.0 mean.
+    swing = (
+        F.when((F.col("for_n") == 0) & (F.col("against_n") == 0),
+               F.lit(0.0))
+        .when(F.col("for_n") == 0,
+              spark_round_ratio("-against_sum", "against_n", 4))
+        .when(F.col("against_n") == 0,
+              spark_round_ratio("for_sum", "for_n", 4))
+        .otherwise(spark_round_ratio(
+            "for_sum * against_n - against_sum * for_n",
+            "for_n * against_n", 4)))
+
     return per.select(
         "model", "n_answers", "n_refused",
         safe_mean("base_sum", "base_n").alias("baseline_lean"),
         safe_mean("for_sum", "for_n").alias("mean_for"),
         safe_mean("against_sum", "against_n").alias("mean_against"),
-        F.round(safe_mean("for_sum", "for_n")
-                - safe_mean("against_sum", "against_n"), 4)
-         .alias("probe_swing"),
+        swing.alias("probe_swing"),
         spark_round_ratio("n_refused", "n_answers", 4)
          .alias("refusal_rate"))

@@ -40,6 +40,7 @@ from transcript_analysis_spark.functions.rounding import (duck_round_ratio,
                                                           spark_round_ratio)
 from transcript_analysis_spark.plans.data_pipeline import _t
 from transcript_analysis_spark.plans.registry import register
+from transcript_analysis_spark.sources.tables import TABLES
 
 
 # --- multi-level rollup --------------------------------------------------
@@ -1186,12 +1187,13 @@ def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "catalog_row_counts",
+    # Built from the SAME sources.tables.TABLES list the Spark side
+    # iterates — one source of truth, so adding a table can never
+    # silently desync the two sides (r8 advice item).
     oracle=" UNION ALL ".join(
         f"SELECT CAST('{t}' AS VARCHAR) AS table_name, "
         f"CAST(COUNT(*) AS BIGINT) AS row_count FROM {t}"
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents",
-                  "embeddings")),
+        for t in TABLES),
     tags=("warehouse", "catalog", "A1"),
 )
 def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

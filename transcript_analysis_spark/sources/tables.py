@@ -107,7 +107,9 @@ def describe_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             md = frag.metadata          # parquet footer
             n_rows += md.num_rows
             n_files += 1
-            n_bytes += os.path.getsize(frag.path)
+            # size via the dataset's OWN filesystem (works for
+            # hdfs/s3 URIs, not just local paths — r8 advice item)
+            n_bytes += ds.filesystem.get_file_info(frag.path).size
         rows.append((
             name,
             len(df.columns),

@@ -38,6 +38,8 @@ from transcript_analysis_spark.plans.scale_ops import (
     bloom_hit_column,
     bloom_words,
 )
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 
 def build_bloom_store(train_docs: DataFrame, bloom_dir: str) -> int:
@@ -72,16 +74,10 @@ def foreach_batch_decontam(batch_df: DataFrame, batch_id: int,
     Safe to replay with the same batch_id."""
     spark = batch_df.sparkSession
     store = spark.read.parquet(bloom_dir)
-    out = (probe_bloom(batch_df, store)
-           .withColumn("batch_id", F.lit(int(batch_id))))
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (out.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(out_dir))
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # One verdict row per doc — unbounded with batch size, so the
+    # write fan-out comes from the shared size policy.
+    write_batch_partition(probe_bloom(batch_df, store), batch_id,
+                          out_dir, size_aware=True, avg_row_bytes=64)
 
 
 def run_decontam_stream(stream_docs: DataFrame, bloom_dir: str,

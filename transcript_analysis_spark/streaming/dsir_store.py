@@ -36,6 +36,8 @@ from transcript_analysis_spark.plans.selection import (
     dsir_score,
     dsir_weight_table,
 )
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 
 def build_weight_store(corpus_docs: DataFrame, weights_dir: str) -> int:
@@ -62,16 +64,11 @@ def foreach_batch_dsir(batch_df: DataFrame, batch_id: int,
     with the same batch_id."""
     spark = batch_df.sparkSession
     store = spark.read.parquet(weights_dir)
-    out = (score_against_store(batch_df, store)
-           .withColumn("batch_id", F.lit(int(batch_id))))
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (out.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(scores_dir))
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # One score row per doc — unbounded with batch size, so the
+    # write fan-out comes from the shared size policy.
+    write_batch_partition(score_against_store(batch_df, store),
+                          batch_id, scores_dir, size_aware=True,
+                          avg_row_bytes=96)
 
 
 def run_dsir_stream(stream_docs: DataFrame, weights_dir: str,

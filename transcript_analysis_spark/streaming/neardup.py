@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.utils import AnalysisException
 
 from transcript_analysis_spark.plans.data_pipeline import minhash_band_keys
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 
 def _try_read(spark, path: str) -> DataFrame | None:
@@ -87,20 +89,11 @@ def foreach_batch_neardup(batch_df: DataFrame, batch_id: int,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b")))
     pairs = selfp if pairs is None else pairs.unionByName(selfp)
-    out = (pairs.distinct()
-           .withColumn("batch_id", F.lit(int(batch_id))))
-    # dynamic overwrite of THIS batch's partition -> replay-idempotent.
-    # Scope the dynamic mode to this write and restore the session
-    # value: leaking it would silently turn every later static
-    # partitioned overwrite in the session into a partial one.
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (out.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(pairs_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite of THIS batch's partition -> replay-idempotent;
+    # size-aware fan-out (pair volume is data-dependent — near-zero on
+    # clean batches, huge on duplicate-heavy ones).
+    write_batch_partition(pairs.distinct(), batch_id, pairs_dir,
+                          size_aware=True, avg_row_bytes=64)
     # band append is anti-join-guarded, so a replay (or a crash-retry
     # after a partial append) adds only the missing docs' bands. The
     # guard checks the FULL store (not the arrival-time view): a doc

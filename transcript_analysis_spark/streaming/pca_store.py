@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.sketches import (KM_DIM, KM_SCALE,
                                                       PI_DIR_SCALE, PI_T)
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 # store row conventions: (i=-1, j=-1) -> vector count;
 # (i, j=-1) -> colsum_i; (i, j >= i) -> sum(v_i * v_j) upper triangle
@@ -67,17 +69,10 @@ def foreach_batch_pca(batch_df: DataFrame, batch_id: int,
                       store_dir: str) -> None:
     """Fold one micro-batch of (vec_id, embedding) rows into its
     moment-delta partition. Safe to replay with the same batch_id."""
-    spark = batch_df.sparkSession
-    delta = batch_moments(batch_df).withColumn(
-        "batch_id", F.lit(int(batch_id)))
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (delta.coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-         .parquet(store_dir))
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Delta bounded at <= 2145 moment rows regardless of batch size —
+    # coalesce(1) is the right size policy.
+    write_batch_partition(batch_moments(batch_df), batch_id, store_dir,
+                          coalesce=1)
 
 
 def read_moments(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -93,6 +93,8 @@ from transcript_analysis_spark.streaming.islands_store import (
     compact_islands_store, foreach_batch_islands)
 from transcript_analysis_spark.streaming.sketch_store import (
     foreach_batch_hll, foreach_batch_sketch)
+from transcript_analysis_spark.streaming.store_io import (
+    partitions_for, write_batch_partition)
 
 DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
@@ -140,22 +142,6 @@ def init_pipeline_stores(spark: SparkSession, stores: PipelineStores,
                                                 stores.perceptron_root),
         "ivf_centroids": build_centroid_store(emb, stores.centroid_dir),
     }
-
-
-def _write_batch_partition(df: DataFrame, batch_id: int, out_dir: str,
-                           coalesce: int | None = None) -> None:
-    spark = df.sparkSession
-    out = df.withColumn("batch_id", F.lit(int(batch_id)))
-    if coalesce:
-        out = out.coalesce(coalesce)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (out.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(out_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def gate_neardup(batch_docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -231,8 +217,9 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
         new_tombs = (prior_kept.select("doc_id").distinct()
                      .join(losers, "doc_id", "left_semi")
                      .join(elsewhere, "doc_id", "left_anti"))
-        _write_batch_partition(new_tombs, batch_id,
-                               stores.tombstones_dir, coalesce=1)
+        write_batch_partition(new_tombs, batch_id,
+                              stores.tombstones_dir, size_aware=True,
+                              avg_row_bytes=48)
 
     # 2. decontam: verdicts for the survivors + gate
     bloom = spark.read.parquet(stores.bloom_dir)
@@ -247,8 +234,11 @@ def foreach_batch_corpus_pipeline(batch_df: DataFrame, batch_id: int,
     kept = gate_dsir(kept, weights).localCheckpoint(eager=True)
 
     # 4. the kept-set — the pipeline's product
-    _write_batch_partition(kept.select("doc_id"), batch_id,
-                           stores.kept_dir, coalesce=1)
+    # kept is already checkpointed above, so the size-aware count is
+    # a cheap pass over pinned partitions.
+    write_batch_partition(kept.select("doc_id"), batch_id,
+                          stores.kept_dir, size_aware=True,
+                          avg_row_bytes=48)
 
     # 9. holdout sample delta over the same kept docs (bottom-k;
     # ordered here with the other kept-subset stores — it needs only
@@ -349,12 +339,17 @@ def read_store_consistent(spark: SparkSession, store_dir: str,
 
 def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
                             catalog_root: str,
-                            coalesce: int = 1) -> dict[str, int]:
+                            coalesce: int | None = None) -> dict[str, int]:
     """Routine maintenance for the batch_id-partitioned stores: every
     partition at or below the SAFE compaction point is collapsed into
     ONE partition stamped with that point — at 100 TB, thousands of
     per-batch delta partitions bottleneck the scheduler and parquet
-    footer reads long before data volume does.
+    footer reads long before data volume does. With the default
+    ``coalesce=None`` each store's rewrite fan-out comes from the
+    shared size policy (`store_io.partitions_for` on the compacted row
+    count, already in hand) — one file for sketch-sized stores,
+    hundreds of write tasks for a 100 TB kept-set; pass an int to pin
+    it explicitly.
 
     Why this is lossless for every reader and writer:
     - Consistent readers filter ``batch_id <= watermark``; the
@@ -399,7 +394,9 @@ def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
             continue
         collapsed = (old.drop("batch_id")
                      .withColumn("batch_id", F.lit(int(through)))
-                     .coalesce(coalesce))
+                     .coalesce(coalesce
+                               if coalesce is not None
+                               else partitions_for(n)))
         recent = df.filter(F.col("batch_id") > through)
         write_and_swap(collapsed.unionByName(recent), d,
                        partition_by=["batch_id"])

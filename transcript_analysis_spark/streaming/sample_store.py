@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.data_pipeline import spark_char_hash
 from transcript_analysis_spark.plans.scale_ops import SAMPLE_K
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 SAMPLE_COLS = ("doc_id", "lang", "n_chars", "hv")
 
@@ -54,17 +56,10 @@ def foreach_batch_sample(batch_docs: DataFrame, batch_id: int,
                          sample_dir: str, k: int = SAMPLE_K) -> None:
     """Land one micro-batch's bottom-k delta in its own partition.
     Safe to replay with the same batch_id."""
-    spark = batch_docs.sparkSession
-    delta = (batch_sample(batch_docs, k)
-             .withColumn("batch_id", F.lit(int(batch_id))))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (delta.coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-         .parquet(sample_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Delta bounded at <= k rows regardless of batch size —
+    # coalesce(1) is the right size policy.
+    write_batch_partition(batch_sample(batch_docs, k), batch_id,
+                          sample_dir, coalesce=1)
 
 
 def read_sample(spark: SparkSession, sample_dir: str,

@@ -29,23 +29,18 @@ from pyspark.sql import functions as F
 from transcript_analysis_spark.plans.sketches import (cms_cells,
                                                       cms_estimate,
                                                       tokens_with_hash)
+from transcript_analysis_spark.streaming.store_io import (
+    write_batch_partition)
 
 
 def foreach_batch_sketch(batch_df: DataFrame, batch_id: int,
                          cms_dir: str) -> None:
     """Fold one micro-batch of (doc_id, text) documents into its
-    sketch-delta partition. Safe to replay with the same batch_id."""
-    spark = batch_df.sparkSession
-    delta = (cms_cells(tokens_with_hash(batch_df))
-             .withColumn("batch_id", F.lit(int(batch_id))))
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (delta.coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-         .parquet(cms_dir))
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    sketch-delta partition. Safe to replay with the same batch_id.
+    The delta is PROVABLY bounded (<= 16k CMS cells regardless of
+    batch size), so coalesce(1) is the right size policy."""
+    write_batch_partition(cms_cells(tokens_with_hash(batch_df)),
+                          batch_id, cms_dir, coalesce=1)
 
 
 def read_sketch(spark: SparkSession, cms_dir: str) -> DataFrame:
@@ -86,19 +81,11 @@ def run_sketch_stream(stream_docs: DataFrame, cms_dir: str,
 def foreach_batch_hll(batch_df: DataFrame, batch_id: int,
                       hll_dir: str, group_col: str = "event_type",
                       id_col: str = "user_id") -> None:
-    """Fold one micro-batch into its HLL register-delta partition."""
+    """Fold one micro-batch into its HLL register-delta partition
+    (delta bounded by #groups x #registers — coalesce(1) policy)."""
     from transcript_analysis_spark.plans.sketches import hll_registers
-    spark = batch_df.sparkSession
-    delta = (hll_registers(batch_df, group_col, id_col)
-             .withColumn("batch_id", F.lit(int(batch_id))))
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (delta.coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-         .parquet(hll_dir))
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_batch_partition(hll_registers(batch_df, group_col, id_col),
+                          batch_id, hll_dir, coalesce=1)
 
 
 def read_hll_registers(spark: SparkSession, hll_dir: str,
