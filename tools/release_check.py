@@ -1,11 +1,17 @@
-"""One-command release gate — everything the driver exercises, in
-order, with a single PASS/FAIL verdict:
+"""One-command release gate — everything the driver exercises, with a
+single PASS/FAIL verdict:
 
-1. entry smoke: `__spark_entry__.entry()` runs, returns rows, and
+1. bench: headline wall times (bench.py), printed for the record.
+   Runs FIRST, in its own fresh JVM, on a COLD machine — before the
+   187-query oracle sweep loads the box — so the recorded number is
+   the controlled one (the r8 verdict traced the driver-record
+   inflation to session pressure from whatever ran just before the
+   bench, not to plan regressions; the calibration row quantifies
+   residual drift).
+2. entry smoke: `__spark_entry__.entry()` runs, returns rows, and
    queries()/oracle_sql() counts line up;
-2. oracle sweep: every registered query vs its DuckDB oracle at the
+3. oracle sweep: every registered query vs its DuckDB oracle at the
    given scale factor (tools/check_correctness.py);
-3. bench: headline wall times (bench.py), printed for the record;
 4. bench regression gate: each headline query compared against the
    most recent recorded BENCH_r*.json — >25% slower on a query that
    took >=0.5 s fails the gate (the r4->r5 ngram_model_score drift
@@ -83,28 +89,9 @@ def main() -> None:
     env = dict(os.environ, PYTHONPATH=ROOT)
     failures = []
 
-    sys.path.insert(0, ROOT)
-    from transcript_analysis_spark.session import get_spark
-    spark = get_spark("release-check")
-    spark.sparkContext.setLogLevel("ERROR")
-    import __spark_entry__ as e
-    n_rows = e.entry(spark).count()
-    nq, no = len(e.queries()), len(e.oracle_sql())
-    print(f"[1/4] entry smoke: rows={n_rows} queries={nq} oracles={no}")
-    if n_rows <= 0 or no > nq:
-        failures.append("entry smoke")
-    spark.stop()
-
-    print(f"[2/4] oracle sweep at {sf_dir} ...")
-    r = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools/check_correctness.py"),
-         sf_dir], env=env, capture_output=True, text=True)
-    tail = "\n".join(r.stdout.replace("\r", "\n").splitlines()[-3:])
-    print(tail)
-    if r.returncode != 0:
-        failures.append("oracle sweep")
-
-    print("[3/4] bench ...")
+    # bench FIRST: a fresh subprocess JVM on a machine nothing else
+    # has loaded yet — the controlled number (see module docstring).
+    print("[1/4] bench (cold) ...")
     b = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        env=env, capture_output=True, text=True)
     bench_lines = [ln for ln in b.stdout.splitlines()
@@ -112,6 +99,27 @@ def main() -> None:
     print(bench_lines[-1] if bench_lines else "(no bench output)")
     if b.returncode != 0 or not bench_lines:
         failures.append("bench")
+
+    sys.path.insert(0, ROOT)
+    from transcript_analysis_spark.session import get_spark
+    spark = get_spark("release-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+    n_rows = e.entry(spark).count()
+    nq, no = len(e.queries()), len(e.oracle_sql())
+    print(f"[2/4] entry smoke: rows={n_rows} queries={nq} oracles={no}")
+    if n_rows <= 0 or no > nq:
+        failures.append("entry smoke")
+    spark.stop()
+
+    print(f"[3/4] oracle sweep at {sf_dir} ...")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools/check_correctness.py"),
+         sf_dir], env=env, capture_output=True, text=True)
+    tail = "\n".join(r.stdout.replace("\r", "\n").splitlines()[-3:])
+    print(tail)
+    if r.returncode != 0:
+        failures.append("oracle sweep")
 
     print("[4/4] bench regression gate ...")
     prev = latest_recorded_bench()

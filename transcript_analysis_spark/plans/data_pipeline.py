@@ -642,7 +642,6 @@ _DUCK_EMB = """
     SELECT vec_id, label, cosine
     FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
     """,
-    headline=True,
     tags=("similarity", "O3", "F5"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +882,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND n_stop_kinds >= 2                   AS keep
     FROM m
     """,
+    headline=True,
     tags=("text", "quality", "curation"),
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2046,7 +2046,6 @@ def _duck_word_weight_sum() -> str:
            CAST(w_sum > 0 AS INT) AS keep
     FROM m
     """,
-    headline=True,
     tags=("quality", "classifier"),
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
