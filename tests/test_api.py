@@ -290,3 +290,56 @@ def test_island_audit_loop_facade(engine, tmp_path):
            for r in engine.island_tuning().collect()}
     assert tun[(0.5, 6)] >= tun[(0.6, 8)] >= tun[(0.7, 10)] >= tun[(0.8, 12)]
     assert tun[(0.8, 12)] > 0
+
+
+def test_recommend_island_threshold_judged_decision(engine, tmp_path):
+    """The tuning loop's final decision: per-config judged precision
+    from recorded verdicts, exactly one chosen config, and the choice
+    obeys the documented rule (max judged precision among configs
+    covering >= 50% of the widest span; judged beats unjudged;
+    strictest on ties)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "judgments")
+    verdicts = engine.audit_islands().select(
+        "doc_id", "model_id", "start_index",
+        (F.col("average_score") >= 0.5).alias("is_real"))
+    engine.record_island_judgments(verdicts, path)
+
+    rows = engine.recommend_island_threshold(path).collect()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.chosen) == 1
+    chosen = next(r for r in rows if r.chosen)
+
+    # the decision rule, re-derived from the returned table itself
+    def rank_key(r):
+        return (r.coverage >= 0.5, r.n_judged > 0, r.judged_precision,
+                r.threshold, r.min_len)
+    expect = max(rows, key=rank_key)
+    assert (chosen.threshold, chosen.min_len) == \
+        (expect.threshold, expect.min_len)
+
+    # judged counts are consistent: every precision is n_real/n_judged
+    for r in rows:
+        if r.n_judged:
+            assert abs(r.judged_precision - r.n_real / r.n_judged) < 1e-3
+        else:
+            assert r.judged_precision == 0.0
+    # the flagship-config islands contain all 25 judged sample islands
+    assert any(r.n_judged == 25 for r in rows)
+
+
+def test_island_threshold_recommendation_scaffold(engine):
+    """The registered data-only scaffold: one recommended row, always
+    qualifying on coverage, and the pick maximizes mean island score
+    among qualifying configs (strictest on ties)."""
+    rows = engine.query("island_threshold_recommendation").collect()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.recommended) == 1
+    rec = next(r for r in rows if r.recommended)
+    assert rec.coverage >= 0.5
+    best = max((r for r in rows if r.coverage >= 0.5),
+               key=lambda r: (r.mean_score_e6, r.threshold, r.min_len))
+    assert (rec.threshold, rec.min_len) == (best.threshold, best.min_len)
+    # the widest config's coverage is exactly 1
+    assert max(r.coverage for r in rows) == 1.0

@@ -628,6 +628,67 @@ class TranscriptEngine:
                          "sum(case when is_real then 1 else 0 end)",
                          "count(1)", 4).alias("precision")))
 
+    def recommend_island_threshold(self, judgments_path: str) -> DataFrame:
+        """Close the ROADMAP Workstream-2 tuning loop: pick the sweep
+        config that maximizes AUDITED precision at acceptable span
+        coverage (>= 50% of the widest config's span), strictest
+        config on ties. Each recorded judgment — keyed on the island
+        the reviewer actually saw — labels, per config, the config
+        island (same doc, model) whose span contains the judged
+        island's start; per-config precision is the share of those
+        labels that are is_real. Configs nobody has judged rank below
+        any judged config. The data-only scaffold (coverage +
+        score-proxy pick) is the registered, oracle-checked
+        `island_threshold_recommendation`; this facade swaps the proxy
+        for judged reality, which is not SQL-derivable (it depends on
+        the judgment store's upsert history)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.functions.rounding import (
+            spark_round_ratio)
+        from transcript_analysis_spark.plans.domain import (
+            ISLAND_COVERAGE_FLOOR_E6, sweep_config_islands)
+
+        j = (self.spark.read.parquet(judgments_path)
+             .select("doc_id", "model_id",
+                     F.col("start_index").alias("j_start"), "is_real"))
+        per_config = []
+        for t, m, found in sweep_config_islands(self.spark, self.sf_dir):
+            f = found.alias("f")
+            matched = f.join(
+                j.alias("j"),
+                (F.col("f.doc_id") == F.col("j.doc_id"))
+                & (F.col("f.model_id") == F.col("j.model_id"))
+                & (F.col("j.j_start") >= F.col("f.start_index"))
+                & (F.col("j.j_start") <= F.col("f.end_index")))
+            per_config.append(matched.agg(
+                F.count(F.lit(1)).cast("long").alias("n_judged"),
+                F.sum(F.when(F.col("is_real"), 1).otherwise(0))
+                 .cast("long").alias("n_real"),
+            ).select(F.lit(t).alias("threshold"),
+                     F.lit(m).cast("long").alias("min_len"), "*"))
+        judged = per_config[0]
+        for p in per_config[1:]:
+            judged = judged.unionAll(p)
+
+        base = self._q("island_threshold_recommendation").select(
+            "threshold", "min_len", "coverage")
+        full = base.join(judged, ["threshold", "min_len"])
+        qualifies = (F.col("coverage")
+                     >= ISLAND_COVERAGE_FLOOR_E6 / 1_000_000.0)
+        prec = F.when(F.col("n_judged") == 0, F.lit(0.0)).otherwise(
+            spark_round_ratio("n_real", "n_judged", 4))
+        w = Window.orderBy(
+            F.when(qualifies, 1).otherwise(0).desc(),
+            F.when(F.col("n_judged") > 0, 1).otherwise(0).desc(),
+            prec.desc(),
+            F.col("threshold").desc(), F.col("min_len").desc())
+        return full.select(
+            "threshold", "min_len", "coverage", "n_judged", "n_real",
+            prec.alias("judged_precision"),
+            (F.row_number().over(w) == 1).alias("chosen"))
+
     def describe_catalog(self) -> DataFrame:
         """Per-table schema, exact footer row counts, and file layout
         for every catalog table — `inspect_schema.py` parity, answered

@@ -1132,6 +1132,24 @@ def _sweep_config_sql(i: int, t: float, m: int) -> str:
     )"""
 
 
+def sweep_config_islands(spark: SparkSession, sf_dir: str
+                         ) -> list[tuple[float, int, DataFrame]]:
+    """One (threshold, min_len, islands-frame) triple per sweep
+    config, all sharing a single pinned smoothing pass — the common
+    scaffold of `island_param_sensitivity` (per-config aggregates)
+    and the judgments-aware facade `recommend_island_threshold`
+    (per-config judged precision). See `island_param_sensitivity`'s
+    docstring for why the shared frame is checkpointed."""
+    scored = isl.smooth_scores(_scored_documents(spark, sf_dir),
+                               score_col="raw", out_col="smoothed") \
+        .localCheckpoint(eager=True)
+    return [(t, m, isl.find_islands(scored, keys=["doc_id", "model_id"],
+                                    score_col="raw",
+                                    smoothed_col="smoothed",
+                                    threshold=t, min_island_length=m))
+            for t, m in ISLAND_SWEEP_CONFIGS]
+
+
 def _register_island_sweep() -> None:
     parts = [f"WITH {_TOK_CTE},\n{_RAW_CTE},\n{_norm_ctes(materialized=True)}"]
     for i, (t, m) in enumerate(ISLAND_SWEEP_CONFIGS):
@@ -1161,22 +1179,16 @@ def _register_island_sweep() -> None:
         driver-sized decision table. At 100 TB the sweep costs one
         smoothing scan + |configs| grouped aggregates, not |configs|
         corpus re-scores."""
-        # Pin the shared smoothing output once: without it each of the
-        # |configs| union branches re-derives the whole smoothing
+        # Per-config island frames share ONE pinned smoothing pass
+        # (sweep_config_islands): without the localCheckpoint each of
+        # the |configs| union branches re-derives the whole smoothing
         # subtree (exchange reuse across union branches is not
         # guaranteed). One materialized corpus-sized intermediate read
         # |configs| times beats |configs| full smoothing scans — the
         # literal "one smoothing pass shared" the sweep promises
         # (measured −21% at sf0.1).
-        scored = isl.smooth_scores(_scored_documents(spark, sf_dir),
-                                   score_col="raw", out_col="smoothed") \
-            .localCheckpoint(eager=True)
         outs = []
-        for t, m in ISLAND_SWEEP_CONFIGS:
-            found = isl.find_islands(scored, keys=["doc_id", "model_id"],
-                                     score_col="raw",
-                                     smoothed_col="smoothed",
-                                     threshold=t, min_island_length=m)
+        for t, m, found in sweep_config_islands(spark, sf_dir):
             n = F.count(F.lit(1))
             span = F.sum(F.col("end_index") - F.col("start_index") + 1)
             outs.append(found.agg(
@@ -1200,6 +1212,99 @@ def _register_island_sweep() -> None:
 
 
 _register_island_sweep()
+
+# Coverage floor for the data-only recommendation rule: a config must
+# keep >= 50% of the widest config's island span to be eligible
+# (quantized to e6 so the comparison runs in exact integers).
+ISLAND_COVERAGE_FLOOR_E6 = 500_000
+
+
+def _register_island_recommendation() -> None:
+    from transcript_analysis_spark.functions.rounding import (
+        duck_round_ratio_wide_q, spark_round_ratio_wide_q)
+    from transcript_analysis_spark.plans.registry import _REGISTRY
+
+    inner = _REGISTRY["island_param_sensitivity"].oracle
+    covq = duck_round_ratio_wide_q("total_span", "max_span", 6)
+    meanq = duck_round_ratio_wide_q("score_e6_sum", "n_islands", 0)
+
+    @register(
+        "island_threshold_recommendation",
+        oracle=f"""
+        WITH sweep AS MATERIALIZED ({inner}),
+        ext AS (
+          SELECT *, MAX(total_span) OVER () AS max_span FROM sweep
+        ),
+        annotated AS (
+          SELECT threshold, min_len, n_islands, n_docs, total_span,
+                 avg_len, score_e6_sum,
+                 CASE WHEN max_span = 0 THEN CAST(0 AS BIGINT)
+                      ELSE {covq} END AS coverage_e6,
+                 CASE WHEN n_islands = 0 THEN CAST(0 AS BIGINT)
+                      ELSE {meanq} END AS mean_score_e6
+          FROM ext
+        )
+        SELECT threshold, min_len, n_islands, n_docs, total_span,
+               avg_len, score_e6_sum,
+               CAST(coverage_e6 AS DOUBLE) / 1000000 AS coverage,
+               mean_score_e6,
+               (ROW_NUMBER() OVER (
+                  ORDER BY CASE WHEN coverage_e6 >= {ISLAND_COVERAGE_FLOOR_E6}
+                                THEN 1 ELSE 0 END DESC,
+                           mean_score_e6 DESC, threshold DESC,
+                           min_len DESC) = 1) AS recommended
+        FROM annotated
+        """,
+        tags=("islands", "tuning", "decision"),
+    )
+    def island_threshold_recommendation(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+        """The decision the reference ROADMAP's Workstream 2 tuning
+        loop exists to make ("tune smoothing window / min length /
+        score threshold", ROADMAP.md:34-39,66): annotate every sweep
+        config with its span coverage relative to the widest config
+        and its mean island score (the engine's own confidence proxy),
+        then flag exactly ONE row recommended — the highest-mean-score
+        config among those keeping >= 50% of the widest span,
+        strictest config on ties. All comparisons run on exact e6-
+        quantized integers, so the pick is engine-deterministic.
+
+        With human judgments recorded (api.record_island_judgments),
+        `api.recommend_island_threshold` swaps the score proxy for
+        JUDGED precision per config — this registered query is the
+        oracle-checkable scaffold it decorates. Plan shape: the sweep
+        (one shared smoothing pass, |configs| aggregates) + window
+        functions over a |configs|-row frame — driver-sized."""
+        from pyspark.sql import Window
+
+        sweep = _REGISTRY["island_param_sensitivity"].fn(spark, sf_dir)
+        ext = sweep.withColumn(
+            "max_span", F.max("total_span").over(Window.partitionBy()))
+        cov = F.when(F.col("max_span") == 0, F.lit(0).cast("long")) \
+            .otherwise(spark_round_ratio_wide_q("total_span",
+                                                "max_span", 6))
+        mean = F.when(F.col("n_islands") == 0, F.lit(0).cast("long")) \
+            .otherwise(spark_round_ratio_wide_q("score_e6_sum",
+                                                "n_islands", 0))
+        annotated = ext.select(
+            "threshold", "min_len", "n_islands", "n_docs", "total_span",
+            "avg_len", "score_e6_sum", cov.alias("coverage_e6"),
+            mean.alias("mean_score_e6"))
+        w = Window.orderBy(
+            F.when(F.col("coverage_e6") >= ISLAND_COVERAGE_FLOOR_E6, 1)
+             .otherwise(0).desc(),
+            F.col("mean_score_e6").desc(),
+            F.col("threshold").desc(), F.col("min_len").desc())
+        return annotated.select(
+            "threshold", "min_len", "n_islands", "n_docs", "total_span",
+            "avg_len", "score_e6_sum",
+            (F.col("coverage_e6").cast("double") / F.lit(1_000_000.0))
+            .alias("coverage"),
+            "mean_score_e6",
+            (F.row_number().over(w) == 1).alias("recommended"))
+
+
+_register_island_recommendation()
 
 
 @register(
