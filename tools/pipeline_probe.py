@@ -11,7 +11,11 @@ headline equivalences at that scale:
   2. the merged holdout sample == one batch bottom-k pass over the
      kept union;
   3. streamed islands == the registered flagship over the full corpus
-     (the tenth store, new r8, exercised at 100x its test scale).
+     (the tenth store, new r8, exercised at 100x its test scale);
+  4. (new r9) latest-wins re-score: a doc subset re-delivered with
+     REVISED text in a later, out-of-order batch — the latest view
+     must equal the flagship over the FINAL texts, before and after
+     the upsert-correct compaction.
 
 Usage: PYTHONPATH=/root/repo python tools/pipeline_probe.py \
            [sf_dir] [n_batches]
@@ -117,6 +121,38 @@ def main() -> int:
         compaction_ok = after == cons
         verify_s = round(time.monotonic() - t0, 3)
 
+        # equivalence 4 (new r9): latest-wins re-score under
+        # out-of-order delivery — re-deliver ~1/13 of the corpus with
+        # REVISED text in a later batch, assert the latest view equals
+        # the flagship over the final texts, then compact the islands
+        # store and re-assert (the upsert-correct compaction must drop
+        # the superseded generations and nothing else).
+        from transcript_analysis_spark.streaming.islands_store import (
+            compact_islands_store, foreach_batch_islands,
+            read_islands_latest)
+        t0 = time.monotonic()
+        revised = (docs.filter(F.col("doc_id") % 13 == 5)
+                   .select("doc_id",
+                           F.concat(F.col("text"),
+                                    F.lit(" probe revision tail"))
+                           .alias("text")))
+        foreach_batch_islands(revised, n_batches, stores.islands_dir)
+        final_texts = (docs.select("doc_id", "text")
+                       .join(revised.select("doc_id"), "doc_id",
+                             "left_anti")
+                       .unionByName(revised))
+        want = sorted(map(tuple,
+                          islands_from_docs(final_texts).collect()))
+        got = sorted(map(tuple, read_islands_latest(
+            spark, stores.islands_dir).collect()))
+        rescore_ok = got == want and len(want) > 0
+        dropped = compact_islands_store(spark, stores.islands_dir,
+                                        through=n_batches)
+        got2 = sorted(map(tuple, read_islands_latest(
+            spark, stores.islands_dir).collect()))
+        rescore_compact_ok = got2 == want
+        rescore_s = round(time.monotonic() - t0, 3)
+
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "n_batches": n_batches,
            "init_sec": init_s, "batch_secs": batch_secs,
            "total_stream_sec": round(sum(batch_secs), 3),
@@ -126,10 +162,15 @@ def main() -> int:
            "islands_equal_flagship": islands_ok,
            "n_islands": len(stream_i),
            "consistent_equals_final": consistent_ok,
-           "compaction_lossless": compaction_ok}
+           "compaction_lossless": compaction_ok,
+           "rescore_sec": rescore_s,
+           "rescore_latest_equals_flagship": rescore_ok,
+           "rescore_compaction_lossless": rescore_compact_ok,
+           "rescore_rows_dropped": sum(dropped.values())}
     print(json.dumps(out))
     return 0 if (kept_ok and sample_ok and islands_ok and consistent_ok
-                 and compaction_ok) else 1
+                 and compaction_ok and rescore_ok
+                 and rescore_compact_ok) else 1
 
 
 if __name__ == "__main__":

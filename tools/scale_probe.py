@@ -76,6 +76,13 @@ CHECK_FAMILY = [
     "survey_question_agreement",
     "eightvalues_compass_by_nation",
     "gopher_quality_flags",
+    # r9: the islands tier (r8 verdict item 5) — the sweep's
+    # score_e6_sum quantizes 1e6-scaled score sums over every island
+    # (corpus-growth regime), and the histogram stresses the span
+    # arithmetic; both compose the full tokenize->smooth->islands
+    # oracle at scale
+    "island_param_sensitivity",
+    "island_length_histogram",
 ]
 
 
