@@ -418,7 +418,26 @@ def test_island_audit_sample_take_ordered_not_global_sort(spark):
 def test_island_param_sensitivity_no_cartesian_no_python(spark):
     """The config sweep is unioned aggregates over the shared smoothed
     frame — no cartesian blowup, no Python eval; every join is the
-    flagship's own equi/broadcast shapes (r8)."""
+    flagship's own equi/broadcast shapes (r8). Since r9 the shared
+    smoothing pass is PINNED (localCheckpoint): every union branch
+    must scan the checkpointed RDD, not re-derive the smoothing
+    subtree (no parquet scan may survive into the sweep plan)."""
     plan = plan_of(_q(spark, "island_param_sensitivity"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "FileScan parquet" not in plan, plan
+
+
+def test_island_threshold_recommendation_driver_sized_tail(spark):
+    """The recommendation adds only window math over the |configs|-row
+    sweep output: same checkpoint-backed scan discipline, no cartesian
+    product, no Python eval, and no extra parquet scan beyond the
+    pinned sweep (r9)."""
+    plan = plan_of(_q(spark, "island_threshold_recommendation"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FileScan parquet" not in plan, plan
+    # the decision is one row_number over the tiny frame — a Window
+    # node must be present (the rule runs in the plan, not the driver)
+    assert "Window" in plan, plan

@@ -47,15 +47,13 @@ def replace_partitions(df: DataFrame, path: str,
     present in `df`, leave all others untouched (dynamic partition
     overwrite). This is the reference's per-(vid,model) score replace
     at file granularity."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if sort_by:
-            df = df.sortWithinPartitions(*sort_by)
-        (df.write.mode("overwrite").partitionBy(*partition_by).parquet(path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write dynamic mode (never a session-conf mutation — a
+    # concurrent writer racing the restore could truncate the table)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_by).parquet(path))
 
 
 def upsert_by_key(df: DataFrame, path: str, keys: list[str],

@@ -426,16 +426,11 @@ def foreach_batch_enrich(batch_df: DataFrame, batch_id: int,
     this module."""
     spark = batch_df.sparkSession
     dim = spark.read.parquet(dim_dir)
-    out = (batch_df.join(F.broadcast(dim), dim_key, "left")
-           .withColumn("batch_id", F.lit(int(batch_id))))
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (out.write.mode("overwrite").partitionBy("batch_id")
-         .parquet(out_dir))
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    from transcript_analysis_spark.streaming.store_io import (
+        write_batch_partition)
+    write_batch_partition(batch_df.join(F.broadcast(dim), dim_key,
+                                        "left"),
+                          batch_id, out_dir, size_aware=True)
 
 
 def run_enriched_stream(stream_df: DataFrame, dim_dir: str,
