@@ -430,14 +430,15 @@ def test_island_param_sensitivity_no_cartesian_no_python(spark):
 
 
 def test_island_threshold_recommendation_driver_sized_tail(spark):
-    """The recommendation adds only window math over the |configs|-row
-    sweep output: same checkpoint-backed scan discipline, no cartesian
-    product, no Python eval, and no extra parquet scan beyond the
-    pinned sweep (r9)."""
+    """The recommendation adds only broadcast agg-max compares over
+    the |configs|-row sweep output (the repo's no-unpartitioned-window
+    discipline — the global pick is agg + broadcast crossJoin, never a
+    bare ordered window): same checkpoint-backed scan discipline, no
+    cartesian product, no Python eval, no extra parquet scan beyond
+    the pinned sweep (r9)."""
     plan = plan_of(_q(spark, "island_threshold_recommendation"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "FileScan parquet" not in plan, plan
-    # the decision is one row_number over the tiny frame — a Window
-    # node must be present (the rule runs in the plan, not the driver)
-    assert "Window" in plan, plan
+    # both single-row compare frames must come in as broadcasts
+    assert "BroadcastNestedLoopJoin" in plan, plan

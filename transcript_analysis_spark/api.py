@@ -642,7 +642,6 @@ class TranscriptEngine:
         `island_threshold_recommendation`; this facade swaps the proxy
         for judged reality, which is not SQL-derivable (it depends on
         the judgment store's upsert history)."""
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from transcript_analysis_spark.functions.rounding import (
@@ -679,15 +678,20 @@ class TranscriptEngine:
                      >= ISLAND_COVERAGE_FLOOR_E6 / 1_000_000.0)
         prec = F.when(F.col("n_judged") == 0, F.lit(0.0)).otherwise(
             spark_round_ratio("n_real", "n_judged", 4))
-        w = Window.orderBy(
-            F.when(qualifies, 1).otherwise(0).desc(),
-            F.when(F.col("n_judged") > 0, 1).otherwise(0).desc(),
-            prec.desc(),
-            F.col("threshold").desc(), F.col("min_len").desc())
-        return full.select(
+        # the pick as a broadcast agg-max compare (the repo's
+        # no-unpartitioned-window discipline; keys distinct via
+        # threshold, so exactly one row matches)
+        rank_key = F.struct(
+            F.when(qualifies, 1).otherwise(0).alias("q"),
+            F.when(F.col("n_judged") > 0, 1).otherwise(0).alias("j"),
+            prec.alias("p"),
+            F.col("threshold").alias("t"),
+            F.col("min_len").alias("l"))
+        best = full.agg(F.max(rank_key).alias("best_key"))
+        return full.crossJoin(F.broadcast(best)).select(
             "threshold", "min_len", "coverage", "n_judged", "n_real",
             prec.alias("judged_precision"),
-            (F.row_number().over(w) == 1).alias("chosen"))
+            (rank_key == F.col("best_key")).alias("chosen"))
 
     def describe_catalog(self) -> DataFrame:
         """Per-table schema, exact footer row counts, and file layout

@@ -1273,13 +1273,15 @@ def _register_island_recommendation() -> None:
         `api.recommend_island_threshold` swaps the score proxy for
         JUDGED precision per config — this registered query is the
         oracle-checkable scaffold it decorates. Plan shape: the sweep
-        (one shared smoothing pass, |configs| aggregates) + window
-        functions over a |configs|-row frame — driver-sized."""
-        from pyspark.sql import Window
-
+        (one shared smoothing pass, |configs| aggregates) + two
+        broadcast single-row aggregates crossed back onto the
+        |configs|-row frame (the repo's no-unpartitioned-window
+        discipline: even a driver-sized global ordering is expressed
+        as agg-max + broadcast compare, never a bare ordered
+        window)."""
         sweep = _REGISTRY["island_param_sensitivity"].fn(spark, sf_dir)
-        ext = sweep.withColumn(
-            "max_span", F.max("total_span").over(Window.partitionBy()))
+        ext = sweep.crossJoin(F.broadcast(
+            sweep.agg(F.max("total_span").alias("max_span"))))
         cov = F.when(F.col("max_span") == 0, F.lit(0).cast("long")) \
             .otherwise(spark_round_ratio_wide_q("total_span",
                                                 "max_span", 6))
@@ -1290,18 +1292,23 @@ def _register_island_recommendation() -> None:
             "threshold", "min_len", "n_islands", "n_docs", "total_span",
             "avg_len", "score_e6_sum", cov.alias("coverage_e6"),
             mean.alias("mean_score_e6"))
-        w = Window.orderBy(
+        # the pick: lexicographic max of (qualifies, mean score,
+        # threshold, min_len) — struct ordering; keys are distinct
+        # (threshold is), so exactly one row matches the max
+        rank_key = F.struct(
             F.when(F.col("coverage_e6") >= ISLAND_COVERAGE_FLOOR_E6, 1)
-             .otherwise(0).desc(),
-            F.col("mean_score_e6").desc(),
-            F.col("threshold").desc(), F.col("min_len").desc())
-        return annotated.select(
+             .otherwise(0).alias("q"),
+            F.col("mean_score_e6").alias("m"),
+            F.col("threshold").alias("t"),
+            F.col("min_len").alias("l"))
+        best = annotated.agg(F.max(rank_key).alias("best_key"))
+        return (annotated.crossJoin(F.broadcast(best)).select(
             "threshold", "min_len", "n_islands", "n_docs", "total_span",
             "avg_len", "score_e6_sum",
             (F.col("coverage_e6").cast("double") / F.lit(1_000_000.0))
             .alias("coverage"),
             "mean_score_e6",
-            (F.row_number().over(w) == 1).alias("recommended"))
+            (rank_key == F.col("best_key")).alias("recommended")))
 
 
 _register_island_recommendation()

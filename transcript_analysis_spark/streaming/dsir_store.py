@@ -29,7 +29,7 @@ semantics; refit the store when OOV mass grows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from transcript_analysis_spark.plans.selection import (
     doc_word_counts,
