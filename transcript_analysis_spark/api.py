@@ -647,13 +647,20 @@ class TranscriptEngine:
         from transcript_analysis_spark.functions.rounding import (
             spark_round_ratio)
         from transcript_analysis_spark.plans.domain import (
-            ISLAND_COVERAGE_FLOOR_E6, sweep_config_islands)
+            ISLAND_COVERAGE_FLOOR_E6, recommendation_from_sweep,
+            sweep_config_islands, sweep_table_from_triples)
 
         j = (self.spark.read.parquet(judgments_path)
              .select("doc_id", "model_id",
                      F.col("start_index").alias("j_start"), "is_real"))
+        # ONE smoothing pass serves everything below: the triples'
+        # shared checkpoint feeds the judgment matching AND (via
+        # sweep_table/recommendation) the coverage annotation —
+        # calling the registered recommendation query here instead
+        # would re-derive the corpus scan a second (and third) time.
+        triples = sweep_config_islands(self.spark, self.sf_dir)
         per_config = []
-        for t, m, found in sweep_config_islands(self.spark, self.sf_dir):
+        for t, m, found in triples:
             f = found.alias("f")
             matched = f.join(
                 j.alias("j"),
@@ -671,7 +678,8 @@ class TranscriptEngine:
         for p in per_config[1:]:
             judged = judged.unionAll(p)
 
-        base = self._q("island_threshold_recommendation").select(
+        base = recommendation_from_sweep(
+            sweep_table_from_triples(triples)).select(
             "threshold", "min_len", "coverage")
         full = base.join(judged, ["threshold", "min_len"])
         qualifies = (F.col("coverage")

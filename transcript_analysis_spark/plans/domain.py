@@ -1150,6 +1150,37 @@ def sweep_config_islands(spark: SparkSession, sf_dir: str
             for t, m in ISLAND_SWEEP_CONFIGS]
 
 
+def sweep_table_from_triples(
+        triples: list[tuple[float, int, DataFrame]]) -> DataFrame:
+    """The |configs|-row sensitivity table from pre-built config
+    triples — factored out so `recommend_island_threshold` can reuse
+    the SAME triples (hence the same single smoothing pass) for both
+    the sweep aggregates and the judgment matching, instead of
+    re-deriving the corpus scan per consumer."""
+    outs = []
+    for t, m, found in triples:
+        n = F.count(F.lit(1))
+        span = F.sum(F.col("end_index") - F.col("start_index") + 1)
+        outs.append(found.agg(
+            n.cast("long").alias("n_islands"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.coalesce(span, F.lit(0)).cast("long").alias("total_span"),
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                spark_round_ratio(
+                    "sum(end_index - start_index + 1)",
+                    "count(1)", 4)).alias("avg_len"),
+            F.coalesce(
+                F.sum(F.expr("cast(round(average_score * 1000000) "
+                             "as bigint)")),
+                F.lit(0)).cast("long").alias("score_e6_sum"),
+        ).select(F.lit(t).alias("threshold"),
+                 F.lit(m).cast("long").alias("min_len"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def _register_island_sweep() -> None:
     parts = [f"WITH {_TOK_CTE},\n{_RAW_CTE},\n{_norm_ctes(materialized=True)}"]
     for i, (t, m) in enumerate(ISLAND_SWEEP_CONFIGS):
@@ -1187,28 +1218,8 @@ def _register_island_sweep() -> None:
         # |configs| times beats |configs| full smoothing scans — the
         # literal "one smoothing pass shared" the sweep promises
         # (measured −21% at sf0.1).
-        outs = []
-        for t, m, found in sweep_config_islands(spark, sf_dir):
-            n = F.count(F.lit(1))
-            span = F.sum(F.col("end_index") - F.col("start_index") + 1)
-            outs.append(found.agg(
-                n.cast("long").alias("n_islands"),
-                F.countDistinct("doc_id").cast("long").alias("n_docs"),
-                F.coalesce(span, F.lit(0)).cast("long").alias("total_span"),
-                F.when(n == 0, F.lit(0.0)).otherwise(
-                    spark_round_ratio(
-                        "sum(end_index - start_index + 1)",
-                        "count(1)", 4)).alias("avg_len"),
-                F.coalesce(
-                    F.sum(F.expr("cast(round(average_score * 1000000) "
-                                 "as bigint)")),
-                    F.lit(0)).cast("long").alias("score_e6_sum"),
-            ).select(F.lit(t).alias("threshold"),
-                     F.lit(m).cast("long").alias("min_len"), "*"))
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionAll(o)
-        return out
+        return sweep_table_from_triples(
+            sweep_config_islands(spark, sf_dir))
 
 
 _register_island_sweep()
@@ -1219,9 +1230,50 @@ _register_island_sweep()
 ISLAND_COVERAGE_FLOOR_E6 = 500_000
 
 
+def recommendation_from_sweep(sweep: DataFrame) -> DataFrame:
+    """Annotate a sweep table with coverage/mean-score and flag the
+    recommended row — factored out so `recommend_island_threshold`
+    can apply it to a sweep built from ALREADY-materialized config
+    triples (one smoothing pass serving the sweep aggregates, the
+    coverage annotation, AND the judgment matching) instead of
+    re-running the corpus scan through the registered query."""
+    from transcript_analysis_spark.functions.rounding import (
+        spark_round_ratio_wide_q)
+
+    ext = sweep.crossJoin(F.broadcast(
+        sweep.agg(F.max("total_span").alias("max_span"))))
+    cov = F.when(F.col("max_span") == 0, F.lit(0).cast("long")) \
+        .otherwise(spark_round_ratio_wide_q("total_span",
+                                            "max_span", 6))
+    mean = F.when(F.col("n_islands") == 0, F.lit(0).cast("long")) \
+        .otherwise(spark_round_ratio_wide_q("score_e6_sum",
+                                            "n_islands", 0))
+    annotated = ext.select(
+        "threshold", "min_len", "n_islands", "n_docs", "total_span",
+        "avg_len", "score_e6_sum", cov.alias("coverage_e6"),
+        mean.alias("mean_score_e6"))
+    # the pick: lexicographic max of (qualifies, mean score,
+    # threshold, min_len) — struct ordering; keys are distinct
+    # (threshold is), so exactly one row matches the max
+    rank_key = F.struct(
+        F.when(F.col("coverage_e6") >= ISLAND_COVERAGE_FLOOR_E6, 1)
+         .otherwise(0).alias("q"),
+        F.col("mean_score_e6").alias("m"),
+        F.col("threshold").alias("t"),
+        F.col("min_len").alias("l"))
+    best = annotated.agg(F.max(rank_key).alias("best_key"))
+    return (annotated.crossJoin(F.broadcast(best)).select(
+        "threshold", "min_len", "n_islands", "n_docs", "total_span",
+        "avg_len", "score_e6_sum",
+        (F.col("coverage_e6").cast("double") / F.lit(1_000_000.0))
+        .alias("coverage"),
+        "mean_score_e6",
+        (rank_key == F.col("best_key")).alias("recommended")))
+
+
 def _register_island_recommendation() -> None:
     from transcript_analysis_spark.functions.rounding import (
-        duck_round_ratio_wide_q, spark_round_ratio_wide_q)
+        duck_round_ratio_wide_q)
     from transcript_analysis_spark.plans.registry import _REGISTRY
 
     inner = _REGISTRY["island_param_sensitivity"].oracle
@@ -1279,36 +1331,8 @@ def _register_island_recommendation() -> None:
         discipline: even a driver-sized global ordering is expressed
         as agg-max + broadcast compare, never a bare ordered
         window)."""
-        sweep = _REGISTRY["island_param_sensitivity"].fn(spark, sf_dir)
-        ext = sweep.crossJoin(F.broadcast(
-            sweep.agg(F.max("total_span").alias("max_span"))))
-        cov = F.when(F.col("max_span") == 0, F.lit(0).cast("long")) \
-            .otherwise(spark_round_ratio_wide_q("total_span",
-                                                "max_span", 6))
-        mean = F.when(F.col("n_islands") == 0, F.lit(0).cast("long")) \
-            .otherwise(spark_round_ratio_wide_q("score_e6_sum",
-                                                "n_islands", 0))
-        annotated = ext.select(
-            "threshold", "min_len", "n_islands", "n_docs", "total_span",
-            "avg_len", "score_e6_sum", cov.alias("coverage_e6"),
-            mean.alias("mean_score_e6"))
-        # the pick: lexicographic max of (qualifies, mean score,
-        # threshold, min_len) — struct ordering; keys are distinct
-        # (threshold is), so exactly one row matches the max
-        rank_key = F.struct(
-            F.when(F.col("coverage_e6") >= ISLAND_COVERAGE_FLOOR_E6, 1)
-             .otherwise(0).alias("q"),
-            F.col("mean_score_e6").alias("m"),
-            F.col("threshold").alias("t"),
-            F.col("min_len").alias("l"))
-        best = annotated.agg(F.max(rank_key).alias("best_key"))
-        return (annotated.crossJoin(F.broadcast(best)).select(
-            "threshold", "min_len", "n_islands", "n_docs", "total_span",
-            "avg_len", "score_e6_sum",
-            (F.col("coverage_e6").cast("double") / F.lit(1_000_000.0))
-            .alias("coverage"),
-            "mean_score_e6",
-            (rank_key == F.col("best_key")).alias("recommended")))
+        return recommendation_from_sweep(
+            _REGISTRY["island_param_sensitivity"].fn(spark, sf_dir))
 
 
 _register_island_recommendation()
