@@ -179,3 +179,59 @@ def test_min_length_boundary(spark):
                              score_col="score", smoothed_col="smoothed")
     rows = [(r.start_index, r.end_index) for r in found.collect()]
     assert rows == [(5, 13)]
+
+
+# --- twin-implementation equivalence ------------------------------------
+
+@pytest.mark.parametrize("threshold,min_len,above",
+                         [(0.6, 8, True), (0.45, 3, True), (0.8, 12, True),
+                          (0.6, 8, False)])
+def test_array_domain_equals_window_twin(spark, threshold, min_len, above):
+    """`find_islands` (zero-shuffle array-domain) must be row-for-row
+    AND bit-for-bit equal to `find_islands_window` (the classic
+    explode->window->groupBy restatement) — two independent
+    implementations of the reference segmentation, one contract.
+    Covers runs at both array edges, adjacent islands separated by a
+    single gap, all-above / all-below rows, an empty score array, and
+    the flipped below-threshold mode."""
+    arrays = [
+        CRAFTED,
+        [0.9] * 30,                     # one spanning island
+        [0.1] * 30,                     # no candidates at all
+        [0.9] * 10 + [0.1] + [0.9] * 10,  # two runs, one-element gap
+        [0.1] * 5 + [0.9] * 9,          # island touching the end
+        [0.9] * 9 + [0.1] * 5,          # island touching the start
+        [],                             # empty score array
+        [0.7] * 4,                      # run shorter than min length
+        [float("nan")] * 6 + [0.9] * 12 + [float("inf")] * 3,
+    ]
+    rows = [(i, 0, [float(x) for x in arr]) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sm = isl.smooth_scores(df, score_col="score", out_col="smoothed")
+    kw = dict(keys=["vid_id", "model_id"], score_col="score",
+              smoothed_col="smoothed", threshold=threshold,
+              min_island_length=min_len, above_threshold=above)
+    def norm(rows):
+        # NaN == NaN is False, which would mask agreement on the
+        # NaN-raw island; compare via repr (distinguishes nan, -0.0)
+        return sorted(tuple(repr(v) for v in r) for r in rows)
+
+    a = norm(map(tuple, isl.find_islands(sm, **kw).collect()))
+    b = norm(map(tuple, isl.find_islands_window(sm, **kw).collect()))
+    assert a == b
+    assert isl.find_islands(sm, **kw).schema \
+        == isl.find_islands_window(sm, **kw).schema
+
+
+def test_find_islands_plan_is_exchange_free(spark):
+    """The array-domain segmentation must add NO exchange: scores live
+    one array per row, so islands are per-row math — the plan from
+    scan to explode contains neither an Exchange nor a Window/Sort."""
+    rows = [(1, 0, [0.1] * 5 + [0.9] * 15 + [0.1] * 5)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sm = isl.smooth_scores(df, score_col="score", out_col="smoothed")
+    found = isl.find_islands(sm, keys=["vid_id", "model_id"],
+                             score_col="score", smoothed_col="smoothed")
+    plan = found._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan

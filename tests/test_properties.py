@@ -38,7 +38,8 @@ def test_islands_match_numpy_reference(spark, arrays):
     found = isl.find_islands(sm, keys=["vid_id", "model_id"],
                              score_col="score", smoothed_col="smoothed")
     got: dict[int, list] = {}
-    for r in found.collect():
+    rows_array = found.collect()
+    for r in rows_array:
         got.setdefault(r.vid_id, []).append((r.start_index, r.end_index))
     for v in got.values():
         v.sort()
@@ -46,6 +47,14 @@ def test_islands_match_numpy_reference(spark, arrays):
         exp = ref_find_islands(contract_smooth(arr))
         assert got.get(i, []) == exp, (
             f"array {i}: got {got.get(i, [])}, expected {exp}")
+    # same random inputs through the window-restatement twin: all three
+    # implementations (array-domain, window, numpy reference) must agree
+    # — average_score bit-for-bit too (repr distinguishes nan / -0.0)
+    twin = isl.find_islands_window(sm, keys=["vid_id", "model_id"],
+                                   score_col="score",
+                                   smoothed_col="smoothed").collect()
+    norm = lambda rs: sorted(tuple(repr(v) for v in r) for r in rs)  # noqa: E731
+    assert norm(map(tuple, rows_array)) == norm(map(tuple, twin))
 
 
 def contract_smooth(values, size=10, sigma=5):

@@ -83,6 +83,12 @@ CHECK_FAMILY = [
     # oracle at scale
     "island_param_sensitivity",
     "island_length_histogram",
+    # r9 continuation: the decision layer on top of the sweep — its
+    # coverage_e6 ratio (total_span * 10^6 over the widest config's
+    # span) and mean_score_e6 (score_e6_sum over island count) are
+    # exactly the wide-rational regime: both numerators grow with the
+    # corpus and pass through DECIMAL(38,0)/HUGEINT algebra
+    "island_threshold_recommendation",
 ]
 
 

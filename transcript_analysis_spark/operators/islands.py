@@ -121,6 +121,19 @@ def smooth_scores(df: DataFrame,
     return out
 
 
+def _candidates_expr(score_col: str, smoothed_col: str,
+                     threshold: float, above_threshold: bool) -> str:
+    """Ordered array of struct(pos0, raw) for the threshold-passing
+    positions of one row's score arrays — the shared front half of
+    both find_islands implementations."""
+    op = ">=" if above_threshold else "<="
+    return (
+        f"transform(filter(transform({smoothed_col}, (x, i) -> "
+        f"struct(i as pos0, x as sm, element_at({score_col}, i + 1) as raw)),"
+        f" s -> s.sm {op} {threshold!r}D), s -> struct(s.pos0, s.raw))"
+    )
+
+
 def find_islands(df: DataFrame,
                  keys: list[str],
                  score_col: str = "score",
@@ -128,7 +141,8 @@ def find_islands(df: DataFrame,
                  threshold: float = DEFAULT_THRESHOLD,
                  min_island_length: int = DEFAULT_MIN_ISLAND_LENGTH,
                  above_threshold: bool = True) -> DataFrame:
-    """Gaps-and-islands over per-key score arrays.
+    """Gaps-and-islands over per-key score arrays — fully inside the
+    array domain, ZERO shuffle.
 
     Input: one row per key with `score_col` (raw array<double>) and
     `smoothed_col` (smoothed array<double>, same length). Output: one
@@ -137,23 +151,78 @@ def find_islands(df: DataFrame,
     (reference `average_score_in_range`, build_islands_from_scores.py:170-176),
     rounded to SCORE_ROUND.
 
+    A score array is ONE row, so the classic explode -> window ->
+    groupBy restatement (kept as `find_islands_window`, the
+    equivalence twin) pays an exchange for locality the data already
+    has. Here the whole segmentation runs as higher-order array
+    functions on the row: candidate positions are contiguous runs
+    exactly when their array index keeps pace with pos0, so run starts
+    are the candidates whose predecessor isn't pos0 - 1; each run then
+    aggregates its own slice. Only finished islands are exploded —
+    per-row math, no exchange anywhere, and bit-identical averages
+    (the slice fold accumulates 0.0 + raw left-to-right, the same
+    order and initial value as the window twin's partial-avg sum).
+
     `above_threshold=False` flips the comparison (reference
     `find_islands(above_threshold=False)`, :92-98).
     """
-    # Build the candidate list inside the array, BEFORE exploding:
-    # the explode and the window shuffle then carry only
-    # above-threshold positions (usually a small fraction), not every
-    # score — the filter is pushed to the map side by construction.
-    op = ">=" if above_threshold else "<="
-    cand = (
-        f"filter(transform({smoothed_col}, (x, i) -> "
-        f"struct(i as pos0, x as sm, element_at({score_col}, i + 1) as raw)),"
-        f" s -> s.sm {op} {threshold!r}D)"
+    cand_c = "__isl_cand"
+    runs_c = "__isl_runs"
+    out = (
+        df
+        .withColumn(cand_c, F.expr(_candidates_expr(
+            score_col, smoothed_col, threshold, above_threshold)))
+        # run starts (1-based indices into cand): the first candidate,
+        # plus every candidate whose predecessor is not adjacent.
+        # (sequence(1, 0) would yield [1, 0] — descending — so the
+        # empty candidate list needs the explicit guard)
+        .withColumn(runs_c, F.expr(
+            f"if(size({cand_c}) = 0, array(), "
+            f"filter(sequence(1, size({cand_c})), i -> i = 1 OR "
+            f"element_at({cand_c}, i - 1).pos0 "
+            f"!= element_at({cand_c}, i).pos0 - 1))"))
+        # one struct per run: [a, b] = its slice of cand; the next
+        # run's start (or the end of cand) closes it
+        .withColumn(runs_c, F.expr(
+            f"transform({runs_c}, (a, k) -> struct(a as a, "
+            f"if(k + 2 <= size({runs_c}), "
+            f"element_at({runs_c}, k + 2) - 1, size({cand_c})) as b))"))
+        .select(*keys, F.explode(F.expr(
+            f"filter(transform({runs_c}, r -> struct("
+            f"element_at({cand_c}, r.a).pos0 as start_index, "
+            f"element_at({cand_c}, r.b).pos0 as end_index, "
+            f"round(aggregate(slice({cand_c}, r.a, r.b - r.a + 1), 0D, "
+            f"(acc, s) -> acc + s.raw) / (r.b - r.a + 1), {SCORE_ROUND}) "
+            f"as average_score)), "
+            # reference keep rule: end - start >= min length (:110-115)
+            f"z -> z.end_index - z.start_index >= {min_island_length})"
+        )).alias("z"))
+        .select(*keys,
+                F.col("z.start_index").cast("long").alias("start_index"),
+                F.col("z.end_index").cast("long").alias("end_index"),
+                F.col("z.average_score").alias("average_score"))
     )
+    return out
+
+
+def find_islands_window(df: DataFrame,
+                        keys: list[str],
+                        score_col: str = "score",
+                        smoothed_col: str = "smoothed",
+                        threshold: float = DEFAULT_THRESHOLD,
+                        min_island_length: int = DEFAULT_MIN_ISLAND_LENGTH,
+                        above_threshold: bool = True) -> DataFrame:
+    """The classic explode -> window -> groupBy gaps-and-islands
+    restatement — one exchange on the keys. Kept as the independent
+    twin the equivalence tests hold `find_islands` against (two
+    implementations, one contract); production paths use the
+    zero-shuffle array-domain form above."""
+    cand = _candidates_expr(score_col, smoothed_col, threshold,
+                            above_threshold)
     flagged = (
         df.select(*keys, F.explode(F.expr(cand)).alias("z"))
         .select(*keys, F.col("z.pos0").alias("pos0"),
-                F.col("z.sm").alias("sm"), F.col("z.raw").alias("raw"))
+                F.col("z.raw").alias("raw"))
     )
     w = Window.partitionBy(*keys).orderBy("pos0")
     grouped = flagged.withColumn(
@@ -165,7 +234,6 @@ def find_islands(df: DataFrame,
             F.max("pos0").cast("long").alias("end_index"),
             F.round(F.avg("raw"), SCORE_ROUND).alias("average_score"),
         )
-        # reference keep rule: end - start >= min length (:110-115)
         .filter(F.col("end_index") - F.col("start_index") >= min_island_length)
         .drop("island_grp")
     )
