@@ -12,10 +12,14 @@ score) as declarative Spark operators:
   (np.convolve over a zero-padded array, mode="valid"), then
   max-normalization when max > 0.
 - Run-length segmentation (`build_islands_from_scores.py:82-116`):
-  classic gaps-and-islands SQL — filter to above-threshold positions,
-  group key = pos - row_number() — with the reference's exact keep
-  rule `end_index - start_index >= min_island_length` (i.e. length
-  >= min+1) and close-at-`i-1` semantics.
+  gaps-and-islands fully inside the array domain — candidate structs,
+  run-start detection, per-run slice aggregation as higher-order
+  array functions; only finished islands are exploded — with the
+  reference's exact keep rule `end_index - start_index >=
+  min_island_length` (i.e. length >= min+1) and close-at-`i-1`
+  semantics. The classic explode -> window -> groupBy restatement is
+  kept as `find_islands_window`, the equivalence twin the tests hold
+  the array-domain form against.
 - Word-range mapping (`build_islands_from_scores.py:119-126`):
   score index i covers words [i+1, i+n]; pure column arithmetic.
 - Time mapping (`build_islands_from_scores.py:145-167`): interval-
@@ -23,9 +27,10 @@ score) as declarative Spark operators:
   intervals (equi key + range predicate), then min(start) /
   max(start+duration) with +-pad and a floor at 0.
 
-Scale notes: smoothing is per-row array math (embarrassingly
-parallel); the gaps-and-islands pass shuffles once on the group key;
-the segment range-join is an equi-join on the key column with a range
+Scale notes: smoothing AND segmentation are per-row array math
+(embarrassingly parallel, zero shuffle — plan-gated: no Exchange or
+Window/Sort from scan to explode); the segment range-join is an
+equi-join on the key column with a range
 filter, so it hash-joins and never becomes a cartesian product. All
 floats that cross the engine boundary are rounded (see plans/registry
 float contract).
