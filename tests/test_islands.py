@@ -223,6 +223,43 @@ def test_array_domain_equals_window_twin(spark, threshold, min_len, above):
         == isl.find_islands_window(sm, **kw).schema
 
 
+def test_multi_config_equals_per_config_runs(spark):
+    """`find_islands_multi` (every config from one scan) must be
+    row-for-row bit-for-bit the union of independent `find_islands`
+    runs — the equivalence that makes the sweep's single-pass plan
+    safe. Exercised on the crafted edge arrays plus NaN rows."""
+    configs = [(0.5, 6), (0.6, 8), (0.7, 10), (0.8, 12)]
+    arrays = [
+        CRAFTED,
+        [0.9] * 30,
+        [0.9] * 10 + [0.1] + [0.9] * 10,
+        [0.1] * 5 + [0.9] * 9,
+        [],
+        [float("nan")] * 6 + [0.9] * 12,
+    ]
+    rows = [(i, 0, [float(x) for x in arr]) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sm = isl.smooth_scores(df, score_col="score", out_col="smoothed")
+
+    def norm(rs):
+        return sorted(tuple(repr(v) for v in r) for r in rs)
+
+    multi = isl.find_islands_multi(
+        sm, keys=["vid_id", "model_id"], configs=configs,
+        score_col="score", smoothed_col="smoothed").collect()
+    single = []
+    for t, m in configs:
+        for r in isl.find_islands(sm, keys=["vid_id", "model_id"],
+                                  score_col="score",
+                                  smoothed_col="smoothed", threshold=t,
+                                  min_island_length=m).collect():
+            single.append((r.vid_id, r.model_id, float(t), m,
+                           r.start_index, r.end_index, r.average_score))
+    assert norm(map(tuple, multi)) == norm(single)
+    with pytest.raises(ValueError):
+        isl.find_islands_multi(sm, keys=["vid_id"], configs=[])
+
+
 def test_find_islands_plan_is_exchange_free(spark):
     """The array-domain segmentation must add NO exchange: scores live
     one array per row, so islands are per-row math — the plan from

@@ -416,17 +416,25 @@ def test_island_audit_sample_take_ordered_not_global_sort(spark):
 
 
 def test_island_param_sensitivity_no_cartesian_no_python(spark):
-    """The config sweep is unioned aggregates over the shared smoothed
-    frame — no cartesian blowup, no Python eval; every join is the
-    flagship's own equi/broadcast shapes (r8). Since r9 the shared
-    smoothing pass is PINNED (localCheckpoint): every union branch
-    must scan the checkpointed RDD, not re-derive the smoothing
-    subtree (no parquet scan may survive into the sweep plan)."""
+    """The config sweep is ONE grouped aggregate over the config-
+    labeled island explosion — no cartesian blowup, no Python eval;
+    every join is the flagship's own equi/broadcast shapes (r8).
+    Since r9 the shared smoothing pass is PINNED (localCheckpoint)
+    and the array-domain segmentation computes every config per ROW
+    (`find_islands_multi`), so the plan must contain EXACTLY ONE scan
+    of the checkpointed RDD — not one per config — and no parquet
+    scan may survive into the sweep plan."""
+    import re
+
     plan = plan_of(_q(spark, "island_param_sensitivity"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert "FileScan parquet" not in plan, plan
+    # the corpus-sized checkpoint is the ExistingRDD scan carrying the
+    # smoothed column (the other ExistingRDD is the |configs|-row dim)
+    corpus_scans = len(re.findall(r"Scan ExistingRDD\[[^\]]*smoothed",
+                                  plan))
+    assert corpus_scans == 1, f"{corpus_scans} checkpoint scans\n{plan}"
 
 
 def test_island_threshold_recommendation_driver_sized_tail(spark):

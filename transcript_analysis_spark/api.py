@@ -648,40 +648,40 @@ class TranscriptEngine:
             spark_round_ratio)
         from transcript_analysis_spark.plans.domain import (
             ISLAND_COVERAGE_FLOOR_E6, recommendation_from_sweep,
-            sweep_config_islands, sweep_table_from_triples)
+            sweep_islands_multi, sweep_table_from_islands)
 
         j = (self.spark.read.parquet(judgments_path)
              .select("doc_id", "model_id",
                      F.col("start_index").alias("j_start"), "is_real"))
-        # ONE smoothing pass serves everything below: the triples'
-        # shared checkpoint feeds the judgment matching AND (via
-        # sweep_table/recommendation) the coverage annotation —
-        # calling the registered recommendation query here instead
-        # would re-derive the corpus scan a second (and third) time.
-        triples = sweep_config_islands(self.spark, self.sf_dir)
-        per_config = []
-        for t, m, found in triples:
-            f = found.alias("f")
-            matched = f.join(
-                j.alias("j"),
-                (F.col("f.doc_id") == F.col("j.doc_id"))
-                & (F.col("f.model_id") == F.col("j.model_id"))
-                & (F.col("j.j_start") >= F.col("f.start_index"))
-                & (F.col("j.j_start") <= F.col("f.end_index")))
-            per_config.append(matched.agg(
-                F.count(F.lit(1)).cast("long").alias("n_judged"),
-                F.sum(F.when(F.col("is_real"), 1).otherwise(0))
-                 .cast("long").alias("n_real"),
-            ).select(F.lit(t).alias("threshold"),
-                     F.lit(m).cast("long").alias("min_len"), "*"))
-        judged = per_config[0]
-        for p in per_config[1:]:
-            judged = judged.unionAll(p)
+        # ONE smoothing pass serves everything below: the config-
+        # labeled island frame's shared checkpoint feeds the judgment
+        # matching AND (via sweep_table/recommendation) the coverage
+        # annotation — calling the registered recommendation query
+        # here instead would re-derive the corpus scan a second (and
+        # third) time. The matching itself is ONE join carrying the
+        # config columns, not |configs| joins.
+        im = sweep_islands_multi(self.spark, self.sf_dir)
+        f = im.alias("f")
+        matched = f.join(
+            j.alias("j"),
+            (F.col("f.doc_id") == F.col("j.doc_id"))
+            & (F.col("f.model_id") == F.col("j.model_id"))
+            & (F.col("j.j_start") >= F.col("f.start_index"))
+            & (F.col("j.j_start") <= F.col("f.end_index")))
+        judged = matched.groupBy("threshold", "min_len").agg(
+            F.count(F.lit(1)).cast("long").alias("n_judged"),
+            F.sum(F.when(F.col("is_real"), 1).otherwise(0))
+             .cast("long").alias("n_real"))
 
         base = recommendation_from_sweep(
-            sweep_table_from_triples(triples)).select(
+            sweep_table_from_islands(self.spark, im)).select(
             "threshold", "min_len", "coverage")
-        full = base.join(judged, ["threshold", "min_len"])
+        # left join + zero-fill: a config judged nowhere must still
+        # emit its row (the grouped aggregate has no row for it)
+        full = base.join(judged, ["threshold", "min_len"], "left") \
+            .withColumns({
+                "n_judged": F.coalesce("n_judged", F.lit(0)).cast("long"),
+                "n_real": F.coalesce("n_real", F.lit(0)).cast("long")})
         qualifies = (F.col("coverage")
                      >= ISLAND_COVERAGE_FLOOR_E6 / 1_000_000.0)
         prec = F.when(F.col("n_judged") == 0, F.lit(0.0)).otherwise(

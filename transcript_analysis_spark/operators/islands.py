@@ -171,9 +171,42 @@ def find_islands(df: DataFrame,
     `above_threshold=False` flips the comparison (reference
     `find_islands(above_threshold=False)`, :92-98).
     """
-    cand_c = "__isl_cand"
-    runs_c = "__isl_runs"
-    out = (
+    df, arr = _island_array_parts(df, "isl", score_col, smoothed_col,
+                                  threshold, min_island_length,
+                                  above_threshold)
+    return (
+        df.select(*keys, F.explode(F.expr(arr)).alias("z"))
+        .select(*keys,
+                F.col("z.start_index").cast("long").alias("start_index"),
+                F.col("z.end_index").cast("long").alias("end_index"),
+                F.col("z.average_score").alias("average_score"))
+    )
+
+
+def _island_array_parts(df: DataFrame,
+                        tag: str,
+                        score_col: str,
+                        smoothed_col: str,
+                        threshold: float,
+                        min_island_length: int,
+                        above_threshold: bool) -> tuple[DataFrame, str]:
+    """The per-row island computation for ONE (threshold, min_len)
+    config — the core both `find_islands` (explode one config) and
+    `find_islands_multi` (label + flatten several configs, one scan)
+    are built from. Adds the candidate/run intermediate columns to
+    `df` and returns the island-array expression
+    (array<struct<start_index,end_index,average_score>>) as a STRING
+    over them, for the caller to embed directly in its explode.
+
+    The expression must NOT be materialized as its own column:
+    Catalyst's CollapseProject then inlines the whole candidate/run
+    tree into one expression whose size multiplies per reference
+    (measured: 3.5k -> 190k plan chars, 13x slower on a one-row
+    frame). A Generate input referencing the intermediate COLUMNS
+    keeps the projection chain linear."""
+    cand_c = f"__{tag}_cand"
+    runs_c = f"__{tag}_runs"
+    df = (
         df
         .withColumn(cand_c, F.expr(_candidates_expr(
             score_col, smoothed_col, threshold, above_threshold)))
@@ -192,22 +225,62 @@ def find_islands(df: DataFrame,
             f"transform({runs_c}, (a, k) -> struct(a as a, "
             f"if(k + 2 <= size({runs_c}), "
             f"element_at({runs_c}, k + 2) - 1, size({cand_c})) as b))"))
-        .select(*keys, F.explode(F.expr(
-            f"filter(transform({runs_c}, r -> struct("
-            f"element_at({cand_c}, r.a).pos0 as start_index, "
-            f"element_at({cand_c}, r.b).pos0 as end_index, "
-            f"round(aggregate(slice({cand_c}, r.a, r.b - r.a + 1), 0D, "
-            f"(acc, s) -> acc + s.raw) / (r.b - r.a + 1), {SCORE_ROUND}) "
-            f"as average_score)), "
-            # reference keep rule: end - start >= min length (:110-115)
-            f"z -> z.end_index - z.start_index >= {min_island_length})"
-        )).alias("z"))
+    )
+    islands = (
+        f"filter(transform({runs_c}, r -> struct("
+        f"element_at({cand_c}, r.a).pos0 as start_index, "
+        f"element_at({cand_c}, r.b).pos0 as end_index, "
+        f"round(aggregate(slice({cand_c}, r.a, r.b - r.a + 1), 0D, "
+        f"(acc, s) -> acc + s.raw) / (r.b - r.a + 1), {SCORE_ROUND}) "
+        f"as average_score)), "
+        # reference keep rule: end - start >= min length (:110-115)
+        f"z -> z.end_index - z.start_index >= {min_island_length})"
+    )
+    return df, islands
+
+
+def find_islands_multi(df: DataFrame,
+                       keys: list[str],
+                       configs: list[tuple[float, int]],
+                       score_col: str = "score",
+                       smoothed_col: str = "smoothed",
+                       above_threshold: bool = True) -> DataFrame:
+    """Islands for EVERY (threshold, min_island_length) config in one
+    pass over the input — the sweep primitive.
+
+    Segmentation is per-row array math (see `find_islands`), so a
+    config sweep does not need one scan of the corpus per config: each
+    row computes its island array for every config, the arrays are
+    labeled with their config and flattened, and a single explode
+    emits config-tagged islands. Output: `keys` + `threshold`
+    (double) + `min_len` (long) + the `find_islands` island columns.
+    At 100 TB this turns |configs| scans of the (corpus-sized)
+    smoothed frame into ONE scan; per-row compute is identical.
+
+    `configs` must be non-empty; (threshold, min_len) pairs should be
+    distinct (duplicates would duplicate islands)."""
+    if not configs:
+        raise ValueError("find_islands_multi needs at least one config")
+    labeled = []
+    for i, (t, m) in enumerate(configs):
+        df, arr = _island_array_parts(df, f"isl{i}", score_col,
+                                      smoothed_col, t, int(m),
+                                      above_threshold)
+        labeled.append(
+            f"transform({arr}, z -> struct("
+            f"cast({t!r} as double) as threshold, "
+            f"cast({int(m)} as bigint) as min_len, "
+            f"z.start_index, z.end_index, z.average_score))")
+    flat = f"flatten(array({', '.join(labeled)}))"
+    return (
+        df.select(*keys, F.explode(F.expr(flat)).alias("z"))
         .select(*keys,
+                F.col("z.threshold").alias("threshold"),
+                F.col("z.min_len").alias("min_len"),
                 F.col("z.start_index").cast("long").alias("start_index"),
                 F.col("z.end_index").cast("long").alias("end_index"),
                 F.col("z.average_score").alias("average_score"))
     )
-    return out
 
 
 def find_islands_window(df: DataFrame,

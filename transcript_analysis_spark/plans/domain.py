@@ -1132,53 +1132,65 @@ def _sweep_config_sql(i: int, t: float, m: int) -> str:
     )"""
 
 
-def sweep_config_islands(spark: SparkSession, sf_dir: str
-                         ) -> list[tuple[float, int, DataFrame]]:
-    """One (threshold, min_len, islands-frame) triple per sweep
-    config, all sharing a single pinned smoothing pass — the common
-    scaffold of `island_param_sensitivity` (per-config aggregates)
-    and the judgments-aware facade `recommend_island_threshold`
-    (per-config judged precision). See `island_param_sensitivity`'s
-    docstring for why the shared frame is checkpointed."""
+def sweep_islands_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-labeled island rows for EVERY sweep config from ONE
+    scan of one pinned smoothing pass
+    (`operators.islands.find_islands_multi`) — the common scaffold of
+    `island_param_sensitivity` (per-config aggregates) and the
+    judgments-aware facade `recommend_island_threshold` (per-config
+    judged precision). See `island_param_sensitivity`'s docstring for
+    why the shared frame is checkpointed."""
     scored = isl.smooth_scores(_scored_documents(spark, sf_dir),
                                score_col="raw", out_col="smoothed") \
         .localCheckpoint(eager=True)
-    return [(t, m, isl.find_islands(scored, keys=["doc_id", "model_id"],
-                                    score_col="raw",
-                                    smoothed_col="smoothed",
-                                    threshold=t, min_island_length=m))
-            for t, m in ISLAND_SWEEP_CONFIGS]
+    return isl.find_islands_multi(scored, keys=["doc_id", "model_id"],
+                                  configs=ISLAND_SWEEP_CONFIGS,
+                                  score_col="raw",
+                                  smoothed_col="smoothed")
 
 
-def sweep_table_from_triples(
-        triples: list[tuple[float, int, DataFrame]]) -> DataFrame:
-    """The |configs|-row sensitivity table from pre-built config
-    triples — factored out so `recommend_island_threshold` can reuse
-    the SAME triples (hence the same single smoothing pass) for both
-    the sweep aggregates and the judgment matching, instead of
-    re-deriving the corpus scan per consumer."""
-    outs = []
-    for t, m, found in triples:
-        n = F.count(F.lit(1))
-        span = F.sum(F.col("end_index") - F.col("start_index") + 1)
-        outs.append(found.agg(
-            n.cast("long").alias("n_islands"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.coalesce(span, F.lit(0)).cast("long").alias("total_span"),
-            F.when(n == 0, F.lit(0.0)).otherwise(
-                spark_round_ratio(
-                    "sum(end_index - start_index + 1)",
-                    "count(1)", 4)).alias("avg_len"),
-            F.coalesce(
+def sweep_configs_dim(spark: SparkSession) -> DataFrame:
+    """The |configs|-row dimension frame. Aggregating the exploded
+    island rows drops configs that produced zero islands; the sweep
+    table left-joins from this dim so every config always emits its
+    row (zero-filled), exactly like the oracle's per-config CTEs."""
+    return spark.createDataFrame(
+        [(float(t), int(m)) for t, m in ISLAND_SWEEP_CONFIGS],
+        "threshold double, min_len bigint")
+
+
+def sweep_table_from_islands(spark: SparkSession,
+                             islands_multi: DataFrame) -> DataFrame:
+    """The |configs|-row sensitivity table from the config-labeled
+    island frame: ONE grouped aggregate over all configs at once
+    (the old shape was |configs| single-row aggregates unioned, each
+    re-scanning the smoothing checkpoint). Factored out so
+    `recommend_island_threshold` can reuse the SAME island frame
+    (hence the same single smoothing pass) for both the sweep
+    aggregates and the judgment matching."""
+    agg = (islands_multi
+           .groupBy("threshold", "min_len")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_islands"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.sum(F.col("end_index") - F.col("start_index") + 1)
+                 .cast("long").alias("total_span"),
+                spark_round_ratio("sum(end_index - start_index + 1)",
+                                  "count(1)", 4).alias("avg_len"),
                 F.sum(F.expr("cast(round(average_score * 1000000) "
-                             "as bigint)")),
-                F.lit(0)).cast("long").alias("score_e6_sum"),
-        ).select(F.lit(t).alias("threshold"),
-                 F.lit(m).cast("long").alias("min_len"), "*"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+                             "as bigint)"))
+                 .cast("long").alias("score_e6_sum")))
+    dim = sweep_configs_dim(spark)
+    return (dim.join(agg, ["threshold", "min_len"], "left")
+            .select("threshold", "min_len",
+                    F.coalesce("n_islands", F.lit(0)).cast("long")
+                     .alias("n_islands"),
+                    F.coalesce("n_docs", F.lit(0)).cast("long")
+                     .alias("n_docs"),
+                    F.coalesce("total_span", F.lit(0)).cast("long")
+                     .alias("total_span"),
+                    F.coalesce("avg_len", F.lit(0.0)).alias("avg_len"),
+                    F.coalesce("score_e6_sum", F.lit(0)).cast("long")
+                     .alias("score_e6_sum")))
 
 
 def _register_island_sweep() -> None:
@@ -1203,23 +1215,19 @@ def _register_island_sweep() -> None:
         config, island count, docs covered, span total, mean length,
         and the exact 1e6-quantized sum of island scores.
 
-        One smoothing pass is shared by every config (the smoothed
-        frame is built once; each config re-runs only the cheap
-        flag->group->aggregate tail); the oracle mirrors that with a
+        One smoothing pass AND one scan serve every config: the
+        smoothed frame is pinned (localCheckpoint — exchange reuse
+        across plan branches is not guaranteed, measured −21% at
+        sf0.1), and the array-domain segmentation computes every
+        config's islands per ROW (`find_islands_multi`), so the whole
+        sweep is one checkpoint scan + one grouped aggregate — not
+        |configs| scans of a corpus-sized intermediate (the pre-r9
+        shape: |configs| union branches, each re-reading the
+        checkpoint). The oracle mirrors the sharing with a
         MATERIALIZED norm CTE. Output is |configs| rows — a
-        driver-sized decision table. At 100 TB the sweep costs one
-        smoothing scan + |configs| grouped aggregates, not |configs|
-        corpus re-scores."""
-        # Per-config island frames share ONE pinned smoothing pass
-        # (sweep_config_islands): without the localCheckpoint each of
-        # the |configs| union branches re-derives the whole smoothing
-        # subtree (exchange reuse across union branches is not
-        # guaranteed). One materialized corpus-sized intermediate read
-        # |configs| times beats |configs| full smoothing scans — the
-        # literal "one smoothing pass shared" the sweep promises
-        # (measured −21% at sf0.1).
-        return sweep_table_from_triples(
-            sweep_config_islands(spark, sf_dir))
+        driver-sized decision table."""
+        return sweep_table_from_islands(
+            spark, sweep_islands_multi(spark, sf_dir))
 
 
 _register_island_sweep()
