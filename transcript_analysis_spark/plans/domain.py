@@ -1248,6 +1248,13 @@ def recommendation_from_sweep(sweep: DataFrame) -> DataFrame:
     from transcript_analysis_spark.functions.rounding import (
         spark_round_ratio_wide_q)
 
+    # The annotation references the sweep subtree from several
+    # branches (the table itself, the max-span compare, the best-key
+    # agg); without a pin each branch re-derives the corpus-sized
+    # sweep subtree — 4 checkpoint scans measured. The sweep table is
+    # PROVABLY driver-sized (|configs| rows), so pinning it is free
+    # and collapses the whole decision tail to one corpus pass.
+    sweep = sweep.localCheckpoint(eager=True)
     ext = sweep.crossJoin(F.broadcast(
         sweep.agg(F.max("total_span").alias("max_span"))))
     cov = F.when(F.col("max_span") == 0, F.lit(0).cast("long")) \
