@@ -86,6 +86,23 @@ def test_ngram_scoring_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_lm_scorers_read_corpus_once_per_plan(spark):
+    """Every LM scorer's model tables are PINNED (localCheckpoint), so
+    the FINAL plan reads documents exactly once (the scoring pass) and
+    every other corpus-derived input arrives as a checkpointed RDD —
+    unpinned, the count-table subtrees re-ran their corpus-wide
+    shuffles once per reference (6-9 documents scans measured)."""
+    import re
+
+    for name in ("ngram_model_score", "lidstone_model_score",
+                 "kneser_ney_model_score", "fourgram_model_score",
+                 "lm_backoff_eval"):
+        plan = plan_of(_q(spark, name))
+        doc_scans = len(re.findall(r"FileScan parquet.*documents", plan))
+        assert doc_scans == 1, f"{name}: {doc_scans} documents scans"
+        assert "Scan ExistingRDD" in plan, name
+
+
 def test_lsh_join_is_equi_not_cartesian(spark):
     plan = plan_of(_q(spark, "minhash_lsh_candidate_pairs"))
     assert "CartesianProduct" not in plan

@@ -936,12 +936,21 @@ def _register_backoff_eval() -> None:
             return pos.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
 
         train = docs.filter(~is_eval)
-        tok = (words_of(train)
-               .select(F.explode("words").alias("w")))
-        tstats = tok.agg(F.count(F.lit(1)).alias("t"),
-                         F.countDistinct("w").alias("v"))
-        uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
-        big = bigram_counts(train, with_doc=False)
+        # model tables PINNED: tstats is referenced by bimodel,
+        # unimodel AND oov, big by ctx AND its own join — unpinned,
+        # each reference re-ran the train-corpus explode (7 documents
+        # scans measured in the full plan; 3 with the pins: word
+        # counts, bigram counts, eval split). uni and tstats are both
+        # derived from the one pinned |vocab|-row count table.
+        wcounts = (words_of(train)
+                   .select(F.explode("words").alias("w"))
+                   .groupBy("w").agg(F.count(F.lit(1)).alias("u"))
+                   .localCheckpoint(eager=True))
+        tstats = wcounts.agg(F.sum("u").cast("long").alias("t"),
+                             F.count(F.lit(1)).cast("long").alias("v"))
+        uni = wcounts
+        big = bigram_counts(train, with_doc=False) \
+            .localCheckpoint(eager=True)
         ctx = big.groupBy("w1").agg(F.sum("cnt").alias("c1"))
         bimodel = (big.join(ctx, "w1").join(F.broadcast(tstats))
                    .select("w1", "w2", F.expr(

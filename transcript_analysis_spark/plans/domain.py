@@ -303,7 +303,17 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale both sides partition by the join key (ngram), the model
     tables are orders of magnitude smaller than the pair matrix, and
-    no executor ever holds a 480 MB pickle (BASELINE.md)."""
+    no executor ever holds a 480 MB pickle (BASELINE.md).
+
+    The count tables are PINNED (localCheckpoint) once built: each is
+    referenced from several plan branches (c2 by the context table
+    AND the scoring join; cu by the totals, the model dim AND the
+    join), and Spark re-derives an unpinned subtree per reference —
+    the corpus-wide count shuffle ran twice per table and the plan
+    scanned documents SIX times (measured). Pinned: one corpus pass
+    per table + one for the pair matrix = 3, and the model build is
+    the natural materialization point (the tables are |vocab|-sized
+    — exactly what "models as data" stores)."""
     docs = fanout(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
     # bigrams straight from the word array: zip(words[:-1], words[1:]) —
@@ -323,12 +333,18 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", "source",
                     F.posexplode("words").alias("pos0", "word"))
            .select("doc_id", "source", "word"))
+    # model tables PINNED: each is referenced from several branches
+    # (c2 by c1 AND the scoring join; cu by tot/models AND the join);
+    # unpinned, Spark re-runs the corpus-wide count shuffle per
+    # reference (6 documents scans measured; 3 with the pins)
     c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("cnt2")))
+            .agg(F.count(F.lit(1)).alias("cnt2"))
+            .localCheckpoint(eager=True))
     c1 = (c2.groupBy("model_source", "w1")
             .agg(F.sum("cnt2").cast("long").alias("cnt1")))
     cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
-             .agg(F.count(F.lit(1)).alias("cntu")))
+             .agg(F.count(F.lit(1)).alias("cntu"))
+             .localCheckpoint(eager=True))
     # total tokens per source = sum of unigram counts — derived from cu
     # instead of re-scanning/re-exploding the corpus a third time
     tot = (cu.groupBy("model_source")
@@ -469,12 +485,18 @@ def lidstone_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", "source",
                     F.posexplode("words").alias("pos0", "word"))
            .select("doc_id", "source", "word"))
+    # model tables PINNED: each is referenced from several branches
+    # (c2 by c1 AND the scoring join; cu by tot/models AND the join);
+    # unpinned, Spark re-runs the corpus-wide count shuffle per
+    # reference (6 documents scans measured; 3 with the pins)
     c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("cnt2")))
+            .agg(F.count(F.lit(1)).alias("cnt2"))
+            .localCheckpoint(eager=True))
     c1 = (c2.groupBy("model_source", "w1")
             .agg(F.sum("cnt2").cast("long").alias("cnt1")))
     cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
-             .agg(F.count(F.lit(1)).alias("cntu")))
+             .agg(F.count(F.lit(1)).alias("cntu"))
+             .localCheckpoint(eager=True))
     tot = (cu.groupBy("model_source")
              .agg(F.sum("cntu").cast("long").alias("total"),
                   F.count(F.lit(1)).cast("long").alias("vsz")))
@@ -618,8 +640,11 @@ def kneser_ney_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("z")["0"].alias("w1"),
                 F.col("z")["1"].alias("w2"))
     )
+    # c2 PINNED: referenced by c1, cont, npairs AND the scoring join —
+    # unpinned, the bigram count shuffle re-runs per reference
     c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("cnt2")))
+            .agg(F.count(F.lit(1)).alias("cnt2"))
+            .localCheckpoint(eager=True))
     c1 = (c2.groupBy("model_source", "w1")
             .agg(F.sum("cnt2").cast("long").alias("cnt1"),
                  F.count(F.lit(1)).cast("long").alias("n1fwd")))
@@ -1038,12 +1063,25 @@ def fourgram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " element_at(padded, i + 4) as k1))")).alias("z")
     ).select("doc_id", "z.*")
 
-    def counts(col: str):
-        return grams.groupBy(F.col(col).alias("g")).agg(
-            F.count(F.lit(1)).alias("c"))
+    # ALL four count tables from ONE corpus pass: each gram row
+    # explodes into its (order, key) pairs, one grouped count covers
+    # every order, and the result — the model, |gram types| rows — is
+    # PINNED. Unpinned per-order groupBys re-derived the corpus
+    # explode per reference (9 documents scans measured in the full
+    # plan; 2 with this: the pin pass + the scoring pass).
+    counts_all = (
+        grams.select(F.explode(F.expr(
+            "array(struct(4 as n, k4 as g), struct(3 as n, k3 as g), "
+            "struct(2 as n, k2 as g), struct(1 as n, k1 as g))")).alias("z"))
+        .groupBy(F.col("z.n").alias("n"), F.col("z.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True))
+
+    def counts(n: int):
+        return counts_all.filter(F.col("n") == n).select("g", "c")
 
     prefix = lambda c: F.regexp_replace(c, r" [^ ]*$", "")
-    c4, c3, c2, c1 = counts("k4"), counts("k3"), counts("k2"), counts("k1")
+    c4, c3, c2, c1 = counts(4), counts(3), counts(2), counts(1)
 
     def lp_table(ck):
         dk = (ck.groupBy(prefix(F.col("g")).alias("p"))
