@@ -243,9 +243,19 @@ def _bucketed_rank(df: DataFrame, score_col: str, rank_col: str) -> DataFrame:
     O(#buckets) count table. Scales as a partitioned window + a tiny
     broadcast join instead of one task sorting the world."""
     from pyspark.sql import Window
+
+    # Both the bucketed frame and its count table are referenced from
+    # two branches each (counts + the rank join; the x/y sides of the
+    # offset self-join) — unpinned, the INPUT subtree re-derives once
+    # per reference, and nesting two ranks multiplied that to ~4x the
+    # input plan (hybrid_rrf_fusion re-scanned documents 21x). The
+    # pins are the narrow-base discipline: `b` is input + one bucket
+    # column (per-row narrow), `counts` is O(#buckets) rows.
     b = df.withColumn("_bkt", F.expr(
-        f"cast(floor({score_col} * 100) as bigint)"))
-    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+        f"cast(floor({score_col} * 100) as bigint)")) \
+        .localCheckpoint(eager=True)
+    counts = (b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+              .localCheckpoint(eager=True))
     offs = (counts.alias("x")
             .join(F.broadcast(counts.alias("y")),
                   F.col("y._bkt") > F.col("x._bkt"), "left")
