@@ -2491,14 +2491,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately exhaustive branch, which is the point of an offline
     recall audit."""
     from pyspark.sql.window import Window
-    # Shared frames are PINNED (localCheckpoint) at their narrowest
-    # form: the report's branches reference them repeatedly (scored by
-    # both ground truths and every variant's re-rank, each candidate
-    # list by its top-k AND its cost row, the codebook by encode AND
-    # query tables), and unpinned subtrees re-derive per reference —
-    # the full plan re-scanned embeddings 32x, re-running the
-    # brute-force cosine branch five times. Every pin is vec_id-narrow
-    # or bounded (1-row query, K-row truths, 8xNCODE codebook).
+    # The query vector and the brute-force score table are PINNED:
+    # both are MAP-ONLY subtrees (scan -> broadcast crossJoin ->
+    # project, no exchange), so runtime exchange reuse cannot
+    # deduplicate their five consumers — unpinned, the exhaustive
+    # cosine/l2 branch recomputed per reference. The other shared
+    # frames (buckets, candidate lists, shortlist) END in exchanges or
+    # windows, which AQE's ReusedExchange dedups at runtime — pinning
+    # them was measured SLOWER (serialized pin jobs vs one concurrent
+    # DAG) and is left to the engine.
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
@@ -2530,8 +2531,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("vec_id")
                .agg(F.sum(F.when(F.col("dot") > 0,
                                  F.pow(F.lit(2), F.col("j")).cast("long"))
-                          .otherwise(F.lit(0))).cast("long").alias("bucket"))
-               .localCheckpoint(eager=True))
+                          .otherwise(F.lit(0))).cast("long").alias("bucket")))
     qb = (buckets.filter(F.col("vec_id") == 0)
           .select(F.col("bucket").alias("qbucket")))
     cand_rp = (buckets.filter(F.col("vec_id") != 0)
@@ -2558,7 +2558,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("rk", F.row_number().over(wv))
                 .filter((F.col("rk") == 1) & (F.col("vec_id") != 0))
                 .join(F.broadcast(top_cents), "cent_id")
-                .select("vec_id").localCheckpoint(eager=True))
+                .select("vec_id"))
     ivf_top = (cand_ivf.join(scored, "vec_id")
                .orderBy(F.desc("cosine"), F.asc("vec_id"))
                .limit(ANN_K).select("vec_id"))
@@ -2590,7 +2590,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum((F.col(f"d{i}") for i in range(1, 8)), F.col("d0"))
     shortlist = (per.select("vec_id", F.round(total, 6).alias("approx_dist"))
                  .orderBy("approx_dist", "vec_id").limit(PQ_RERANK)
-                 .select("vec_id").localCheckpoint(eager=True))
+                 .select("vec_id"))
     pq_top = (shortlist.join(scored, "vec_id")
               .orderBy(F.asc("l2"), F.asc("vec_id"))
               .limit(ANN_K).select("vec_id"))

@@ -305,15 +305,15 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are orders of magnitude smaller than the pair matrix, and
     no executor ever holds a 480 MB pickle (BASELINE.md).
 
-    The count tables are PINNED (localCheckpoint) once built: each is
-    referenced from several plan branches (c2 by the context table
-    AND the scoring join; cu by the totals, the model dim AND the
-    join), and Spark re-derives an unpinned subtree per reference —
-    the corpus-wide count shuffle ran twice per table and the plan
-    scanned documents SIX times (measured). Pinned: one corpus pass
-    per table + one for the pair matrix = 3, and the model build is
-    the natural materialization point (the tables are |vocab|-sized
-    — exactly what "models as data" stores)."""
+    The count tables look multiply-referenced (c2 by the context
+    table AND the scoring join; cu by the totals, the model dim AND
+    the join) but need no explicit materialization: each ends in its
+    count-shuffle EXCHANGE, and AQE's runtime ReusedExchange computes
+    identical exchanges once per query (verified: pinning them was
+    measured 13% slower at sf0.1). Explicit pins are reserved for
+    repeated subtrees reuse cannot cover — map-only branches with no
+    exchange, or differing-key aggregations (see
+    fourgram_model_score)."""
     docs = fanout(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
     # bigrams straight from the word array: zip(words[:-1], words[1:]) —
@@ -333,18 +333,19 @@ def ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", "source",
                     F.posexplode("words").alias("pos0", "word"))
            .select("doc_id", "source", "word"))
-    # model tables PINNED: each is referenced from several branches
-    # (c2 by c1 AND the scoring join; cu by tot/models AND the join);
-    # unpinned, Spark re-runs the corpus-wide count shuffle per
-    # reference (6 documents scans measured; 3 with the pins)
+    # The repeated count-table references need no pins: each table
+    # ends in an EXCHANGE (its count shuffle), and AQE's runtime
+    # ReusedExchange dedups identical exchanges across consumers — a
+    # localCheckpoint here was measured 13% SLOWER (eager pin jobs
+    # serialize what one DAG runs concurrently). Contrast fourgram,
+    # where the four per-order groupBys have DIFFERENT keys (no
+    # identical exchange to reuse) and a structural single pass wins.
     c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("cnt2"))
-            .localCheckpoint(eager=True))
+            .agg(F.count(F.lit(1)).alias("cnt2")))
     c1 = (c2.groupBy("model_source", "w1")
             .agg(F.sum("cnt2").cast("long").alias("cnt1")))
     cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
-             .agg(F.count(F.lit(1)).alias("cntu"))
-             .localCheckpoint(eager=True))
+             .agg(F.count(F.lit(1)).alias("cntu")))
     # total tokens per source = sum of unigram counts — derived from cu
     # instead of re-scanning/re-exploding the corpus a third time
     tot = (cu.groupBy("model_source")
@@ -485,18 +486,19 @@ def lidstone_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", "source",
                     F.posexplode("words").alias("pos0", "word"))
            .select("doc_id", "source", "word"))
-    # model tables PINNED: each is referenced from several branches
-    # (c2 by c1 AND the scoring join; cu by tot/models AND the join);
-    # unpinned, Spark re-runs the corpus-wide count shuffle per
-    # reference (6 documents scans measured; 3 with the pins)
+    # The repeated count-table references need no pins: each table
+    # ends in an EXCHANGE (its count shuffle), and AQE's runtime
+    # ReusedExchange dedups identical exchanges across consumers — a
+    # localCheckpoint here was measured 13% SLOWER (eager pin jobs
+    # serialize what one DAG runs concurrently). Contrast fourgram,
+    # where the four per-order groupBys have DIFFERENT keys (no
+    # identical exchange to reuse) and a structural single pass wins.
     c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("cnt2"))
-            .localCheckpoint(eager=True))
+            .agg(F.count(F.lit(1)).alias("cnt2")))
     c1 = (c2.groupBy("model_source", "w1")
             .agg(F.sum("cnt2").cast("long").alias("cnt1")))
     cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
-             .agg(F.count(F.lit(1)).alias("cntu"))
-             .localCheckpoint(eager=True))
+             .agg(F.count(F.lit(1)).alias("cntu")))
     tot = (cu.groupBy("model_source")
              .agg(F.sum("cntu").cast("long").alias("total"),
                   F.count(F.lit(1)).cast("long").alias("vsz")))
@@ -640,11 +642,10 @@ def kneser_ney_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("z")["0"].alias("w1"),
                 F.col("z")["1"].alias("w2"))
     )
-    # c2 PINNED: referenced by c1, cont, npairs AND the scoring join —
-    # unpinned, the bigram count shuffle re-runs per reference
+    # no pin on c2: it ends in its count-shuffle exchange, which AQE's
+    # ReusedExchange dedups across c1/cont/npairs/join at runtime
     c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("cnt2"))
-            .localCheckpoint(eager=True))
+            .agg(F.count(F.lit(1)).alias("cnt2")))
     c1 = (c2.groupBy("model_source", "w1")
             .agg(F.sum("cnt2").cast("long").alias("cnt1"),
                  F.count(F.lit(1)).cast("long").alias("n1fwd")))
