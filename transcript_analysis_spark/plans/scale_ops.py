@@ -1216,11 +1216,20 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent map passes unioned. The DuckDB oracle is the plain
     corpus-wide ROW_NUMBER the pattern replaces."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE content-hash pass, pinned narrow: every epoch's mix is
+    # affine in the SAME full-text hash, and each epoch's position
+    # scheme references its frame twice through NON-identical
+    # exchanges (groupBy counts vs the window partitioning), so
+    # runtime exchange reuse cannot dedup them — unpinned, this plan
+    # re-scanned documents and re-hashed every text 2x per epoch
+    # (6 scans measured, ReusedExchange count 0).
+    hashed = (d.select("doc_id", F.expr(spark_char_hash("text")).alias("h"))
+              .localCheckpoint(eager=True))
     frames = []
     for e in range(SHUFFLE_EPOCHS):
-        f = d.select(
+        f = hashed.select(
             F.lit(e).cast("long").alias("epoch"), "doc_id",
-            F.expr(_epoch_mix(e, spark_char_hash("text"))).alias("hv"))
+            F.expr(_epoch_mix(e, "h")).alias("hv"))
         frames.append(_epoch_positions(f, "shuffle_pos"))
     out = frames[0]
     for f in frames[1:]:
