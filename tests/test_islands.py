@@ -272,3 +272,9 @@ def test_find_islands_plan_is_exchange_free(spark):
     plan = found._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Window" not in plan
+    # CollapseProject canary: materializing the island array as its
+    # own projected column once inlined the candidate/run tree per
+    # reference (3.5k -> 190k plan chars, 13x slower on ONE row);
+    # the expression must stay the Generate input over intermediate
+    # columns, which keeps the printed plan small
+    assert len(plan) < 30_000, f"plan blew up to {len(plan)} chars"
