@@ -19,6 +19,15 @@ CONFIRMED BY an sf0.1 A/B measurement (eager pins serialize; they
 lose at toy scale whenever reuse already covered the work — see
 ROUND9_NOTES continuations 3-4 for both directions, measured).
 
+The default --verify threshold is 4 deliberately: the 2-3x tail
+(27 zero-reuse queries at r9) is overwhelmingly two-sided BASE-TABLE
+reads — self-joins (as-of, blocked pairs), compare-two-derivations
+queries (hll vs exact), and dim+fact splits of one table — where
+each branch scans with its own pushed filters and pruned columns.
+That is the correct shape (total bytes ~ one wide scan), not
+shared-subtree recomputation; the doctrine targets repeated
+DERIVED subtrees, not base scans.
+
 Usage: python tools/scan_audit.py [--verify [N]] [sf_dir]
 """
 
