@@ -69,3 +69,82 @@ def test_write_batch_partition_small_batch_lands_one_file(spark, tmp_path):
     part = os.path.join(out, "batch_id=7")
     files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert len(files) == 1
+
+
+def test_observed_row_bytes_measures_footers(spark, tmp_path):
+    """Calibration probe = ceil(partition file bytes / footer rows),
+    the same metadata-only walk describe_tables uses."""
+    from transcript_analysis_spark.streaming import store_io
+
+    out = str(tmp_path / "store")
+    assert store_io.observed_row_bytes(out) is None  # absent store
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.lit("x"), 200, "y").alias("text"))
+    write_batch_partition(df, 3, out, size_aware=True)
+    part = os.path.join(out, "batch_id=3")
+    total = sum(os.path.getsize(os.path.join(part, f))
+                for f in os.listdir(part) if f.endswith(".parquet"))
+    assert store_io.observed_row_bytes(out) == (total + 49) // 50
+    assert store_io.observed_row_bytes(out, batch_id=3) == \
+        (total + 49) // 50
+    assert store_io.observed_row_bytes(out, batch_id=9) is None
+
+
+def test_second_batch_sizes_from_measured_width(spark, tmp_path,
+                                                monkeypatch):
+    """Batch 0 sizes from the caller's (deliberately absurd) estimate;
+    batch 1 must size from the bytes/row actually measured off batch
+    0's footers — the r9 verdict calibration item."""
+    from transcript_analysis_spark.streaming import store_io
+
+    out = str(tmp_path / "store")
+    widths = []
+    real = store_io.partitions_for
+
+    def spy(rows, avg_row_bytes=store_io.DEFAULT_ROW_BYTES,
+            target_bytes=store_io.TARGET_PARTITION_BYTES):
+        widths.append(avg_row_bytes)
+        return real(rows, avg_row_bytes, target_bytes)
+
+    monkeypatch.setattr(store_io, "partitions_for", spy)
+    store_io._CALIBRATION.pop(out, None)
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.lit("x"), 200, "y").alias("text"))
+    store_io.write_batch_partition(df, 0, out, size_aware=True,
+                                   avg_row_bytes=1)
+    store_io.write_batch_partition(df, 1, out, size_aware=True,
+                                   avg_row_bytes=1)
+    assert widths[0] == 1                     # cold: the guess
+    measured = store_io.observed_row_bytes(out, batch_id=0)
+    assert widths[1] == measured and measured > 1   # warm: reality
+
+
+def test_restarted_process_calibrates_from_disk(spark, tmp_path,
+                                                monkeypatch):
+    """With the in-process cache cleared (a restart), the first write
+    probes the latest on-disk partition instead of trusting the
+    constant."""
+    from transcript_analysis_spark.streaming import store_io
+
+    out = str(tmp_path / "store")
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.lit("x"), 200, "y").alias("text"))
+    store_io.write_batch_partition(df, 0, out, size_aware=True)
+    measured = store_io.observed_row_bytes(out, batch_id=0)
+    store_io._CALIBRATION.pop(out, None)      # simulate restart
+
+    widths = []
+    real = store_io.partitions_for
+
+    def spy(rows, avg_row_bytes=store_io.DEFAULT_ROW_BYTES,
+            target_bytes=store_io.TARGET_PARTITION_BYTES):
+        widths.append(avg_row_bytes)
+        return real(rows, avg_row_bytes, target_bytes)
+
+    monkeypatch.setattr(store_io, "partitions_for", spy)
+    store_io.write_batch_partition(df, 1, out, size_aware=True,
+                                   avg_row_bytes=1)
+    assert widths == [measured]

@@ -58,7 +58,9 @@ def main() -> None:
     if verify:
         args.remove("--verify")
     threshold = 4
-    if args and args[0].isdigit():
+    # The threshold positional only makes sense with --verify; without
+    # it a digits-only sf_dir argument would be silently eaten here.
+    if verify and args and args[0].isdigit():
         threshold = int(args.pop(0))
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
 

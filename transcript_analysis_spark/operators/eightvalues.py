@@ -326,7 +326,7 @@ def calibration_report(answers: DataFrame) -> DataFrame:
     0.0 rather than dividing by zero. Driver-sized output (one row
     per model)."""
     from transcript_analysis_spark.functions.rounding import (
-        spark_round_ratio)
+        spark_round_ratio, spark_round_ratio_wide)
 
     def mode_sum(mode: str) -> F.Column:
         return F.sum(F.when(F.col("mode") == mode, F.col("answer"))
@@ -364,9 +364,15 @@ def calibration_report(answers: DataFrame) -> DataFrame:
               spark_round_ratio("-against_sum", "against_n", 4))
         .when(F.col("against_n") == 0,
               spark_round_ratio("for_sum", "for_n", 4))
-        .otherwise(spark_round_ratio(
-            "for_sum * against_n - against_sum * for_n",
-            "for_n * against_n", 4)))
+        .otherwise(spark_round_ratio_wide(
+            # Cross-multiplied products can exceed int64 once per-mode
+            # answer counts reach ~1e7 (5*n^2*2e4 > 9.2e18); run the
+            # whole rational in DECIMAL(38,0) per the rounding module's
+            # caller contract (first factor cast wide so the multiply
+            # itself is 128-bit).
+            "cast(for_sum as decimal(38,0)) * against_n"
+            " - cast(against_sum as decimal(38,0)) * for_n",
+            "cast(for_n as decimal(38,0)) * against_n", 4)))
 
     return per.select(
         "model", "n_answers", "n_refused",

@@ -261,6 +261,12 @@ def find_islands_multi(df: DataFrame,
     distinct (duplicates would duplicate islands)."""
     if not configs:
         raise ValueError("find_islands_multi needs at least one config")
+    if len(set(configs)) != len(configs):
+        # A duplicated (threshold, min_len) would emit duplicate island
+        # rows, and the sweep pick logic (recommendation_from_sweep /
+        # recommend_island_threshold) relies on distinct config keys
+        # for its "exactly one row matches the max" invariant.
+        raise ValueError("find_islands_multi configs must be distinct")
     labeled = []
     for i, (t, m) in enumerate(configs):
         df, arr = _island_array_parts(df, f"isl{i}", score_col,

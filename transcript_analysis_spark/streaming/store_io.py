@@ -25,6 +25,8 @@ batch (r8 advice item).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,8 +37,48 @@ TARGET_PARTITION_BYTES = 128 * 1024 * 1024
 
 # Conservative default estimate of on-disk bytes per row for the
 # stores' narrow schemas (ids + a few numerics). Overestimating only
-# makes files smaller than target, never a single-task funnel.
+# makes files smaller than target, never a single-task funnel. The
+# constant is only the COLD estimate: once a store has landed one
+# size-aware batch, `observed_row_bytes` reads the actual bytes/row
+# from the written partition's parquet footers (the same driver-side
+# metadata walk `describe_tables` uses) and every later batch sizes
+# itself from measurement, not the guess (r9 verdict calibration item).
 DEFAULT_ROW_BYTES = 256
+
+# out_dir -> measured bytes/row, fed back after each size-aware write.
+_CALIBRATION: dict[str, int] = {}
+
+
+def observed_row_bytes(out_dir: str,
+                       batch_id: int | None = None) -> int | None:
+    """Measured on-disk bytes/row of ONE batch partition of a store —
+    `batch_id=N` when given, else the highest batch on disk. Parquet
+    footer walk on the driver (no Spark job), bounded by the files of
+    a single partition. Returns None when nothing is readable yet
+    (empty store, remote URI the local walk can't list, zero rows) —
+    callers fall back to their constant estimate, which is exactly the
+    batch-0 behavior."""
+    try:
+        parts = [p for p in os.listdir(out_dir)
+                 if p.startswith("batch_id=")]
+        if batch_id is not None:
+            parts = [p for p in parts
+                     if p == f"batch_id={int(batch_id)}"]
+        if not parts:
+            return None
+        latest = max(parts, key=lambda p: int(p.split("=", 1)[1]))
+        import pyarrow.dataset as pads
+        ds = pads.dataset(os.path.join(out_dir, latest),
+                          format="parquet")
+        n_rows, n_bytes = 0, 0
+        for frag in ds.get_fragments():
+            n_rows += frag.metadata.num_rows
+            n_bytes += ds.filesystem.get_file_info(frag.path).size
+    except Exception:  # noqa: BLE001 - calibration is best-effort
+        return None
+    if n_rows <= 0:
+        return None
+    return max(1, (n_bytes + n_rows - 1) // n_rows)
 
 
 def partitions_for(rows: int, avg_row_bytes: int = DEFAULT_ROW_BYTES,
@@ -64,14 +106,30 @@ def write_batch_partition(df: DataFrame, batch_id: int, out_dir: str,
     matrices). Note `DataFrame.coalesce` only ever reduces: if the
     policy asks for more partitions than the frame has, the existing
     parallelism is kept as-is (never a repartition shuffle).
+
+    Row width for the size policy is CALIBRATED, not guessed: the
+    first size-aware batch of a store uses `avg_row_bytes` (or, on a
+    restarted process, the footer-measured width of the latest
+    partition already on disk); after each write the just-written
+    partition's actual bytes/row is measured and cached, so batch 1+
+    sizes from reality. Misestimation was only ever a file-size skew
+    (never a funnel), but dim-joined rows undershot the 256-byte guess
+    enough to blow past the 128 MB target (r9 advice + verdict items).
     """
     out = df.withColumn("batch_id", F.lit(int(batch_id)))
     if size_aware:
+        width = (_CALIBRATION.get(out_dir)
+                 or observed_row_bytes(out_dir)
+                 or avg_row_bytes)
         out = out.localCheckpoint(eager=True)
-        out = out.coalesce(partitions_for(out.count(), avg_row_bytes))
+        out = out.coalesce(partitions_for(out.count(), width))
     elif coalesce:
         out = out.coalesce(coalesce)
     (out.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id")
      .parquet(out_dir))
+    if size_aware:
+        measured = observed_row_bytes(out_dir, batch_id=int(batch_id))
+        if measured:
+            _CALIBRATION[out_dir] = measured
