@@ -17,6 +17,12 @@ single PASS/FAIL verdict:
    took >=0.5 s fails the gate (the r4->r5 ngram_model_score drift
    would have been caught at commit time). New queries pass
    automatically; sub-0.5 s queries are exempt (pure noise regime).
+5. scan gate: tools/scan_audit.py --gate — every registered query's
+   compiled same-table scan count vs its pinned ceiling
+   (tools/scan_pins.json), plus zero-runtime-reuse detection for the
+   >=4-scan set minus documented exceptions. Catches the multi-scan
+   plan-regression class the r9 exchange-reuse doctrine was built on,
+   mechanically (r9 verdict item 1).
 
 Usage: python tools/release_check.py [sf_dir] [--no-bench-gate]
 (default /root/testdata/sf0.01; bench always runs at
@@ -91,7 +97,7 @@ def main() -> None:
 
     # bench FIRST: a fresh subprocess JVM on a machine nothing else
     # has loaded yet — the controlled number (see module docstring).
-    print("[1/4] bench (cold) ...")
+    print("[1/5] bench (cold) ...")
     b = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        env=env, capture_output=True, text=True)
     bench_lines = [ln for ln in b.stdout.splitlines()
@@ -107,12 +113,12 @@ def main() -> None:
     import __spark_entry__ as e
     n_rows = e.entry(spark).count()
     nq, no = len(e.queries()), len(e.oracle_sql())
-    print(f"[2/4] entry smoke: rows={n_rows} queries={nq} oracles={no}")
+    print(f"[2/5] entry smoke: rows={n_rows} queries={nq} oracles={no}")
     if n_rows <= 0 or no > nq:
         failures.append("entry smoke")
     spark.stop()
 
-    print(f"[3/4] oracle sweep at {sf_dir} ...")
+    print(f"[3/5] oracle sweep at {sf_dir} ...")
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools/check_correctness.py"),
          sf_dir], env=env, capture_output=True, text=True)
@@ -121,7 +127,7 @@ def main() -> None:
     if r.returncode != 0:
         failures.append("oracle sweep")
 
-    print("[4/4] bench regression gate ...")
+    print("[4/5] bench regression gate ...")
     prev = latest_recorded_bench()
     if not gate_enabled:
         print("  (disabled via --no-bench-gate)")
@@ -147,6 +153,16 @@ def main() -> None:
         else:
             print(f"  OK vs {baseline_name}: no query drifted "
                   f"> {BENCH_DRIFT_TOLERANCE:.0%}")
+
+    print("[5/5] scan gate (compiled ceilings + runtime reuse) ...")
+    g = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools/scan_audit.py"),
+         "--gate"], env=env, capture_output=True, text=True)
+    glines = [ln for ln in g.stdout.replace("\r", "\n").splitlines()
+              if "VIOLATION" in ln or "scan gate" in ln or "note:" in ln]
+    print("\n".join(glines[-12:]) if glines else "(no scan-gate output)")
+    if g.returncode != 0:
+        failures.append("scan gate")
 
     if failures:
         print(f"RELEASE CHECK FAILED: {failures}")
