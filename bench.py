@@ -66,6 +66,7 @@ def main() -> None:
 
     queries = {name: q for name, q in all_queries().items() if q.headline}
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, q in sorted(queries.items()):
         # Isolate queries from each other's heap garbage: with 20+
         # headliners in one JVM, later queries inherit the earlier
@@ -76,15 +77,21 @@ def main() -> None:
         spark._jvm.System.gc()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache OS pages)
-        best = None
+        samples = []
         for _ in range(5):  # min-of-5 steady-state runs (shields the
             t0 = time.time()  # metric from one-off system contention;
             # r2->r3 analysis showed single-query wall time swinging
             # 3.1-9.1s under ambient load on an unchanged plan)
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        # per-query spread [min, median, max] (r9 verdict item 4): the
+        # headline stays min-of-5 (backward-comparable), but the record
+        # now carries how noisy each number was, so a +0.2 s "drift"
+        # inside a 0.5 s spread reads as weather, not regression
+        spreads[name] = [round(samples[0], 3), round(samples[2], 3),
+                         round(samples[4], 3)]
 
     cal = calibration_seconds(spark)
     total = round(sum(timings.values()), 3)
@@ -93,6 +100,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query [min, median, max] of the same 5 steady-state runs
+        "queries_spread": spreads,
         "sf": sf_val,
         # machine-speed control (NOT in the total): constant-shape
         # compute job vs its quiet-machine reference — divides out

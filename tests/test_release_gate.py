@@ -38,8 +38,22 @@ def test_gate_catches_subfloor_query_blowing_past_floor():
     assert len(v) == 1 and v[0].startswith("q:")
 
 
+def test_gate_exempts_drift_inside_previous_spread():
+    """A +30% drift that is still within last round's own observed
+    run-to-run [min, median, max] band is weather, not a regression
+    (r9 verdict item 4) — but a drift past the band still trips."""
+    prev = {"q": 1.0}
+    spread = {"q": [1.0, 1.2, 1.4]}
+    assert release_check.bench_regressions(
+        {"q": 1.35}, prev, spread) == []
+    v = release_check.bench_regressions({"q": 1.5}, prev, spread)
+    assert len(v) == 1 and v[0].startswith("q:")
+    # no spread recorded (pre-r10 baseline): plain 25% rule applies
+    assert len(release_check.bench_regressions({"q": 1.35}, prev)) == 1
+
+
 def test_latest_recorded_bench_reads_highest_round():
-    name, sf, queries = release_check.latest_recorded_bench()
+    name, sf, queries, _spread = release_check.latest_recorded_bench()
     assert sf == 0.1          # the driver benches at sf0.1
     assert name.startswith("BENCH_r")
     assert queries and all(isinstance(v, float) for v in queries.values())

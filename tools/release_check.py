@@ -45,9 +45,12 @@ BENCH_DRIFT_TOLERANCE = 0.25   # fail a query >25% slower than last round
 BENCH_GATE_FLOOR_SEC = 0.5     # ignore sub-noise-floor queries
 
 
-def latest_recorded_bench() -> tuple[str, object, dict[str, float]] | None:
-    """(filename, recorded sf, per-query seconds) of the highest-round
-    BENCH_r*.json at the repo root, or None if none recorded yet."""
+def latest_recorded_bench() -> tuple[
+        str, object, dict[str, float], dict[str, list[float]]] | None:
+    """(filename, recorded sf, per-query seconds, per-query spread) of
+    the highest-round BENCH_r*.json at the repo root, or None if none
+    recorded yet. Spread ([min, median, max], recorded since r10) is
+    {} for older records."""
     best: tuple[int, str] | None = None
     for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
@@ -64,16 +67,24 @@ def latest_recorded_bench() -> tuple[str, object, dict[str, float]] | None:
         inner = data.get("parsed", data)
         sf = inner.get("sf", data.get("sf"))
         return (os.path.basename(best[1]), sf,
-                dict(inner.get("queries", {})))
+                dict(inner.get("queries", {})),
+                dict(inner.get("queries_spread", {})))
     except (OSError, ValueError, AttributeError):
         return None
 
 
 def bench_regressions(current: dict[str, float],
-                      previous: dict[str, float]) -> list[str]:
+                      previous: dict[str, float],
+                      prev_spread: dict[str, list[float]] | None = None
+                      ) -> list[str]:
     """Human-readable violation list: queries >=BENCH_GATE_FLOOR_SEC
-    that drifted more than BENCH_DRIFT_TOLERANCE past last round."""
+    that drifted more than BENCH_DRIFT_TOLERANCE past last round AND
+    past the previous record's own run-to-run spread (when recorded) —
+    a "regression" still inside last round's observed max is weather,
+    not a plan change (r9 verdict item 4: the only flagged drifts in
+    two rounds were sub-0.3 s noise on code-untouched queries)."""
     out = []
+    prev_spread = prev_spread or {}
     for name, now in sorted(current.items()):
         then = previous.get(name)
         if then is None:
@@ -82,9 +93,13 @@ def bench_regressions(current: dict[str, float],
         # a 0.4s query blowing up to 30s must still trip the gate
         if then < BENCH_GATE_FLOOR_SEC and now < BENCH_GATE_FLOOR_SEC:
             continue
-        if now > then * (1.0 + BENCH_DRIFT_TOLERANCE):
-            out.append(f"{name}: {then:.3f}s -> {now:.3f}s "
-                       f"(+{(now / then - 1) * 100:.0f}%)")
+        if now <= then * (1.0 + BENCH_DRIFT_TOLERANCE):
+            continue
+        spread = prev_spread.get(name)
+        if spread and len(spread) == 3 and now <= spread[2]:
+            continue  # inside last round's observed run-to-run band
+        out.append(f"{name}: {then:.3f}s -> {now:.3f}s "
+                   f"(+{(now / then - 1) * 100:.0f}%)")
     return out
 
 
@@ -140,9 +155,9 @@ def main() -> None:
               f"this run at sf={json.loads(bench_lines[-1]).get('sf')} — "
               f"times are not comparable)")
     else:
-        baseline_name, _sf, prev_q = prev
+        baseline_name, _sf, prev_q, prev_spread = prev
         cur_q = json.loads(bench_lines[-1]).get("queries", {})
-        violations = bench_regressions(cur_q, prev_q)
+        violations = bench_regressions(cur_q, prev_q, prev_spread)
         if violations:
             print(f"  REGRESSIONS vs {baseline_name} "
                   f"(> {BENCH_DRIFT_TOLERANCE:.0%} on >= "
