@@ -186,6 +186,7 @@ def test_latest_view_invariant_under_random_delivery_histories(spark, tmp_path):
         for _ in range(3):
             chosen = rng.sample(ids, k=rng.randint(3, 10))
             histories.append(chosen)
+        batch_rows = []
         for bid, docs_in_batch in enumerate(histories):
             rows = []
             for d in docs_in_batch:
@@ -198,6 +199,7 @@ def test_latest_view_invariant_under_random_delivery_histories(spark, tmp_path):
                         rng.shuffle(w)
                         current[d] = " ".join(w)
                 rows.append((d, current[d]))
+            batch_rows.append(rows)
             bdf = spark.createDataFrame(rows, "doc_id long, text string")
             foreach_batch_islands(bdf, bid, idir)
 
@@ -208,3 +210,60 @@ def test_latest_view_invariant_under_random_delivery_histories(spark, tmp_path):
         for through in (0, 2):
             compact_islands_store(spark, idir, through=through)
             assert _rows(read_islands_latest(spark, idir)) == want
+            # crash-redelivery of a random batch at-or-below the
+            # compacted watermark, with that batch's ORIGINAL texts
+            # (r9 verdict item 5) — invariant must survive, and a
+            # repeat compaction must re-converge
+            replay = rng.randint(0, through)
+            foreach_batch_islands(
+                spark.createDataFrame(batch_rows[replay],
+                                      "doc_id long, text string"),
+                replay, idir)
+            assert _rows(read_islands_latest(spark, idir)) == want
+            compact_islands_store(spark, idir, through=through)
+            assert _rows(read_islands_latest(spark, idir)) == want
+
+
+def test_redelivery_below_compacted_watermark_is_harmless(spark, tmp_path):
+    """Crash-redelivery AFTER compaction (r9 verdict item 5): an
+    already-superseded batch replayed at-or-below the compacted
+    `through` rewrites its own partition — resurfacing superseded
+    generations in the RAW store — but the latest view must be
+    byte-for-byte unchanged, and a repeat compaction must drop the
+    resurfaced rows again, converging to the same survivor set.
+    Reference analog: the at-least-once redelivery tolerance of
+    `island_worker.py:72-99` (a claimed-then-crashed task re-runs)."""
+    from transcript_analysis_spark.streaming.islands_store import (
+        compact_islands_store, deliveries_dir_of, read_islands_latest)
+
+    idir = str(tmp_path / "islands")
+    ddir = deliveries_dir_of(idir)
+    docs = _docs(spark)
+    foreach_batch_islands(docs, 0, idir)
+    revised = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("revision "), F.col("text")))
+         .otherwise(F.lit("stub")).alias("text"))
+    foreach_batch_islands(revised, 1, idir)
+    compact_islands_store(spark, idir, through=1)
+    want = _rows(read_islands_latest(spark, idir))
+    raw_before = spark.read.parquet(idir).count()
+
+    # crash-redelivery of the ORIGINAL batch 0, below the watermark
+    foreach_batch_islands(docs, 0, idir)
+    assert _rows(read_islands_latest(spark, idir)) == want
+    # the raw store really did resurface generation 0 (the test bites)
+    assert spark.read.parquet(idir).count() > raw_before
+
+    # repeat compaction at the SAME watermark drops the resurfaced
+    # superseded rows again and leaves the latest view intact
+    dropped = compact_islands_store(spark, idir, through=1)
+    assert dropped[idir] > 0
+    assert dropped[ddir] > 0
+    assert _rows(read_islands_latest(spark, idir)) == want
+    assert spark.read.parquet(idir).count() == raw_before
+
+    # fixed point: a third compaction finds nothing left to drop
+    assert compact_islands_store(spark, idir, through=1) == \
+        {idir: 0, ddir: 0}

@@ -15,7 +15,10 @@ headline equivalences at that scale:
   4. (new r9) latest-wins re-score: a doc subset re-delivered with
      REVISED text in a later, out-of-order batch — the latest view
      must equal the flagship over the FINAL texts, before and after
-     the upsert-correct compaction.
+     the upsert-correct compaction;
+  5. (new r10) crash-redelivery of a superseded batch BELOW the
+     already-compacted watermark: latest view unchanged, repeat
+     compaction drops the resurfaced generation and re-converges.
 
 Usage: PYTHONPATH=/root/repo python tools/pipeline_probe.py \
            [sf_dir] [n_batches]
@@ -153,6 +156,29 @@ def main() -> int:
         rescore_compact_ok = got2 == want
         rescore_s = round(time.monotonic() - t0, 3)
 
+        # equivalence 5 (new r10): crash-redelivery BELOW the
+        # already-compacted watermark — replay batch 0 with its
+        # ORIGINAL texts (at-least-once delivery after a compaction,
+        # the reference's island_worker.py:72-99 tolerance). The
+        # superseded generation resurfaces in the raw store, but the
+        # latest view must be unchanged and a repeat compaction must
+        # drop the resurfaced rows and re-converge to a fixed point.
+        t0 = time.monotonic()
+        raw_before = spark.read.parquet(stores.islands_dir).count()
+        foreach_batch_islands(
+            docs.filter(F.col("doc_id") < step).select("doc_id", "text"),
+            0, stores.islands_dir)
+        replay_latest_ok = sorted(map(tuple, read_islands_latest(
+            spark, stores.islands_dir).collect())) == want
+        redropped = compact_islands_store(spark, stores.islands_dir,
+                                          through=n_batches)
+        replay_compact_ok = (
+            sorted(map(tuple, read_islands_latest(
+                spark, stores.islands_dir).collect())) == want
+            and spark.read.parquet(stores.islands_dir).count()
+            == raw_before)
+        replay_s = round(time.monotonic() - t0, 3)
+
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "n_batches": n_batches,
            "init_sec": init_s, "batch_secs": batch_secs,
            "total_stream_sec": round(sum(batch_secs), 3),
@@ -166,11 +192,16 @@ def main() -> int:
            "rescore_sec": rescore_s,
            "rescore_latest_equals_flagship": rescore_ok,
            "rescore_compaction_lossless": rescore_compact_ok,
-           "rescore_rows_dropped": sum(dropped.values())}
+           "rescore_rows_dropped": sum(dropped.values()),
+           "replay_sec": replay_s,
+           "replay_below_watermark_latest_ok": replay_latest_ok,
+           "replay_recompaction_converges": replay_compact_ok,
+           "replay_rows_redropped": sum(redropped.values())}
     print(json.dumps(out))
     return 0 if (kept_ok and sample_ok and islands_ok and consistent_ok
                  and compaction_ok and rescore_ok
-                 and rescore_compact_ok) else 1
+                 and rescore_compact_ok and replay_latest_ok
+                 and replay_compact_ok) else 1
 
 
 if __name__ == "__main__":
