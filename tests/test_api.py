@@ -343,3 +343,42 @@ def test_island_threshold_recommendation_scaffold(engine):
     assert (rec.threshold, rec.min_len) == (best.threshold, best.min_len)
     # the widest config's coverage is exactly 1
     assert max(r.coverage for r in rows) == 1.0
+
+
+def test_island_judged_recommendation_matches_facade_on_fixture(engine):
+    """The r10 registered judged-precision query and the api facade
+    must be the SAME decision path (one shared core): feeding the
+    facade a judgment store holding exactly the registered query's
+    deterministic fixture rows reproduces the registered output row
+    for row — so the driver hash-checking the query checks the
+    facade's whole logic except the parquet read."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.plans.domain import (
+        _JUDGED_FIXTURE_CONFIG, _JUDGED_FIXTURE_REAL_BAR,
+        sweep_islands_multi)
+
+    got = sorted(map(tuple, engine.query(
+        "island_judged_recommendation").collect()))
+    assert len(got) == 4
+    assert sum(1 for r in got if r[-1]) == 1        # exactly one chosen
+
+    t, m = _JUDGED_FIXTURE_CONFIG
+    fixture = (
+        sweep_islands_multi(engine.spark, engine.sf_dir)
+        .filter((F.col("threshold") == float(t))
+                & (F.col("min_len") == int(m)))
+        .filter((F.col("doc_id") * 31 + F.col("model_id") * 7
+                 + F.col("start_index")) % 3 == 0)
+        .select("doc_id", "model_id", "start_index",
+                (F.col("average_score")
+                 >= float(_JUDGED_FIXTURE_REAL_BAR)).alias("is_real")))
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/judgments"
+        engine.record_island_judgments(fixture, path)
+        want = sorted(map(tuple,
+                          engine.recommend_island_threshold(path)
+                          .collect()))
+    assert got == want

@@ -632,74 +632,27 @@ class TranscriptEngine:
         """Close the ROADMAP Workstream-2 tuning loop: pick the sweep
         config that maximizes AUDITED precision at acceptable span
         coverage (>= 50% of the widest config's span), strictest
-        config on ties. Each recorded judgment — keyed on the island
-        the reviewer actually saw — labels, per config, the config
-        island (same doc, model) whose span contains the judged
-        island's start; per-config precision is the share of those
-        labels that are is_real. Configs nobody has judged rank below
-        any judged config. The data-only scaffold (coverage +
-        score-proxy pick) is the registered, oracle-checked
-        `island_threshold_recommendation`; this facade swaps the proxy
-        for judged reality, which is not SQL-derivable (it depends on
-        the judgment store's upsert history)."""
+        config on ties; configs nobody has judged rank below any
+        judged config. The whole decision path — containing-island
+        attribution, coverage floor, pick rule — is the shared
+        `plans.domain.judged_recommendation_from` core, which the
+        registered `island_judged_recommendation` runs against a
+        deterministic fixture under the driver's oracle hash (r9
+        verdict item 6); this facade only swaps the fixture for the
+        judgment store's rows, so the facade and the oracle-checked
+        query cannot drift. ONE smoothing pass serves the matching
+        AND the coverage annotation (the config-labeled island
+        frame's shared checkpoint)."""
         from pyspark.sql import functions as F
 
-        from transcript_analysis_spark.functions.rounding import (
-            spark_round_ratio)
         from transcript_analysis_spark.plans.domain import (
-            ISLAND_COVERAGE_FLOOR_E6, recommendation_from_sweep,
-            sweep_islands_multi, sweep_table_from_islands)
+            judged_recommendation_from, sweep_islands_multi)
 
         j = (self.spark.read.parquet(judgments_path)
              .select("doc_id", "model_id",
                      F.col("start_index").alias("j_start"), "is_real"))
-        # ONE smoothing pass serves everything below: the config-
-        # labeled island frame's shared checkpoint feeds the judgment
-        # matching AND (via sweep_table/recommendation) the coverage
-        # annotation — calling the registered recommendation query
-        # here instead would re-derive the corpus scan a second (and
-        # third) time. The matching itself is ONE join carrying the
-        # config columns, not |configs| joins.
-        im = sweep_islands_multi(self.spark, self.sf_dir)
-        f = im.alias("f")
-        matched = f.join(
-            j.alias("j"),
-            (F.col("f.doc_id") == F.col("j.doc_id"))
-            & (F.col("f.model_id") == F.col("j.model_id"))
-            & (F.col("j.j_start") >= F.col("f.start_index"))
-            & (F.col("j.j_start") <= F.col("f.end_index")))
-        judged = matched.groupBy("threshold", "min_len").agg(
-            F.count(F.lit(1)).cast("long").alias("n_judged"),
-            F.sum(F.when(F.col("is_real"), 1).otherwise(0))
-             .cast("long").alias("n_real"))
-
-        base = recommendation_from_sweep(
-            sweep_table_from_islands(self.spark, im)).select(
-            "threshold", "min_len", "coverage")
-        # left join + zero-fill: a config judged nowhere must still
-        # emit its row (the grouped aggregate has no row for it)
-        full = base.join(judged, ["threshold", "min_len"], "left") \
-            .withColumns({
-                "n_judged": F.coalesce("n_judged", F.lit(0)).cast("long"),
-                "n_real": F.coalesce("n_real", F.lit(0)).cast("long")})
-        qualifies = (F.col("coverage")
-                     >= ISLAND_COVERAGE_FLOOR_E6 / 1_000_000.0)
-        prec = F.when(F.col("n_judged") == 0, F.lit(0.0)).otherwise(
-            spark_round_ratio("n_real", "n_judged", 4))
-        # the pick as a broadcast agg-max compare (the repo's
-        # no-unpartitioned-window discipline; keys distinct via
-        # threshold, so exactly one row matches)
-        rank_key = F.struct(
-            F.when(qualifies, 1).otherwise(0).alias("q"),
-            F.when(F.col("n_judged") > 0, 1).otherwise(0).alias("j"),
-            prec.alias("p"),
-            F.col("threshold").alias("t"),
-            F.col("min_len").alias("l"))
-        best = full.agg(F.max(rank_key).alias("best_key"))
-        return full.crossJoin(F.broadcast(best)).select(
-            "threshold", "min_len", "coverage", "n_judged", "n_real",
-            prec.alias("judged_precision"),
-            (rank_key == F.col("best_key")).alias("chosen"))
+        return judged_recommendation_from(
+            self.spark, sweep_islands_multi(self.spark, self.sf_dir), j)
 
     def describe_catalog(self) -> DataFrame:
         """Per-table schema, exact footer row counts, and file layout

@@ -1391,6 +1391,197 @@ def _register_island_recommendation() -> None:
 
 _register_island_recommendation()
 
+# Deterministic judgment fixture for the registered judged-precision
+# pick: a pseudo-reviewed sample of the FLAGSHIP config's islands
+# (every third by the audit hash), labeled real iff the island's mean
+# score clears this bar. Emulates the shape api.record_island_judgments
+# persists, from data both engines can derive.
+_JUDGED_FIXTURE_CONFIG = (isl.DEFAULT_THRESHOLD,
+                          isl.DEFAULT_MIN_ISLAND_LENGTH)
+_JUDGED_FIXTURE_REAL_BAR = 0.75
+
+
+def judged_recommendation_from(spark: SparkSession,
+                               islands_multi: DataFrame,
+                               judgments: DataFrame) -> DataFrame:
+    """Per-config JUDGED precision pick over a config-labeled island
+    frame — the core of the reference ROADMAP Workstream-2 loop
+    ("precision QA — gates everything", ROADMAP.md:34-39): each
+    judgment, keyed on the island the reviewer actually saw, labels
+    per config the island (same doc, model) whose span CONTAINS the
+    judged island's start; per-config precision is the share of those
+    labels that are is_real; the chosen config is the
+    highest-precision one among those keeping >= 50% of the widest
+    config's span, judged configs outranking unjudged, strictest on
+    ties. Shared by the registered `island_judged_recommendation`
+    (deterministic fixture judgments, oracle-checked) and
+    `api.recommend_island_threshold` (judgments from the parquet
+    store) so the two cannot drift.
+
+    `judgments` columns: doc_id, model_id, j_start, is_real. ONE
+    smoothing pass serves everything: the matching and the coverage
+    annotation both read `islands_multi`'s shared checkpoint. The
+    matching is ONE join carrying the config columns, not |configs|
+    joins; the pick is a broadcast agg-max compare (the repo's
+    no-unpartitioned-window discipline)."""
+    f = islands_multi.alias("f")
+    matched = f.join(
+        judgments.alias("j"),
+        (F.col("f.doc_id") == F.col("j.doc_id"))
+        & (F.col("f.model_id") == F.col("j.model_id"))
+        & (F.col("j.j_start") >= F.col("f.start_index"))
+        & (F.col("j.j_start") <= F.col("f.end_index")))
+    judged = matched.groupBy("threshold", "min_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_judged"),
+        F.sum(F.when(F.col("is_real"), 1).otherwise(0))
+         .cast("long").alias("n_real"))
+
+    base = recommendation_from_sweep(
+        sweep_table_from_islands(spark, islands_multi)).select(
+        "threshold", "min_len", "coverage")
+    # left join + zero-fill: a config judged nowhere must still
+    # emit its row (the grouped aggregate has no row for it)
+    full = base.join(judged, ["threshold", "min_len"], "left") \
+        .withColumns({
+            "n_judged": F.coalesce("n_judged", F.lit(0)).cast("long"),
+            "n_real": F.coalesce("n_real", F.lit(0)).cast("long")})
+    qualifies = (F.col("coverage")
+                 >= ISLAND_COVERAGE_FLOOR_E6 / 1_000_000.0)
+    prec = F.when(F.col("n_judged") == 0, F.lit(0.0)).otherwise(
+        spark_round_ratio("n_real", "n_judged", 4))
+    rank_key = F.struct(
+        F.when(qualifies, 1).otherwise(0).alias("q"),
+        F.when(F.col("n_judged") > 0, 1).otherwise(0).alias("j"),
+        prec.alias("p"),
+        F.col("threshold").alias("t"),
+        F.col("min_len").alias("l"))
+    best = full.agg(F.max(rank_key).alias("best_key"))
+    return full.crossJoin(F.broadcast(best)).select(
+        "threshold", "min_len", "coverage", "n_judged", "n_real",
+        prec.alias("judged_precision"),
+        (rank_key == F.col("best_key")).alias("chosen"))
+
+
+def _register_island_judged_recommendation() -> None:
+    from transcript_analysis_spark.functions.rounding import (
+        duck_round_ratio, duck_round_ratio_wide_q)
+
+    ft, fm = _JUDGED_FIXTURE_CONFIG
+    parts = [f"WITH {_TOK_CTE},\n{_RAW_CTE},\n{_norm_ctes(materialized=True)}"]
+    cfg_branches = []
+    for i, (t, m) in enumerate(ISLAND_SWEEP_CONFIGS):
+        # reuse only the f{i}/i{i} CTEs of the sweep scaffold (split
+        # off the a{i} aggregate — the judged pick aggregates from the
+        # materialized union instead, so each i{i} evaluates ONCE)
+        parts.append(_sweep_config_sql(i, t, m).rsplit(",\n    a", 1)[0])
+        cfg_branches.append(
+            f"SELECT CAST({t!r} AS DOUBLE) AS threshold, "
+            f"CAST({m} AS BIGINT) AS min_len, "
+            f"doc_id, model_id, s, e, a FROM i{i}")
+    dim_rows = ", ".join(
+        f"(CAST({t!r} AS DOUBLE), CAST({m} AS BIGINT))"
+        for t, m in ISLAND_SWEEP_CONFIGS)
+    covq = duck_round_ratio_wide_q("total_span", "max_span", 6)
+    precq = duck_round_ratio("n_real", "n_judged", 4)
+    oracle = ",\n".join(parts) + f""",
+    cfg AS MATERIALIZED (
+      {" UNION ALL ".join(cfg_branches)}
+    ),
+    dim AS (SELECT * FROM (VALUES {dim_rows}) AS v(threshold, min_len)),
+    agg AS (
+      SELECT threshold, min_len,
+             CAST(COALESCE(SUM(e - s + 1), 0) AS BIGINT) AS total_span
+      FROM cfg GROUP BY threshold, min_len
+    ),
+    sweep AS (
+      SELECT d.threshold, d.min_len,
+             COALESCE(a.total_span, 0) AS total_span
+      FROM dim d LEFT JOIN agg a
+        ON a.threshold = d.threshold AND a.min_len = d.min_len
+    ),
+    ext AS (SELECT *, MAX(total_span) OVER () AS max_span FROM sweep),
+    cov AS (
+      SELECT threshold, min_len,
+             CASE WHEN max_span = 0 THEN CAST(0 AS BIGINT)
+                  ELSE {covq} END AS coverage_e6
+      FROM ext
+    ),
+    judgments AS MATERIALIZED (
+      SELECT doc_id, model_id, s AS j_start,
+             (a >= CAST({_JUDGED_FIXTURE_REAL_BAR!r} AS DOUBLE)) AS is_real
+      FROM cfg
+      WHERE threshold = CAST({ft!r} AS DOUBLE) AND min_len = {fm}
+        AND (doc_id * 31 + model_id * 7 + s) % 3 = 0
+    ),
+    matched AS (
+      SELECT c.threshold, c.min_len, j.is_real
+      FROM cfg c JOIN judgments j
+        ON j.doc_id = c.doc_id AND j.model_id = c.model_id
+       AND j.j_start >= c.s AND j.j_start <= c.e
+    ),
+    judged AS (
+      SELECT threshold, min_len,
+             CAST(COUNT(*) AS BIGINT) AS n_judged,
+             CAST(SUM(CASE WHEN is_real THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_real
+      FROM matched GROUP BY threshold, min_len
+    ),
+    fullt AS (
+      SELECT v.threshold, v.min_len, v.coverage_e6,
+             CAST(v.coverage_e6 AS DOUBLE) / 1000000 AS coverage,
+             COALESCE(g.n_judged, CAST(0 AS BIGINT)) AS n_judged,
+             COALESCE(g.n_real, CAST(0 AS BIGINT)) AS n_real
+      FROM cov v LEFT JOIN judged g
+        ON g.threshold = v.threshold AND g.min_len = v.min_len
+    )
+    SELECT threshold, min_len, coverage, n_judged, n_real,
+           CASE WHEN n_judged = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE {precq} END AS judged_precision,
+           (ROW_NUMBER() OVER (ORDER BY
+              CASE WHEN coverage_e6 >= {ISLAND_COVERAGE_FLOOR_E6}
+                   THEN 1 ELSE 0 END DESC,
+              CASE WHEN n_judged > 0 THEN 1 ELSE 0 END DESC,
+              CASE WHEN n_judged = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE {precq} END DESC,
+              threshold DESC, min_len DESC) = 1) AS chosen
+    FROM fullt
+    """
+
+    @register(
+        "island_judged_recommendation",
+        oracle=oracle,
+        tags=("islands", "tuning", "decision"),
+    )
+    def island_judged_recommendation(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+        """The judged-precision half of the ROADMAP Workstream-2
+        tuning loop as a registered, oracle-checked query (r9 verdict
+        item 6): per sweep config, the precision of a deterministic
+        judgment fixture (a pseudo-reviewed hash-sample of the
+        flagship config's islands, real iff mean score >= 0.75)
+        attributed by containing-island matching, with the same
+        coverage floor and pick rule `api.recommend_island_threshold`
+        applies to HUMAN judgments — the facade delegates to the same
+        `judged_recommendation_from` core, so the driver hash-checking
+        this query checks the facade's whole decision path except the
+        parquet read. Output: |configs| rows, exactly one chosen."""
+        im = sweep_islands_multi(spark, sf_dir)
+        t, m = _JUDGED_FIXTURE_CONFIG
+        fixture = (
+            im.filter((F.col("threshold") == float(t))
+                      & (F.col("min_len") == int(m)))
+            .filter((F.col("doc_id") * 31 + F.col("model_id") * 7
+                     + F.col("start_index")) % 3 == 0)
+            .select("doc_id", "model_id",
+                    F.col("start_index").alias("j_start"),
+                    (F.col("average_score")
+                     >= float(_JUDGED_FIXTURE_REAL_BAR))
+                    .alias("is_real")))
+        return judged_recommendation_from(spark, im, fixture)
+
+
+_register_island_judged_recommendation()
+
 
 @register(
     "island_audit_sample",
