@@ -89,6 +89,14 @@ CHECK_FAMILY = [
     # exactly the wide-rational regime: both numerators grow with the
     # corpus and pass through DECIMAL(38,0)/HUGEINT algebra
     "island_threshold_recommendation",
+    # r10 (r9 verdict item 7): the two r9 structural rewrites not yet
+    # in the sweep — fourgram's single (order,key) grouped count sums
+    # 1e9-prescaled log-probs over every 4-gram (the wide-integer
+    # regime the one-hash-pass rewrite routes through), and
+    # lm_backoff_eval's pinned model tables feed the same prescaled
+    # per-token sums
+    "fourgram_model_score",
+    "lm_backoff_eval",
 ]
 
 
