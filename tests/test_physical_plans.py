@@ -483,3 +483,17 @@ def test_island_threshold_recommendation_driver_sized_tail(spark):
     assert "FileScan parquet" not in plan, plan
     # both single-row compare frames must come in as broadcasts
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_island_judged_recommendation_plan_shape(spark):
+    """The r10 judged-precision pick: the fixture, the matching, and
+    the coverage annotation all read the ONE smoothing checkpoint —
+    no parquet re-scan, no cartesian product, no Python eval; the
+    judgment match is a plain join (the containment condition rides
+    on the doc/model equi-keys), and the global pick stays the
+    broadcast agg-max compare discipline."""
+    plan = plan_of(_q(spark, "island_judged_recommendation"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FileScan parquet" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
