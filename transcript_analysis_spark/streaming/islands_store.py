@@ -174,9 +174,14 @@ def compact_islands_store(spark: SparkSession, islands_dir: str,
         # history — at 100 TB that is billions of rows, so the write
         # fan-out must scale with it (the already-computed count feeds
         # the shared policy; a one-task coalesce(1) here was the r8
-        # verdict's scale blemish).
+        # verdict's scale blemish). Row width comes from the store's
+        # own footers when readable (r10 calibration), else the
+        # constant estimate.
+        from transcript_analysis_spark.streaming.store_io import (
+            observed_row_bytes)
         write_and_swap(
-            keep.coalesce(partitions_for(n_keep, row_bytes))
+            keep.coalesce(partitions_for(
+                n_keep, observed_row_bytes(d) or row_bytes))
             .unionByName(recent), d, partition_by=["batch_id"])
         out[d] = n_dropped
     return out

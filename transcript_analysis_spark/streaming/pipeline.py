@@ -392,11 +392,17 @@ def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
         n = old.count()
         if n == 0:
             continue
+        # row width from the store's OWN footers (r10 calibration),
+        # falling back to the shared default for unreadable layouts
+        from transcript_analysis_spark.streaming.store_io import (
+            DEFAULT_ROW_BYTES, observed_row_bytes)
         collapsed = (old.drop("batch_id")
                      .withColumn("batch_id", F.lit(int(through)))
                      .coalesce(coalesce
                                if coalesce is not None
-                               else partitions_for(n)))
+                               else partitions_for(
+                                   n, observed_row_bytes(d)
+                                   or DEFAULT_ROW_BYTES)))
         recent = df.filter(F.col("batch_id") > through)
         write_and_swap(collapsed.unionByName(recent), d,
                        partition_by=["batch_id"])
