@@ -116,3 +116,12 @@ def test_isotropy_repair_residuals_golden(spark):
     n, d = _fingerprint(_q(spark, "isotropy_repair_residuals"))
     assert (n, d) == (500, "f04a3d91dfbe3e1c"), (
         f"isotropy repair drifted: ({n}, {d!r})")
+
+
+def test_island_judged_recommendation_golden(spark):
+    # r10: the judged-precision pick — fixture precisions 0.4614 /
+    # 0.4614 / 0.359 / 0.0 (the 0.5-vs-0.6 tie exercises the
+    # threshold-DESC tie-break), chosen = (0.6, 8)
+    n, d = _fingerprint(_q(spark, "island_judged_recommendation"))
+    assert (n, d) == (4, "6a2821f038130ace"), (
+        f"judged recommendation drifted: ({n}, {d!r})")
