@@ -361,3 +361,37 @@ def test_stream_stream_outer_join_flushes_unmatched_at_watermark(
     assert got == exp
     assert any(c is None for _, _, c in got), \
         "expected at least one unmatched (NULL-click) purchase"
+
+
+def test_foreach_batch_enrich_sizes_estimate_from_dim_width(
+        spark, tmp_path, monkeypatch):
+    """The cold (batch-0) row-width estimate grows with the joined dim
+    schema — the r9 advice item: enriched rows carry the event PLUS
+    the dim columns, so the bare store default undershoots."""
+    from transcript_analysis_spark.streaming import store_io, windows
+
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "bronze", "x", "y")],
+        "user_id long, tier string, seg string, region string") \
+        .write.parquet(dim_dir)
+
+    seen = {}
+    real = store_io.write_batch_partition
+
+    def spy(df, batch_id, out_dir, **kw):
+        seen.update(kw)
+        real(df, batch_id, out_dir, **kw)
+
+    monkeypatch.setattr(windows, "write_batch_partition", spy,
+                        raising=False)
+    # foreach_batch_enrich imports the function inside its body, so
+    # patch it at the source module
+    monkeypatch.setattr(store_io, "write_batch_partition", spy)
+    b0 = spark.createDataFrame([(100, 1)],
+                               "event_id long, user_id long")
+    windows.foreach_batch_enrich(b0, 0, dim_dir,
+                                 str(tmp_path / "out"))
+    # 4-column dim: default + 3 joined columns x 32 B
+    assert seen["avg_row_bytes"] == store_io.DEFAULT_ROW_BYTES + 96
+    assert seen["size_aware"] is True
