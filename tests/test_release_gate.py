@@ -50,6 +50,15 @@ def test_gate_exempts_drift_inside_previous_spread():
     assert len(v) == 1 and v[0].startswith("q:")
     # no spread recorded (pre-r10 baseline): plain 25% rule applies
     assert len(release_check.bench_regressions({"q": 1.35}, prev)) == 1
+    # the band exemption is CAPPED at 2x: one contention-inflated
+    # max-of-5 sample (here 9.1 on a 3.1s query — the documented
+    # r2->r3 ambient swing) must not license a real 2.6x regression
+    wild = {"q": [3.1, 3.3, 9.1]}
+    v = release_check.bench_regressions({"q": 8.0}, {"q": 3.1}, wild)
+    assert len(v) == 1 and v[0].startswith("q:")
+    # ...while a genuine in-band wobble under the cap still passes
+    assert release_check.bench_regressions(
+        {"q": 4.4}, {"q": 3.1}, wild) == []
 
 
 def test_latest_recorded_bench_reads_highest_round():

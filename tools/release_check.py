@@ -96,7 +96,12 @@ def bench_regressions(current: dict[str, float],
         if now <= then * (1.0 + BENCH_DRIFT_TOLERANCE):
             continue
         spread = prev_spread.get(name)
-        if spread and len(spread) == 3 and now <= spread[2]:
+        # the band exemption is CAPPED at 2x the baseline: one
+        # contention-inflated max-of-5 sample in the record must not
+        # become a license for a real 2x+ regression (nor mask a
+        # sub-floor query blowing up)
+        if (spread and len(spread) == 3 and now <= spread[2]
+                and now <= then * 2.0):
             continue  # inside last round's observed run-to-run band
         out.append(f"{name}: {then:.3f}s -> {now:.3f}s "
                    f"(+{(now / then - 1) * 100:.0f}%)")
@@ -172,7 +177,7 @@ def main() -> None:
     print("[5/5] scan gate (compiled ceilings + runtime reuse) ...")
     g = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools/scan_audit.py"),
-         "--gate"], env=env, capture_output=True, text=True)
+         "--gate", sf_dir], env=env, capture_output=True, text=True)
     glines = [ln for ln in g.stdout.replace("\r", "\n").splitlines()
               if "VIOLATION" in ln or "scan gate" in ln or "note:" in ln]
     print("\n".join(glines[-12:]) if glines else "(no scan-gate output)")

@@ -130,6 +130,7 @@ def gate(spark, sf_dir: str) -> list[str]:
                 f"exceeds pinned ceiling {ceiling} ({counts}) — a new "
                 f"multi-scan shape; measure it (sf0.1 A/B, see the "
                 f"doctrine) and either fix the plan or re-pin")
+            continue  # already failing; don't also execute it
         elif name in pins and peak < ceiling:
             # improvement, not a failure — but surface the slack so
             # explicit pins ratchet down instead of rotting (the

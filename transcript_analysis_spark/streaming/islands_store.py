@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from transcript_analysis_spark.plans.domain import islands_from_docs
 from transcript_analysis_spark.streaming.store_io import (
-    partitions_for, write_batch_partition)
+    observed_row_bytes, partitions_for, write_batch_partition)
 
 ISLAND_COLS = ("doc_id", "model_id", "start_index", "end_index",
                "word_start", "word_end", "time_start_sec",
@@ -177,8 +177,6 @@ def compact_islands_store(spark: SparkSession, islands_dir: str,
         # verdict's scale blemish). Row width comes from the store's
         # own footers when readable (r10 calibration), else the
         # constant estimate.
-        from transcript_analysis_spark.streaming.store_io import (
-            observed_row_bytes)
         write_and_swap(
             keep.coalesce(partitions_for(
                 n_keep, observed_row_bytes(d) or row_bytes))

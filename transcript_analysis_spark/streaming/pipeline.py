@@ -94,7 +94,8 @@ from transcript_analysis_spark.streaming.islands_store import (
 from transcript_analysis_spark.streaming.sketch_store import (
     foreach_batch_hll, foreach_batch_sketch)
 from transcript_analysis_spark.streaming.store_io import (
-    partitions_for, write_batch_partition)
+    DEFAULT_ROW_BYTES, observed_row_bytes, partitions_for,
+    write_batch_partition)
 
 DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
@@ -394,8 +395,6 @@ def compact_pipeline_stores(spark: SparkSession, stores: PipelineStores,
             continue
         # row width from the store's OWN footers (r10 calibration),
         # falling back to the shared default for unreadable layouts
-        from transcript_analysis_spark.streaming.store_io import (
-            DEFAULT_ROW_BYTES, observed_row_bytes)
         collapsed = (old.drop("batch_id")
                      .withColumn("batch_id", F.lit(int(through)))
                      .coalesce(coalesce
