@@ -61,8 +61,26 @@ def test_gate_exempts_drift_inside_previous_spread():
         {"q": 4.4}, {"q": 3.1}, wild) == []
 
 
+def test_drift_factor_normalizes_machine_state():
+    """Both records carry the calibration row; the gate compares in
+    idle-machine-equivalent seconds (the r8/r9 judges' own
+    methodology). A +33% raw drift that is fully explained by the
+    baseline having run on a faster machine (drift 0.843 vs 0.952)
+    passes; the same raw times with equal drift still fail; a corrupt
+    factor is clamped so it cannot disable the gate."""
+    prev = {"q": 0.962}
+    cur = {"q": 1.283}   # +33% raw — the round-10 ambient case
+    factor = 0.843 / 0.952
+    assert release_check.bench_regressions(cur, prev, None, factor) == []
+    assert len(release_check.bench_regressions(cur, prev, None, 1.0)) == 1
+    # clamp: an absurd factor (corrupt calibration) cannot exempt a 3x
+    assert len(release_check.bench_regressions(
+        {"q": 3.0}, prev, None, 0.01)) == 1
+
+
 def test_latest_recorded_bench_reads_highest_round():
-    name, sf, queries, _spread = release_check.latest_recorded_bench()
+    name, sf, queries, _spread, _drift = \
+        release_check.latest_recorded_bench()
     assert sf == 0.1          # the driver benches at sf0.1
     assert name.startswith("BENCH_r")
     assert queries and all(isinstance(v, float) for v in queries.values())

@@ -46,11 +46,13 @@ BENCH_GATE_FLOOR_SEC = 0.5     # ignore sub-noise-floor queries
 
 
 def latest_recorded_bench() -> tuple[
-        str, object, dict[str, float], dict[str, list[float]]] | None:
-    """(filename, recorded sf, per-query seconds, per-query spread) of
-    the highest-round BENCH_r*.json at the repo root, or None if none
-    recorded yet. Spread ([min, median, max], recorded since r10) is
-    {} for older records."""
+        str, object, dict[str, float], dict[str, list[float]],
+        float | None] | None:
+    """(filename, recorded sf, per-query seconds, per-query spread,
+    machine_drift) of the highest-round BENCH_r*.json at the repo
+    root, or None if none recorded yet. Spread ([min, median, max],
+    recorded since r10) is {} and machine_drift None for records
+    predating those fields."""
     best: tuple[int, str] | None = None
     for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
@@ -68,27 +70,38 @@ def latest_recorded_bench() -> tuple[
         sf = inner.get("sf", data.get("sf"))
         return (os.path.basename(best[1]), sf,
                 dict(inner.get("queries", {})),
-                dict(inner.get("queries_spread", {})))
+                dict(inner.get("queries_spread", {})),
+                inner.get("machine_drift"))
     except (OSError, ValueError, AttributeError):
         return None
 
 
 def bench_regressions(current: dict[str, float],
                       previous: dict[str, float],
-                      prev_spread: dict[str, list[float]] | None = None
-                      ) -> list[str]:
+                      prev_spread: dict[str, list[float]] | None = None,
+                      drift_factor: float = 1.0) -> list[str]:
     """Human-readable violation list: queries >=BENCH_GATE_FLOOR_SEC
     that drifted more than BENCH_DRIFT_TOLERANCE past last round AND
     past the previous record's own run-to-run spread (when recorded) —
     a "regression" still inside last round's observed max is weather,
     not a plan change (r9 verdict item 4: the only flagged drifts in
-    two rounds were sub-0.3 s noise on code-untouched queries)."""
+    two rounds were sub-0.3 s noise on code-untouched queries).
+
+    ``drift_factor`` = baseline machine_drift / current machine_drift:
+    both records carry the constant-shape calibration row, so the two
+    runs are compared in idle-machine-equivalent seconds (now *
+    factor vs then) — the same drift adjustment the r8/r9 judges
+    applied by hand before calling anything a regression. Clamped to
+    [0.5, 2.0] so a corrupt calibration can neither nuke nor disable
+    the gate; 1.0 (no adjustment) when either record lacks the row."""
     out = []
     prev_spread = prev_spread or {}
-    for name, now in sorted(current.items()):
+    factor = min(2.0, max(0.5, drift_factor or 1.0))
+    for name, now_raw in sorted(current.items()):
         then = previous.get(name)
         if then is None:
             continue
+        now = now_raw * factor
         # noise-floor exemption only when BOTH sides are sub-floor —
         # a 0.4s query blowing up to 30s must still trip the gate
         if then < BENCH_GATE_FLOOR_SEC and now < BENCH_GATE_FLOOR_SEC:
@@ -103,8 +116,9 @@ def bench_regressions(current: dict[str, float],
         if (spread and len(spread) == 3 and now <= spread[2]
                 and now <= then * 2.0):
             continue  # inside last round's observed run-to-run band
-        out.append(f"{name}: {then:.3f}s -> {now:.3f}s "
-                   f"(+{(now / then - 1) * 100:.0f}%)")
+        out.append(f"{name}: {then:.3f}s -> {now_raw:.3f}s "
+                   f"(drift-adj {now:.3f}s, "
+                   f"+{(now / then - 1) * 100:.0f}%)")
     return out
 
 
@@ -160,9 +174,17 @@ def main() -> None:
               f"this run at sf={json.loads(bench_lines[-1]).get('sf')} — "
               f"times are not comparable)")
     else:
-        baseline_name, _sf, prev_q, prev_spread = prev
-        cur_q = json.loads(bench_lines[-1]).get("queries", {})
-        violations = bench_regressions(cur_q, prev_q, prev_spread)
+        baseline_name, _sf, prev_q, prev_spread, prev_drift = prev
+        cur = json.loads(bench_lines[-1])
+        cur_q = cur.get("queries", {})
+        cur_drift = cur.get("machine_drift")
+        factor = ((prev_drift / cur_drift)
+                  if prev_drift and cur_drift else 1.0)
+        if factor != 1.0:
+            print(f"  drift adjustment: baseline {prev_drift} / "
+                  f"current {cur_drift} -> factor {factor:.3f}")
+        violations = bench_regressions(cur_q, prev_q, prev_spread,
+                                       factor)
         if violations:
             print(f"  REGRESSIONS vs {baseline_name} "
                   f"(> {BENCH_DRIFT_TOLERANCE:.0%} on >= "
