@@ -97,6 +97,11 @@ CHECK_FAMILY = [
     # per-token sums
     "fourgram_model_score",
     "lm_backoff_eval",
+    # r10 continuation: the judged-precision pick — its containment
+    # match joins a corpus-sized fixture against the config-labeled
+    # island frame (matched-pair counts grow with the corpus), on top
+    # of the same wide coverage_e6 algebra as the recommendation
+    "island_judged_recommendation",
 ]
 
 
