@@ -148,3 +148,24 @@ def test_restarted_process_calibrates_from_disk(spark, tmp_path,
     store_io.write_batch_partition(df, 1, out, size_aware=True,
                                    avg_row_bytes=1)
     assert widths == [measured]
+
+
+def test_observed_row_bytes_sums_multi_file_partitions(spark, tmp_path):
+    """The footer walk must aggregate across ALL part files of the
+    batch partition (a size-aware fan-out writes several)."""
+    from transcript_analysis_spark.streaming import store_io
+
+    out = str(tmp_path / "store")
+    part = os.path.join(out, "batch_id=5")
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.lit("x"), 150, "y").alias("text"),
+        F.lit(5).alias("batch_id"))
+    # force a 3-file partition directly (bypassing the size policy)
+    df.repartition(3).write.mode("overwrite") \
+        .partitionBy("batch_id").parquet(out)
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 3
+    total = sum(os.path.getsize(os.path.join(part, f)) for f in files)
+    assert store_io.observed_row_bytes(out, batch_id=5) == \
+        (total + 299) // 300
