@@ -1,0 +1,77 @@
+"""Differential fuzzer: generator determinism + a fixed seed battery
+run against both engines at sf0.001 (tools/diff_fuzz.py).
+
+The battery seeds are ordinary consecutive integers, not cherry-picked
+winners: every seed in range must hash-match. Wider sweeps run via the
+CLI (seeds 0..400 at sf0.001 and 0..100 at sf0.01 recorded in the
+round notes); this pinned battery keeps the generator and both
+renderers honest on every future change.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from diff_fuzz import BASE_TABLES, TABLE_COLS, gen_query, run_seeds  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_generator_is_deterministic():
+    for seed in range(50):
+        a, b = gen_query(seed), gen_query(seed)
+        assert a.to_sql() == b.to_sql()
+        assert a.tables == b.tables and a.joins == b.joins
+
+
+def test_generator_covers_the_grammar():
+    """Sanity on the seed distribution: joins, groupings, HAVING, NULL
+    injection, and every base table all occur within the battery."""
+    specs = [gen_query(s) for s in range(120)]
+    assert {s.tables[0] for s in specs} == set(BASE_TABLES)
+    assert any(len(s.tables) >= 3 for s in specs)
+    hows = {j[2] for s in specs for j in s.joins}
+    assert hows == {"inner", "left"}
+    assert any(j[3] for s in specs for j in s.joins)  # filtered dim side
+    antis = {sj[2] for s in specs for sj in s.semis}
+    assert antis == {True, False}  # both EXISTS and NOT EXISTS occur
+    for s in specs:  # semi tables never enter the output scope
+        assert not {sj[0] for sj in s.semis} & set(s.tables)
+    assert any(s.having_min is not None for s in specs)
+    assert any("NULLIF" in (s.where or "") or
+               any("NULLIF" in a for a in s.agg_exprs) or
+               any("NULLIF" in g for g in s.group_exprs) for s in specs)
+    assert any(not s.group_exprs for s in specs)
+    assert any(len(s.group_exprs) == 2 for s in specs)
+    limited = [s for s in specs if s.limit is not None]
+    assert limited
+    for s in limited:  # total order: every output column participates
+        assert len(s.order_by) == len(s.group_exprs) + len(s.agg_exprs)
+
+
+def test_catalog_matches_parquet_schemas():
+    """Every column the grammar can reference exists in the test data
+    (a renamed/retyped driver table should fail here, not as a cryptic
+    engine error mid-fuzz)."""
+    import pyarrow.parquet as pq
+    for table, kinds in TABLE_COLS.items():
+        names = set(pq.read_schema(f"{SF}/{table}.parquet").names)
+        for kind, entries in kinds.items():
+            for e in entries:
+                col = e if isinstance(e, str) else e[0]
+                assert col in names, f"{table}.{col} ({kind})"
+
+
+@pytest.mark.parametrize("chunk", range(4))
+def test_seed_battery_matches_duckdb(spark, chunk):
+    """Seeds 0..40 in four chunks: every generated plan must match
+    DuckDB exactly (order-insensitive rows, pandas-dtype-aware)."""
+    seeds = range(chunk * 10, chunk * 10 + 10)
+    failures = run_seeds(seeds, SF, spark=spark, verbose=False)
+    assert not failures, failures

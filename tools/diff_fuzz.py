@@ -1,0 +1,541 @@
+"""Differential query fuzzer — seeded GENERATED plans run on both
+engines (Spark DataFrame API vs DuckDB) and compared exactly.
+
+The 187 hand-written oracles pin every registered operator; this tool
+extends the same discipline to generated coverage: a seeded grammar
+draws typed query specs (FK-join chains incl. LEFT joins with forced
+unmatched rows, correlated EXISTS/NOT EXISTS, filters, grouped exact
+aggregates, HAVING, NULL injection via NULLIF, NULL group keys,
+total-order top-k) over
+the test tables, renders each spec BOTH as a Spark DataFrame program
+and as DuckDB SQL, and compares results with the oracle harness's own
+order-insensitive, pandas-dtype-aware comparator
+(tools/check_correctness.compare). It hunts the class of bug the
+per-query oracles cannot: a semantics divergence (NULL grouping,
+NULLIF typing, CASE branches, join multiplicity, HAVING placement,
+timestamp-literal comparison) sitting in a plan shape no hand-written
+query happens to exercise.
+
+Exact by construction: generated aggregates stay in exact-integer
+territory — counts, COUNT(DISTINCT), integer sums, cents-quantized
+money sums (CAST(ROUND(x*100) AS BIGINT): the *100 product is the
+same IEEE double in both engines and both round ties away from zero),
+and min/max over ints/strings/microsecond timestamps. The only float
+operations are literal comparisons and that quantization, so any
+mismatch is a real divergence, never accumulation noise. events.ts is
+kept out of MIN/MAX outputs (DuckDB preserves nanos where the Spark
+loader floor-truncates to micros — comparisons against whole-second
+literals are unaffected, raw extrema are not).
+
+Scalar expressions are rendered ONCE as SQL text shared verbatim by
+both sides (the dialect subset used is identical); the STRUCTURE
+(scan -> join -> filter -> groupBy -> agg -> having) goes through the
+DataFrame API on the Spark side, so the fuzz also walks the
+API-assembly path the engine's registered plans use.
+
+Usage:
+  python tools/diff_fuzz.py [n_seeds] [sf_dir] [--start K]
+exit 1 on any mismatch; prints each failing seed's SQL for replay.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+from dataclasses import dataclass, field
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (_REPO_ROOT, os.path.join(_REPO_ROOT, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+# --- typed column catalog --------------------------------------------------
+# kinds: int (exact, modulo-friendly), lowint (int with a small known
+# range: safe for =/<= literals and GROUP BY), money (double: literal
+# compares + cents quantization), cat (string with a known value pool),
+# date (microsecond timestamp), nsdate (nanos in duck, micros in spark:
+# predicates/extracts only, never MIN/MAX output).
+
+TABLE_COLS: dict[str, dict[str, list]] = {
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "lowint": [("l_linenumber", 1, 7)],
+        "money": [("l_extendedprice", 900.0, 105000.0),
+                  ("l_quantity", 1.0, 50.0),
+                  ("l_discount", 0.0, 0.1)],
+        "cat": [("l_returnflag", ("A", "N", "R")),
+                ("l_linestatus", ("F", "O"))],
+        "date": [("l_shipdate", 1995, 2001)],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "lowint": [],
+        "money": [("o_totalprice", 1000.0, 500000.0)],
+        "cat": [("o_orderstatus", ("F", "O", "P")),
+                ("o_orderpriority", ("1-URGENT", "2-HIGH", "3-MEDIUM",
+                                     "4-NOT SPECIFIED", "5-LOW"))],
+        "date": [("o_orderdate", 1995, 2001)],
+    },
+    "customer": {
+        "int": ["c_custkey"],
+        "lowint": [("c_nationkey", 0, 24)],
+        "money": [("c_acctbal", -999.0, 9999.0)],
+        "cat": [("c_mktsegment", ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                                  "HOUSEHOLD", "MACHINERY"))],
+        "date": [],
+    },
+    "part": {
+        "int": ["p_partkey"],
+        "lowint": [("p_size", 1, 50)],
+        "money": [("p_retailprice", 900.0, 2000.0)],
+        "cat": [("p_type", ("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+                            "SMALL", "STANDARD")),
+                ("p_brand", tuple(f"Brand#{i}" for i in range(1, 26)))],
+        "date": [],
+    },
+    "supplier": {
+        "int": ["s_suppkey"],
+        "lowint": [("s_nationkey", 0, 24)],
+        "money": [("s_acctbal", -999.0, 9999.0)],
+        "cat": [],
+        "date": [],
+    },
+    "nation": {
+        "int": [],
+        "lowint": [("n_nationkey", 0, 24), ("n_regionkey", 0, 4)],
+        "money": [],
+        "cat": [],
+        "date": [],
+    },
+    "region": {
+        "int": [],
+        "lowint": [("r_regionkey", 0, 4)],
+        "money": [],
+        "cat": [],
+        "date": [],
+    },
+    "events": {
+        "int": ["event_id", "user_id"],
+        "lowint": [],
+        "money": [("value", 0.0, 100.0)],
+        "cat": [("event_type", ("click", "error", "purchase",
+                                "signup", "view"))],
+        "date": [],
+        "nsdate": [("ts", 2024, 2024)],
+    },
+    "documents": {
+        "int": ["doc_id", "n_chars"],
+        "lowint": [],
+        "money": [],
+        "cat": [("lang", ("de", "en", "es", "fr", "zh")),
+                ("source", tuple(f"src{i}" for i in range(20)))],
+        "date": [],
+    },
+}
+
+# FK edges for join chains (either endpoint may already be joined).
+FK_EDGES = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+
+BASE_TABLES = ["lineitem", "orders", "customer", "part", "supplier",
+               "events", "documents"]
+
+
+@dataclass
+class QuerySpec:
+    """One generated query: structure + shared-dialect SQL fragments.
+
+    ``joins`` entries are (right_table, cond_sql, how, right_filter):
+    how is "inner" or "left"; right_filter (LEFT only, dim side only)
+    pre-filters the right table so unmatched rows EXIST and the
+    null-extended columns flow into group keys and aggregates — in
+    TPC-H-ish data every FK resolves, so an unfiltered fact->dim LEFT
+    JOIN would degenerate to INNER and test nothing."""
+    seed: int
+    tables: list = field(default_factory=list)   # join order, base first
+    joins: list = field(default_factory=list)
+    # semi/anti joins: (table, cond_sql, anti, table_filter) — rendered
+    # as correlated [NOT] EXISTS in SQL, left_semi/left_anti in the
+    # DataFrame API; the table's columns never enter the output scope
+    semis: list = field(default_factory=list)
+    where: str | None = None
+    group_exprs: list = field(default_factory=list)
+    agg_exprs: list = field(default_factory=list)
+    having_min: int | None = None                # on a1 == COUNT(*)
+    # top-k: ORDER BY every output column (a TOTAL order on row
+    # content, so the selected multiset is deterministic even with
+    # ties at the boundary) + LIMIT. order_by = [(alias, asc)];
+    # NULLS FIRST (asc) / NULLS LAST (desc) rendered explicitly in
+    # SQL to match the Spark defaults.
+    order_by: list = field(default_factory=list)
+    limit: int | None = None
+
+    def to_sql(self) -> str:
+        sel = [f"{e} AS g{i + 1}" for i, e in enumerate(self.group_exprs)]
+        sel += [f"{e} AS a{i + 1}" for i, e in enumerate(self.agg_exprs)]
+        frm = self.tables[0]
+        for rt, cond, how, rf in self.joins:
+            kw = "LEFT JOIN" if how == "left" else "JOIN"
+            src = (f"(SELECT * FROM {rt} WHERE {rf}) AS {rt}"
+                   if rf else rt)
+            frm += f" {kw} {src} ON {cond}"
+        sql = f"SELECT {', '.join(sel)} FROM {frm}"
+        conds = [self.where] if self.where else []
+        for st, cond, anti, sf in self.semis:
+            inner = cond + (f" AND {sf}" if sf else "")
+            neg = "NOT " if anti else ""
+            conds.append(f"{neg}EXISTS (SELECT 1 FROM {st} WHERE {inner})")
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        if self.group_exprs:
+            sql += " GROUP BY " + ", ".join(self.group_exprs)
+        if self.having_min is not None:
+            sql += f" HAVING COUNT(*) >= {self.having_min}"
+        if self.limit is not None:
+            terms = [f"{c} {'ASC NULLS FIRST' if asc else 'DESC NULLS LAST'}"
+                     for c, asc in self.order_by]
+            sql += f" ORDER BY {', '.join(terms)} LIMIT {self.limit}"
+        return sql
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.sources.tables import load_table
+        df = load_table(spark, sf_dir, self.tables[0])
+        for rt, cond, how, rf in self.joins:
+            right = load_table(spark, sf_dir, rt)
+            if rf:
+                right = right.filter(F.expr(rf))
+            df = df.join(right, F.expr(cond), how)
+        for st, cond, anti, sf in self.semis:
+            right = load_table(spark, sf_dir, st)
+            if sf:
+                right = right.filter(F.expr(sf))
+            df = df.join(right, F.expr(cond),
+                         "left_anti" if anti else "left_semi")
+        if self.where:
+            df = df.filter(F.expr(self.where))
+        gcols = [F.expr(e).alias(f"g{i + 1}")
+                 for i, e in enumerate(self.group_exprs)]
+        aggs = [F.expr(e).alias(f"a{i + 1}")
+                for i, e in enumerate(self.agg_exprs)]
+        out = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
+        if self.having_min is not None:
+            out = out.filter(F.col("a1") >= F.lit(self.having_min))
+        if self.limit is not None:
+            cols = [F.col(c).asc_nulls_first() if asc
+                    else F.col(c).desc_nulls_last()
+                    for c, asc in self.order_by]
+            out = out.orderBy(*cols).limit(self.limit)
+        return out
+
+
+# --- generation ------------------------------------------------------------
+
+def _cols(tables: list[str], kind: str) -> list:
+    out: list = []
+    for t in tables:
+        out.extend(TABLE_COLS[t].get(kind, []))
+    return out
+
+
+def _money_lit(rng: random.Random, lo: float, hi: float) -> str:
+    return repr(round(rng.uniform(lo, hi), 2))
+
+
+def _date_lit(rng: random.Random, y0: int, y1: int) -> str:
+    y = rng.randint(y0, y1)
+    m = rng.randint(1, 12)
+    d = rng.randint(1, 28)
+    return f"TIMESTAMP '{y}-{m:02d}-{d:02d} 00:00:00'"
+
+
+def _predicate(rng: random.Random, tables: list[str]) -> str | None:
+    kinds = []
+    if _cols(tables, "int"):
+        kinds.append("int_mod")
+    if _cols(tables, "lowint"):
+        kinds.append("lowint_cmp")
+    if _cols(tables, "money"):
+        kinds.append("money_cmp")
+    if _cols(tables, "cat"):
+        kinds.append("cat")
+    if _cols(tables, "date") or _cols(tables, "nsdate"):
+        kinds.append("date_cmp")
+    if not kinds:
+        return None
+    kind = rng.choice(kinds)
+    if kind == "int_mod":
+        col = rng.choice(_cols(tables, "int"))
+        k = rng.randint(2, 7)
+        return f"{col} % {k} = {rng.randrange(k)}"
+    if kind == "lowint_cmp":
+        col, lo, hi = rng.choice(_cols(tables, "lowint"))
+        op = rng.choice(["<=", ">=", "=", "<>"])
+        return f"{col} {op} {rng.randint(lo, hi)}"
+    if kind == "money_cmp":
+        col, lo, hi = rng.choice(_cols(tables, "money"))
+        if rng.random() < 0.3:
+            a = rng.uniform(lo, hi)
+            b = rng.uniform(a, hi)
+            return (f"{col} BETWEEN {repr(round(a, 2))} "
+                    f"AND {repr(round(b, 2))}")
+        op = rng.choice(["<", ">=", ">"])
+        return f"{col} {op} {_money_lit(rng, lo, hi)}"
+    if kind == "cat":
+        col, pool = rng.choice(_cols(tables, "cat"))
+        r = rng.random()
+        if r < 0.4:
+            return f"{col} = '{rng.choice(pool)}'"
+        if r < 0.6:
+            return f"{col} <> '{rng.choice(pool)}'"
+        vals = rng.sample(pool, k=min(len(pool), rng.randint(2, 3)))
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({quoted})"
+    # date_cmp
+    dcols = _cols(tables, "date") + _cols(tables, "nsdate")
+    col, y0, y1 = rng.choice(dcols)
+    op = rng.choice(["<", ">="])
+    return f"{col} {op} {_date_lit(rng, y0, y1)}"
+
+
+def _int_sum_expr(rng: random.Random, tables: list[str]) -> str | None:
+    """An exact-integer expression safe under SUM/COUNT."""
+    choices = []
+    if _cols(tables, "int"):
+        choices.append("int")
+    if _cols(tables, "lowint"):
+        choices.append("lowint")
+    if _cols(tables, "money"):
+        choices.append("cents")
+    if not choices:
+        return None
+    kind = rng.choice(choices)
+    if kind == "int":
+        col = rng.choice(_cols(tables, "int"))
+        if rng.random() < 0.3:  # NULL injection: mod residue nulled out
+            k = rng.randint(2, 7)
+            return f"NULLIF({col} % {k}, {rng.randrange(k)})"
+        return f"{col} % 1000"
+    if kind == "lowint":
+        col, lo, hi = rng.choice(_cols(tables, "lowint"))
+        if rng.random() < 0.3:
+            return f"NULLIF({col}, {rng.randint(lo, hi)})"
+        return col
+    col, _, _ = rng.choice(_cols(tables, "money"))
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def _group_expr(rng: random.Random, tables: list[str]) -> str | None:
+    choices = []
+    if _cols(tables, "cat"):
+        choices += ["cat", "cat"]
+    if _cols(tables, "lowint"):
+        choices.append("lowint")
+    if _cols(tables, "date") or _cols(tables, "nsdate"):
+        choices.append("datepart")
+    if _cols(tables, "int"):
+        choices.append("intmod")
+    if not choices:
+        return None
+    kind = rng.choice(choices)
+    if kind == "cat":
+        col, pool = rng.choice(_cols(tables, "cat"))
+        if rng.random() < 0.25:  # NULL group key
+            return f"NULLIF({col}, '{rng.choice(pool)}')"
+        return col
+    if kind == "lowint":
+        col, _, _ = rng.choice(_cols(tables, "lowint"))
+        return col
+    if kind == "datepart":
+        dcols = _cols(tables, "date") + _cols(tables, "nsdate")
+        col, _, _ = rng.choice(dcols)
+        return f"{rng.choice(['year', 'month'])}({col})"
+    col = rng.choice(_cols(tables, "int"))
+    return f"{col} % {rng.randint(2, 5)}"
+
+
+def _agg_expr(rng: random.Random, tables: list[str]) -> str:
+    kind = rng.choice(["count_star", "count_distinct", "sum", "sum_case",
+                       "minmax", "count_nullable"])
+    if kind == "count_star":
+        return "CAST(COUNT(*) AS BIGINT)"
+    if kind == "count_distinct":
+        targets = list(_cols(tables, "int"))
+        targets += [c for c, _, _ in _cols(tables, "lowint")]
+        targets += [c for c, _ in _cols(tables, "cat")]
+        if not targets:
+            return "CAST(COUNT(*) AS BIGINT)"
+        return f"CAST(COUNT(DISTINCT {rng.choice(targets)}) AS BIGINT)"
+    if kind == "sum":
+        e = _int_sum_expr(rng, tables)
+        return (f"CAST(SUM({e}) AS BIGINT)" if e
+                else "CAST(COUNT(*) AS BIGINT)")
+    if kind == "sum_case":
+        p = _predicate(rng, tables)
+        if p is None:
+            return "CAST(COUNT(*) AS BIGINT)"
+        return f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT)"
+    if kind == "minmax":
+        fn = rng.choice(["MIN", "MAX"])
+        choices = []
+        if _cols(tables, "int"):
+            choices.append("int")
+        if _cols(tables, "lowint"):
+            choices.append("lowint")
+        if _cols(tables, "cat"):
+            choices.append("cat")
+        if _cols(tables, "date"):
+            choices.append("date")
+        if not choices:
+            return "CAST(COUNT(*) AS BIGINT)"
+        c = rng.choice(choices)
+        if c == "int":
+            return f"CAST({fn}({rng.choice(_cols(tables, 'int'))}) AS BIGINT)"
+        if c == "lowint":
+            col, _, _ = rng.choice(_cols(tables, "lowint"))
+            return f"CAST({fn}({col}) AS BIGINT)"
+        if c == "cat":
+            col, _ = rng.choice(_cols(tables, "cat"))
+            return f"{fn}({col})"
+        col, _, _ = rng.choice(_cols(tables, "date"))
+        return f"{fn}({col})"
+    # count_nullable
+    e = _int_sum_expr(rng, tables)
+    return (f"CAST(COUNT({e}) AS BIGINT)" if e
+            else "CAST(COUNT(*) AS BIGINT)")
+
+
+def gen_query(seed: int) -> QuerySpec:
+    rng = random.Random(seed)
+    spec = QuerySpec(seed=seed)
+    base = rng.choice(BASE_TABLES)
+    spec.tables = [base]
+    # join chain: expand along FK edges whose one endpoint is joined
+    for _ in range(rng.choice([0, 0, 1, 1, 2, 3])):
+        cands = [(a, b, c) for a, b, c in FK_EDGES
+                 if (a in spec.tables) != (b in spec.tables)]
+        if not cands:
+            break
+        a, b, cond = rng.choice(cands)
+        new = b if a in spec.tables else a
+        how, rf = "inner", None
+        if rng.random() < 0.3:
+            how = "left"
+            if new == b:
+                # fact->dim: every FK resolves, so force unmatched
+                # rows by pre-filtering the dim side
+                rf = _predicate(rng, [new])
+                if rf is None:
+                    how = "inner"
+            # dim->fact (e.g. customer LEFT JOIN orders): naturally
+            # unmatched rows exist; no filter needed
+        spec.tables.append(new)
+        spec.joins.append((new, cond, how, rf))
+
+    # at most one semi/anti join, against a table NOT in the join
+    # chain (same-table EXISTS would be ambiguous on the Spark side)
+    if rng.random() < 0.35:
+        cands = [(a, b, c) for a, b, c in FK_EDGES
+                 if (a in spec.tables) != (b in spec.tables)]
+        if cands:
+            a, b, cond = rng.choice(cands)
+            st = b if a in spec.tables else a
+            anti = rng.random() < 0.5
+            sf = _predicate(rng, [st]) if rng.random() < 0.7 else None
+            spec.semis.append((st, cond, anti, sf))
+
+    preds = [p for p in (_predicate(rng, spec.tables)
+                         for _ in range(rng.choice([0, 1, 1, 2, 3])))
+             if p is not None]
+    if len(preds) >= 2 and rng.random() < 0.3:
+        a = preds.pop()
+        b = preds.pop()
+        preds.append(f"({a} OR {b})")
+    if preds:
+        spec.where = " AND ".join(preds)
+
+    seen: set[str] = set()
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        g = _group_expr(rng, spec.tables)
+        if g is not None and g not in seen:
+            seen.add(g)
+            spec.group_exprs.append(g)
+
+    want_having = bool(spec.group_exprs) and rng.random() < 0.3
+    n_aggs = rng.randint(1, 4)
+    spec.agg_exprs = [_agg_expr(rng, spec.tables) for _ in range(n_aggs)]
+    if want_having:
+        spec.agg_exprs[0] = "CAST(COUNT(*) AS BIGINT)"
+        spec.having_min = rng.randint(2, 5)
+
+    if spec.group_exprs and rng.random() < 0.3:
+        aliases = ([f"g{i + 1}" for i in range(len(spec.group_exprs))]
+                   + [f"a{i + 1}" for i in range(len(spec.agg_exprs))])
+        rng.shuffle(aliases)
+        spec.order_by = [(c, rng.random() < 0.5) for c in aliases]
+        spec.limit = rng.randint(1, 12)
+    return spec
+
+
+# --- runner ----------------------------------------------------------------
+
+def run_seeds(seeds, sf_dir: str, spark=None, con=None,
+              verbose: bool = True) -> list[tuple[int, str]]:
+    from check_correctness import compare, duck_connection
+    if spark is None:
+        from transcript_analysis_spark.session import get_spark
+        spark = get_spark("diff-fuzz")
+        spark.sparkContext.setLogLevel("ERROR")
+    if con is None:
+        con = duck_connection(sf_dir)
+
+    failures: list[tuple[int, str]] = []
+    for seed in seeds:
+        spec = gen_query(seed)
+        sql = spec.to_sql()
+        try:
+            df = spec.to_spark(spark, sf_dir)
+            res = con.execute(sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            duck_pdf = con.execute(sql).df()
+            ok, msg = compare(f"fuzz_{seed}", df, duck_rows, duck_cols,
+                              duck_pdf)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"error: {e}"
+        if not ok:
+            failures.append((seed, msg))
+            if verbose:
+                print(f"FAIL seed={seed}: {msg}\n  SQL: {sql}")
+        elif verbose:
+            print(f"PASS seed={seed}: {msg}")
+    return failures
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    start = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--start"):
+            start = int(a.split("=", 1)[1]) if "=" in a else 0
+    n = int(args[0]) if args else 100
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
+    failures = run_seeds(range(start, start + n), sf_dir)
+    print(f"\n{n - len(failures)}/{n} seeds matched"
+          + (f"; failing seeds: {[s for s, _ in failures]}"
+             if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,11 @@ single PASS/FAIL verdict:
    >=4-scan set minus documented exceptions. Catches the multi-scan
    plan-regression class the r9 exchange-reuse doctrine was built on,
    mechanically (r9 verdict item 1).
+6. differential fuzz: tools/diff_fuzz.py — 60 seeded GENERATED query
+   plans (join chains, filters, grouped exact aggregates, NULL
+   injection) rendered to both the Spark DataFrame API and DuckDB SQL
+   and compared exactly; catches semantics divergences in plan shapes
+   no hand-written oracle happens to exercise.
 
 Usage: python tools/release_check.py [sf_dir] [--no-bench-gate]
 (default /root/testdata/sf0.01; bench always runs at
@@ -131,7 +136,7 @@ def main() -> None:
 
     # bench FIRST: a fresh subprocess JVM on a machine nothing else
     # has loaded yet — the controlled number (see module docstring).
-    print("[1/5] bench (cold) ...")
+    print("[1/6] bench (cold) ...")
     b = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        env=env, capture_output=True, text=True)
     bench_lines = [ln for ln in b.stdout.splitlines()
@@ -147,12 +152,12 @@ def main() -> None:
     import __spark_entry__ as e
     n_rows = e.entry(spark).count()
     nq, no = len(e.queries()), len(e.oracle_sql())
-    print(f"[2/5] entry smoke: rows={n_rows} queries={nq} oracles={no}")
+    print(f"[2/6] entry smoke: rows={n_rows} queries={nq} oracles={no}")
     if n_rows <= 0 or no > nq:
         failures.append("entry smoke")
     spark.stop()
 
-    print(f"[3/5] oracle sweep at {sf_dir} ...")
+    print(f"[3/6] oracle sweep at {sf_dir} ...")
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools/check_correctness.py"),
          sf_dir], env=env, capture_output=True, text=True)
@@ -161,7 +166,7 @@ def main() -> None:
     if r.returncode != 0:
         failures.append("oracle sweep")
 
-    print("[4/5] bench regression gate ...")
+    print("[4/6] bench regression gate ...")
     prev = latest_recorded_bench()
     if not gate_enabled:
         print("  (disabled via --no-bench-gate)")
@@ -196,7 +201,7 @@ def main() -> None:
             print(f"  OK vs {baseline_name}: no query drifted "
                   f"> {BENCH_DRIFT_TOLERANCE:.0%}")
 
-    print("[5/5] scan gate (compiled ceilings + runtime reuse) ...")
+    print("[5/6] scan gate (compiled ceilings + runtime reuse) ...")
     g = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools/scan_audit.py"),
          "--gate", sf_dir], env=env, capture_output=True, text=True)
@@ -205,6 +210,17 @@ def main() -> None:
     print("\n".join(glines[-12:]) if glines else "(no scan-gate output)")
     if g.returncode != 0:
         failures.append("scan gate")
+
+    print("[6/6] differential fuzz (60 seeds at sf0.001) ...")
+    f = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools/diff_fuzz.py"),
+         "60", "/root/testdata/sf0.001"],
+        env=env, capture_output=True, text=True)
+    flines = [ln for ln in f.stdout.replace("\r", "\n").splitlines()
+              if ln.startswith("FAIL") or "seeds matched" in ln]
+    print("\n".join(flines[-8:]) if flines else "(no fuzz output)")
+    if f.returncode != 0:
+        failures.append("differential fuzz")
 
     if failures:
         print(f"RELEASE CHECK FAILED: {failures}")
