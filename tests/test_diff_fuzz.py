@@ -49,6 +49,14 @@ def test_generator_covers_the_grammar():
                any("NULLIF" in g for g in s.group_exprs) for s in specs)
     assert any(not s.group_exprs for s in specs)
     assert any(len(s.group_exprs) == 2 for s in specs)
+    modes = {s.group_mode for s in specs if s.group_exprs}
+    assert modes == {"plain", "rollup", "cube"}
+    windowed = [s for s in specs if s.win_partition is not None]
+    assert windowed
+    for s in windowed:  # window mode: total order, no aggregation mix
+        assert not s.group_exprs and not s.agg_exprs
+        assert all(c != "ts" for c, _ in s.win_cols)  # nanos skew
+        assert 1 <= s.win_k <= 4
     limited = [s for s in specs if s.limit is not None]
     assert limited
     for s in limited:  # total order: every output column participates
@@ -66,6 +74,30 @@ def test_catalog_matches_parquet_schemas():
             for e in entries:
                 col = e if isinstance(e, str) else e[0]
                 assert col in names, f"{table}.{col} ({kind})"
+
+
+def test_known_divergence_rollup_over_empty_input(spark):
+    """Engine-difference pin (found by the fuzzer's first full sweep):
+    SQL-standard ROLLUP/CUBE over an EMPTY input emit one grand-total
+    row; Spark emits zero rows (grouping sets expand into a regular
+    aggregate keyed by grouping-id — no input, no groups). The fuzzer
+    models Spark's semantics with HAVING COUNT(*) > 0 on the DuckDB
+    side; if Spark ever adopts the standard behavior, this pin fails
+    and the adapter must be removed."""
+    import duckdb
+    from pyspark.sql import functions as F
+    empty = spark.range(5).filter("id < 0")
+    assert empty.rollup((F.col("id") % 2).alias("g1")).agg(
+        F.count("*").alias("a1")).collect() == []
+    duck = duckdb.sql(
+        "SELECT i % 2 AS g1, COUNT(*) AS a1 "
+        "FROM (SELECT 1 AS i WHERE false) GROUP BY ROLLUP (i % 2)"
+    ).fetchall()
+    assert duck == [(None, 0)]
+    # the five sweep seeds that surfaced it, green under the adapter
+    failures = run_seeds([168, 223, 226, 261, 277], SF, spark=spark,
+                         verbose=False)
+    assert not failures, failures
 
 
 @pytest.mark.parametrize("chunk", range(4))

@@ -27,6 +27,13 @@ kept out of MIN/MAX outputs (DuckDB preserves nanos where the Spark
 loader floor-truncates to micros — comparisons against whole-second
 literals are unaffected, raw extrema are not).
 
+Known engine divergence, found by this fuzzer's first full sweep and
+encoded (see the adapter comment in to_sql + the pin in
+tests/test_diff_fuzz.py): Spark emits ZERO rows for ROLLUP/CUBE/
+GROUPING SETS over an empty input where the SQL standard (DuckDB,
+Postgres) emits the grand-total row; the DuckDB rendering appends
+HAVING COUNT(*) > 0 to rollup/cube specs to model Spark exactly.
+
 Scalar expressions are rendered ONCE as SQL text shared verbatim by
 both sides (the dialect subset used is identical); the STRUCTURE
 (scan -> join -> filter -> groupBy -> agg -> having) goes through the
@@ -168,6 +175,11 @@ class QuerySpec:
     # DataFrame API; the table's columns never enter the output scope
     semis: list = field(default_factory=list)
     where: str | None = None
+    # "plain" | "rollup" | "cube": subtotal rows are part of the
+    # multiset compare (a NULL-valued key row and a subtotal row
+    # project identically — BOTH engines emit both rows, so the
+    # multisets still agree without projecting GROUPING())
+    group_mode: str = "plain"
     group_exprs: list = field(default_factory=list)
     agg_exprs: list = field(default_factory=list)
     having_min: int | None = None                # on a1 == COUNT(*)
@@ -178,28 +190,67 @@ class QuerySpec:
     # SQL to match the Spark defaults.
     order_by: list = field(default_factory=list)
     limit: int | None = None
+    # window mode (replaces grouping/aggregates when set): per-group
+    # top-k detail rows via ROW_NUMBER() over a low-cardinality
+    # partition key, ordered by EVERY projected column (total order on
+    # row content: rows tying on all projected columns are
+    # interchangeable, so the selected multiset is deterministic).
+    # win_cols = [(expr, asc)] aliased c1..cn; events.ts never appears
+    # (nanos-vs-micros skew); win_k bounds output to |partitions|*k.
+    win_partition: str | None = None
+    win_cols: list = field(default_factory=list)
+    win_k: int | None = None
 
-    def to_sql(self) -> str:
-        sel = [f"{e} AS g{i + 1}" for i, e in enumerate(self.group_exprs)]
-        sel += [f"{e} AS a{i + 1}" for i, e in enumerate(self.agg_exprs)]
+    def _from_where(self) -> str:
         frm = self.tables[0]
         for rt, cond, how, rf in self.joins:
             kw = "LEFT JOIN" if how == "left" else "JOIN"
             src = (f"(SELECT * FROM {rt} WHERE {rf}) AS {rt}"
                    if rf else rt)
             frm += f" {kw} {src} ON {cond}"
-        sql = f"SELECT {', '.join(sel)} FROM {frm}"
         conds = [self.where] if self.where else []
         for st, cond, anti, sf in self.semis:
             inner = cond + (f" AND {sf}" if sf else "")
             neg = "NOT " if anti else ""
             conds.append(f"{neg}EXISTS (SELECT 1 FROM {st} WHERE {inner})")
-        if conds:
-            sql += " WHERE " + " AND ".join(conds)
+        return frm + (" WHERE " + " AND ".join(conds) if conds else "")
+
+    def to_sql(self) -> str:
+        if self.win_partition is not None:
+            order = ", ".join(
+                f"{e} {'ASC NULLS FIRST' if asc else 'DESC NULLS LAST'}"
+                for e, asc in self.win_cols)
+            sel = [f"{e} AS c{i + 1}"
+                   for i, (e, _asc) in enumerate(self.win_cols)]
+            sel.append(f"ROW_NUMBER() OVER (PARTITION BY "
+                       f"{self.win_partition} ORDER BY {order}) AS rn")
+            return (f"SELECT * FROM (SELECT {', '.join(sel)} FROM "
+                    f"{self._from_where()}) t WHERE rn <= {self.win_k}")
+        sel = [f"{e} AS g{i + 1}" for i, e in enumerate(self.group_exprs)]
+        sel += [f"{e} AS a{i + 1}" for i, e in enumerate(self.agg_exprs)]
+        sql = f"SELECT {', '.join(sel)} FROM {self._from_where()}"
         if self.group_exprs:
-            sql += " GROUP BY " + ", ".join(self.group_exprs)
+            keys = ", ".join(self.group_exprs)
+            if self.group_mode == "rollup":
+                sql += f" GROUP BY ROLLUP ({keys})"
+            elif self.group_mode == "cube":
+                sql += f" GROUP BY CUBE ({keys})"
+            else:
+                sql += f" GROUP BY {keys}"
         if self.having_min is not None:
             sql += f" HAVING COUNT(*) >= {self.having_min}"
+        elif self.group_mode != "plain":
+            # KNOWN ENGINE DIVERGENCE (found by this fuzzer, seeds
+            # 168/223/226/261/277 of the v5 sweep): over an EMPTY
+            # input, SQL-standard ROLLUP/CUBE emit one grand-total
+            # row (DuckDB, Postgres) while Spark emits zero rows —
+            # Spark expands grouping sets and aggregates keyed by
+            # grouping-id, and a grouped aggregate over empty input
+            # has no groups. Every rollup/cube row over NON-empty
+            # input aggregates >= 1 row, so HAVING COUNT(*) > 0 on
+            # the DuckDB side models Spark's semantics exactly and
+            # changes nothing else. Pinned in tests/test_diff_fuzz.py.
+            sql += " HAVING COUNT(*) > 0"
         if self.limit is not None:
             terms = [f"{c} {'ASC NULLS FIRST' if asc else 'DESC NULLS LAST'}"
                      for c, asc in self.order_by]
@@ -224,11 +275,28 @@ class QuerySpec:
                          "left_anti" if anti else "left_semi")
         if self.where:
             df = df.filter(F.expr(self.where))
+        if self.win_partition is not None:
+            from pyspark.sql import Window
+            order = [F.expr(e).asc_nulls_first() if asc
+                     else F.expr(e).desc_nulls_last()
+                     for e, asc in self.win_cols]
+            w = Window.partitionBy(F.expr(self.win_partition)).orderBy(*order)
+            cols = [F.expr(e).alias(f"c{i + 1}")
+                    for i, (e, _asc) in enumerate(self.win_cols)]
+            return (df.select(*cols, F.row_number().over(w).alias("rn"))
+                    .filter(F.col("rn") <= F.lit(self.win_k)))
         gcols = [F.expr(e).alias(f"g{i + 1}")
                  for i, e in enumerate(self.group_exprs)]
         aggs = [F.expr(e).alias(f"a{i + 1}")
                 for i, e in enumerate(self.agg_exprs)]
-        out = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
+        if not gcols:
+            out = df.agg(*aggs)
+        elif self.group_mode == "rollup":
+            out = df.rollup(*gcols).agg(*aggs)
+        elif self.group_mode == "cube":
+            out = df.cube(*gcols).agg(*aggs)
+        else:
+            out = df.groupBy(*gcols).agg(*aggs)
         if self.having_min is not None:
             out = out.filter(F.col("a1") >= F.lit(self.having_min))
         if self.limit is not None:
@@ -464,12 +532,31 @@ def gen_query(seed: int) -> QuerySpec:
     if preds:
         spec.where = " AND ".join(preds)
 
+    # window mode: per-group top-k detail rows instead of aggregation
+    lowints = [c for c, _, _ in _cols(spec.tables, "lowint")]
+    cats = [c for c, _ in _cols(spec.tables, "cat")]
+    if (lowints or cats) and rng.random() < 0.2:
+        pk = rng.choice(lowints + cats)
+        pool = (list(_cols(spec.tables, "int")) + lowints + cats
+                + [c for c, _, _ in _cols(spec.tables, "date")])
+        chosen = rng.sample(pool, min(len(pool), rng.randint(2, 4)))
+        if pk not in chosen:
+            chosen[0] = pk
+        rng.shuffle(chosen)
+        spec.win_partition = pk
+        spec.win_cols = [(c, rng.random() < 0.5) for c in chosen]
+        spec.win_k = rng.randint(1, 4)
+        return spec
+
     seen: set[str] = set()
     for _ in range(rng.choice([0, 1, 1, 2])):
         g = _group_expr(rng, spec.tables)
         if g is not None and g not in seen:
             seen.add(g)
             spec.group_exprs.append(g)
+
+    if spec.group_exprs and rng.random() < 0.2:
+        spec.group_mode = rng.choice(["rollup", "cube"])
 
     want_having = bool(spec.group_exprs) and rng.random() < 0.3
     n_aggs = rng.randint(1, 4)
