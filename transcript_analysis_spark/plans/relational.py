@@ -729,7 +729,8 @@ def revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (region -> nation -> grand total) — the
     multi-level dashboard rollup in one pass (Spark expands grouping
     sets in a single shuffle). NULL grouping markers are coalesced to a
-    sentinel so the oracle hash matches."""
+    sentinel so the oracle hash matches. (Empty-input grouping-sets
+    divergence: see sales_rollup_cube / tests/test_diff_fuzz.py.)"""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -1012,7 +1013,8 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to `revenue_rollup_hierarchy`'s ROLLUP): per-status,
     per-priority, per-pair, and grand-total rows, with NULL as the
     all-values marker in rolled-up dimensions. One shuffle; Spark
-    expands grouping sets map-side."""
+    expands grouping sets map-side. (Empty-input grouping-sets
+    divergence: see sales_rollup_cube / tests/test_diff_fuzz.py.)"""
     o = _t(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -1208,7 +1210,9 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
     exactly the per-status, per-priority, and grand-total groupings —
     no cross pairs — in one pass. Spark reaches it through the SQL
-    GROUPING SETS clause over a registered view."""
+    GROUPING SETS clause over a registered view. (Empty-input
+    grouping-sets divergence: see sales_rollup_cube /
+    tests/test_diff_fuzz.py.)"""
     from transcript_analysis_spark.sources.tables import register_views
     register_views(spark, sf_dir)
     return spark.sql("""

@@ -72,7 +72,13 @@ def sales_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``grouping_id`` bit layout (first rollup column = high bit) is part
     of the SQL standard and identical in DuckDB's GROUPING(). NULL
     group keys are coalesced to 'ALL' so rolled-up levels are
-    distinguishable from genuine NULL keys by ``gid`` alone."""
+    distinguishable from genuine NULL keys by ``gid`` alone.
+
+    Empty-input caveat (engine divergence found by tools/diff_fuzz.py):
+    Spark emits ZERO rows for grouping sets over an empty input where
+    the SQL standard emits the grand-total row — unreachable here (the
+    base tables are non-empty by contract) but pinned in
+    tests/test_diff_fuzz.py for the day Spark goes standard."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
