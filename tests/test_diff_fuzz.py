@@ -18,7 +18,8 @@ import pytest
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from diff_fuzz import BASE_TABLES, TABLE_COLS, gen_query, run_seeds  # noqa: E402
+from diff_fuzz import (BASE_TABLES, TABLE_COLS, _check_spec,  # noqa: E402
+                       _shrink_steps, gen_query, run_seeds, shrink)
 
 SF = "/root/testdata/sf0.001"
 
@@ -74,6 +75,36 @@ def test_catalog_matches_parquet_schemas():
             for e in entries:
                 col = e if isinstance(e, str) else e[0]
                 assert col in names, f"{table}.{col} ({kind})"
+
+
+def test_shrink_reduces_to_minimal_failing_spec():
+    """Synthetic failure predicate ('fails while rollup'): the greedy
+    fixpoint must strip every droppable clause and keep exactly the
+    clause carrying the failure."""
+    spec = next(s for s in (gen_query(i) for i in range(400))
+                if s.group_mode == "rollup" and s.where
+                and len(s.agg_exprs) >= 2 and s.joins)
+    small = shrink(spec, lambda s: s.group_mode == "rollup")
+    assert small.group_mode == "rollup"
+    assert small.where is None and not small.semis
+    assert len(small.agg_exprs) == 1 and len(small.group_exprs) == 1
+    assert small.having_min is None and small.limit is None
+
+
+def test_shrink_steps_yield_runnable_specs(spark):
+    """Every one-step reduction of a healthy spec must itself run and
+    match (structural validity of the shrinker's moves)."""
+    seeds = [s for s in range(200)
+             if (lambda q: q.joins and (q.where or q.semis))(gen_query(s))]
+    checked = 0
+    for seed in seeds[:3]:
+        for cand in _shrink_steps(gen_query(seed)):
+            ok, msg = _check_spec(cand, SF, spark,
+                                  __import__("check_correctness")
+                                  .duck_connection(SF))
+            assert ok, f"seed {seed}: {msg}\n{cand.to_sql()}"
+            checked += 1
+    assert checked > 0
 
 
 def test_known_divergence_rollup_over_empty_input(spark):

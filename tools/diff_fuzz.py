@@ -41,8 +41,10 @@ DataFrame API on the Spark side, so the fuzz also walks the
 API-assembly path the engine's registered plans use.
 
 Usage:
-  python tools/diff_fuzz.py [n_seeds] [sf_dir] [--start K]
-exit 1 on any mismatch; prints each failing seed's SQL for replay.
+  python tools/diff_fuzz.py [n_seeds] [sf_dir] [--start K] [--no-shrink]
+exit 1 on any mismatch; prints each failing seed's SQL for replay plus
+a greedily SHRUNKEN still-failing spec (clauses dropped to a fixpoint)
+so a divergence arrives pre-triaged.
 """
 
 from __future__ import annotations
@@ -574,11 +576,106 @@ def gen_query(seed: int) -> QuerySpec:
     return spec
 
 
+# --- shrinking -------------------------------------------------------------
+
+def _shrink_steps(spec: QuerySpec):
+    """Candidate one-step reductions of a spec, structurally valid by
+    construction: clauses are dropped, never rewritten, and joins are
+    only dropped when nothing else references the joined table (its
+    column prefix appears in no other fragment), so every step yields
+    a runnable spec."""
+    import copy
+
+    def clone(**kw):
+        s = copy.deepcopy(spec)
+        for k, v in kw.items():
+            setattr(s, k, v)
+        return s
+
+    if spec.where is not None:
+        yield clone(where=None)
+    if spec.having_min is not None:
+        yield clone(having_min=None)
+    if spec.limit is not None:
+        yield clone(limit=None, order_by=[])
+    if spec.group_mode != "plain":
+        yield clone(group_mode="plain")
+    for i in range(len(spec.semis)):
+        yield clone(semis=spec.semis[:i] + spec.semis[i + 1:])
+    # dropping an agg/group expr shifts the positional a{i}/g{i}
+    # aliases, so these steps only fire once order_by is gone (the
+    # limit-drop step above runs first in the greedy loop)
+    if not spec.order_by:
+        for i in range(len(spec.agg_exprs) - 1, -1, -1):
+            if len(spec.agg_exprs) > 1 and (spec.having_min is None or i > 0):
+                yield clone(
+                    agg_exprs=spec.agg_exprs[:i] + spec.agg_exprs[i + 1:])
+        for i in range(len(spec.group_exprs) - 1, -1, -1):
+            if len(spec.group_exprs) > 1:
+                yield clone(
+                    group_exprs=spec.group_exprs[:i]
+                    + spec.group_exprs[i + 1:])
+    if spec.win_partition is not None:
+        if spec.win_k and spec.win_k > 1:
+            yield clone(win_k=1)
+        for i in range(len(spec.win_cols) - 1, -1, -1):
+            if len(spec.win_cols) > 1:
+                yield clone(
+                    win_cols=spec.win_cols[:i] + spec.win_cols[i + 1:])
+    # drop the LAST join if nothing else references its table's columns
+    if spec.joins:
+        rt = spec.joins[-1][0]
+        prefix = {"lineitem": "l_", "orders": "o_", "customer": "c_",
+                  "part": "p_", "supplier": "s_", "nation": "n_",
+                  "region": "r_", "events": "ev", "documents": "do"}[rt]
+        rest = " ".join(
+            [spec.where or ""]
+            + spec.group_exprs + spec.agg_exprs
+            + [c for st, c, _a, sf in spec.semis]
+            + [sf or "" for st, c, _a, sf in spec.semis]
+            + [e for e, _ in spec.win_cols]
+            + [spec.win_partition or ""]
+            + [c for _t2, c, _h, _rf in spec.joins[:-1]])
+        if prefix not in rest:
+            yield clone(tables=spec.tables[:-1], joins=spec.joins[:-1])
+
+
+def shrink(spec: QuerySpec, still_fails) -> QuerySpec:
+    """Greedy fixpoint reduction: repeatedly take the first one-step
+    reduction that still fails. Deterministic; terminates because
+    every step strictly removes a clause."""
+    changed = True
+    while changed:
+        changed = False
+        for cand in _shrink_steps(spec):
+            if still_fails(cand):
+                spec = cand
+                changed = True
+                break
+    return spec
+
+
 # --- runner ----------------------------------------------------------------
 
+def _check_spec(spec: QuerySpec, sf_dir: str, spark, con,
+                label: str = "fuzz") -> tuple[bool, str]:
+    from check_correctness import compare
+    sql = spec.to_sql()
+    try:
+        df = spec.to_spark(spark, sf_dir)
+        res = con.execute(sql)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        duck_pdf = con.execute(sql).df()
+        return compare(label, df, duck_rows, duck_cols, duck_pdf)
+    except Exception as e:  # noqa: BLE001
+        return False, f"error: {e}"
+
+
 def run_seeds(seeds, sf_dir: str, spark=None, con=None,
-              verbose: bool = True) -> list[tuple[int, str]]:
-    from check_correctness import compare, duck_connection
+              verbose: bool = True,
+              shrink_failures: bool = False) -> list[tuple[int, str]]:
+    from check_correctness import duck_connection
     if spark is None:
         from transcript_analysis_spark.session import get_spark
         spark = get_spark("diff-fuzz")
@@ -589,21 +686,15 @@ def run_seeds(seeds, sf_dir: str, spark=None, con=None,
     failures: list[tuple[int, str]] = []
     for seed in seeds:
         spec = gen_query(seed)
-        sql = spec.to_sql()
-        try:
-            df = spec.to_spark(spark, sf_dir)
-            res = con.execute(sql)
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
-            duck_pdf = con.execute(sql).df()
-            ok, msg = compare(f"fuzz_{seed}", df, duck_rows, duck_cols,
-                              duck_pdf)
-        except Exception as e:  # noqa: BLE001
-            ok, msg = False, f"error: {e}"
+        ok, msg = _check_spec(spec, sf_dir, spark, con, f"fuzz_{seed}")
         if not ok:
             failures.append((seed, msg))
             if verbose:
-                print(f"FAIL seed={seed}: {msg}\n  SQL: {sql}")
+                print(f"FAIL seed={seed}: {msg}\n  SQL: {spec.to_sql()}")
+                if shrink_failures:
+                    small = shrink(spec, lambda s: not _check_spec(
+                        s, sf_dir, spark, con)[0])
+                    print(f"  shrunk: {small.to_sql()}")
         elif verbose:
             print(f"PASS seed={seed}: {msg}")
     return failures
@@ -617,7 +708,8 @@ def main() -> None:
             start = int(a.split("=", 1)[1]) if "=" in a else 0
     n = int(args[0]) if args else 100
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
-    failures = run_seeds(range(start, start + n), sf_dir)
+    failures = run_seeds(range(start, start + n), sf_dir,
+                         shrink_failures="--no-shrink" not in sys.argv)
     print(f"\n{n - len(failures)}/{n} seeds matched"
           + (f"; failing seeds: {[s for s, _ in failures]}"
              if failures else ""))
