@@ -94,14 +94,14 @@ def test_shrink_reduces_to_minimal_failing_spec():
 def test_shrink_steps_yield_runnable_specs(spark):
     """Every one-step reduction of a healthy spec must itself run and
     match (structural validity of the shrinker's moves)."""
+    from check_correctness import duck_connection
     seeds = [s for s in range(200)
              if (lambda q: q.joins and (q.where or q.semis))(gen_query(s))]
+    con = duck_connection(SF)
     checked = 0
     for seed in seeds[:3]:
         for cand in _shrink_steps(gen_query(seed)):
-            ok, msg = _check_spec(cand, SF, spark,
-                                  __import__("check_correctness")
-                                  .duck_connection(SF))
+            ok, msg = _check_spec(cand, SF, spark, con)
             assert ok, f"seed {seed}: {msg}\n{cand.to_sql()}"
             checked += 1
     assert checked > 0

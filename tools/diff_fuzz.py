@@ -623,11 +623,12 @@ def _shrink_steps(spec: QuerySpec):
                 yield clone(
                     win_cols=spec.win_cols[:i] + spec.win_cols[i + 1:])
     # drop the LAST join if nothing else references its table's columns
+    # (checked against the table's actual column names from TABLE_COLS,
+    # not a parallel prefix map that could drift from the catalog)
     if spec.joins:
         rt = spec.joins[-1][0]
-        prefix = {"lineitem": "l_", "orders": "o_", "customer": "c_",
-                  "part": "p_", "supplier": "s_", "nation": "n_",
-                  "region": "r_", "events": "ev", "documents": "do"}[rt]
+        rt_cols = [e if isinstance(e, str) else e[0]
+                   for entries in TABLE_COLS[rt].values() for e in entries]
         rest = " ".join(
             [spec.where or ""]
             + spec.group_exprs + spec.agg_exprs
@@ -636,7 +637,7 @@ def _shrink_steps(spec: QuerySpec):
             + [e for e, _ in spec.win_cols]
             + [spec.win_partition or ""]
             + [c for _t2, c, _h, _rf in spec.joins[:-1]])
-        if prefix not in rest:
+        if not any(col in rest for col in rt_cols):
             yield clone(tables=spec.tables[:-1], joins=spec.joins[:-1])
 
 
@@ -666,6 +667,13 @@ def _check_spec(spec: QuerySpec, sf_dir: str, spark, con,
         res = con.execute(sql)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
+        # The second execution is load-bearing, not waste: compare()
+        # needs BOTH the fetchall() view (Python-native values — None
+        # for NULL — for the cell compare) and the .df() view (the
+        # driver harness's pandas dtypes, where a nullable int column
+        # becomes float64, for the dtype-kind check). DuckDB consumes
+        # a result on fetch, and deriving either view from the other
+        # changes its semantics.
         duck_pdf = con.execute(sql).df()
         return compare(label, df, duck_rows, duck_cols, duck_pdf)
     except Exception as e:  # noqa: BLE001
@@ -701,15 +709,34 @@ def run_seeds(seeds, sf_dir: str, spark=None, con=None,
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    start = 0
-    for a in sys.argv[1:]:
-        if a.startswith("--start"):
-            start = int(a.split("=", 1)[1]) if "=" in a else 0
-    n = int(args[0]) if args else 100
+    argv = sys.argv[1:]
+    args: list[str] = []
+    start, shrink_failures, i = 0, True, 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--no-shrink":
+            shrink_failures = False
+        elif a.startswith("--start"):
+            if "=" in a:
+                start = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv) or not argv[i].lstrip("-").isdigit():
+                    sys.exit("--start needs an integer (K or --start=K)")
+                start = int(argv[i])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}; see module docstring")
+        else:
+            args.append(a)
+        i += 1
+    try:
+        n = int(args[0]) if args else 100
+    except ValueError:
+        sys.exit(f"first positional must be n_seeds, got {args[0]!r} "
+                 "(usage: diff_fuzz.py [n_seeds] [sf_dir] [--start K])")
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
     failures = run_seeds(range(start, start + n), sf_dir,
-                         shrink_failures="--no-shrink" not in sys.argv)
+                         shrink_failures=shrink_failures)
     print(f"\n{n - len(failures)}/{n} seeds matched"
           + (f"; failing seeds: {[s for s, _ in failures]}"
              if failures else ""))
