@@ -52,6 +52,14 @@ def test_generator_covers_the_grammar():
     assert any(len(s.group_exprs) == 2 for s in specs)
     modes = {s.group_mode for s in specs if s.group_exprs}
     assert modes == {"plain", "rollup", "cube"}
+    wide = [gen_query(s) for s in range(400)]
+    setop_kinds = {s.setop_kind for s in wide if s.setop_kind}
+    assert setop_kinds == {"UNION ALL", "UNION", "INTERSECT",
+                           "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"}
+    for s in wide:  # set-op mode is single-table, projection-only
+        if s.setop_kind:
+            assert not (s.joins or s.semis or s.group_exprs or s.agg_exprs)
+            assert 2 <= len(s.setop_cols) <= 3
     windowed = [s for s in specs if s.win_partition is not None]
     assert windowed
     for s in windowed:  # window mode: total order, no aggregation mix

@@ -202,6 +202,15 @@ class QuerySpec:
     win_partition: str | None = None
     win_cols: list = field(default_factory=list)
     win_k: int | None = None
+    # set-op mode (single-table; replaces joins/grouping when set):
+    # two filtered branches over the SAME table, identical exact
+    # projections (NULLIF-injected to exercise set-op null-safe
+    # equality — NULLs compare EQUAL under UNION/INTERSECT/EXCEPT,
+    # unlike join keys), combined by setop_kind, then rolled into a
+    # grouped count so output stays bounded and order-free.
+    setop_kind: str | None = None   # UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]
+    setop_cols: list = field(default_factory=list)  # shared projections
+    setop_filters: tuple = ()       # (filter1, filter2), either may be None
 
     def _from_where(self) -> str:
         frm = self.tables[0]
@@ -218,6 +227,19 @@ class QuerySpec:
         return frm + (" WHERE " + " AND ".join(conds) if conds else "")
 
     def to_sql(self) -> str:
+        if self.setop_kind is not None:
+            t = self.tables[0]
+            sel = ", ".join(f"{e} AS c{i + 1}"
+                            for i, e in enumerate(self.setop_cols))
+            branches = []
+            for flt in self.setop_filters:
+                w = f" WHERE {flt}" if flt else ""
+                branches.append(f"SELECT {sel} FROM {t}{w}")
+            aliases = ", ".join(f"c{i + 1}"
+                                for i in range(len(self.setop_cols)))
+            return (f"SELECT {aliases}, CAST(COUNT(*) AS BIGINT) AS n "
+                    f"FROM ({branches[0]} {self.setop_kind} {branches[1]})"
+                    f" t GROUP BY {aliases}")
         if self.win_partition is not None:
             order = ", ".join(
                 f"{e} {'ASC NULLS FIRST' if asc else 'DESC NULLS LAST'}"
@@ -264,6 +286,25 @@ class QuerySpec:
 
         from transcript_analysis_spark.sources.tables import load_table
         df = load_table(spark, sf_dir, self.tables[0])
+        if self.setop_kind is not None:
+            cols = [F.expr(e).alias(f"c{i + 1}")
+                    for i, e in enumerate(self.setop_cols)]
+            branches = []
+            for flt in self.setop_filters:
+                b = df.filter(F.expr(flt)) if flt else df
+                branches.append(b.select(*cols))
+            a, b = branches
+            combined = {
+                "UNION ALL": lambda: a.unionAll(b),
+                "UNION": lambda: a.unionAll(b).distinct(),
+                "INTERSECT": lambda: a.intersect(b),
+                "INTERSECT ALL": lambda: a.intersectAll(b),
+                "EXCEPT": lambda: a.subtract(b),      # EXCEPT DISTINCT
+                "EXCEPT ALL": lambda: a.exceptAll(b),
+            }[self.setop_kind]()
+            return (combined.groupBy(*[F.col(f"c{i + 1}")
+                                       for i in range(len(self.setop_cols))])
+                    .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")))
         for rt, cond, how, rf in self.joins:
             right = load_table(spark, sf_dir, rt)
             if rf:
@@ -490,6 +531,19 @@ def gen_query(seed: int) -> QuerySpec:
     spec = QuerySpec(seed=seed)
     base = rng.choice(BASE_TABLES)
     spec.tables = [base]
+
+    # set-op mode: two filtered branches over the base table
+    if rng.random() < 0.15:
+        spec.setop_kind = rng.choice(
+            ["UNION ALL", "UNION", "INTERSECT", "INTERSECT ALL",
+             "EXCEPT", "EXCEPT ALL"])
+        spec.setop_cols = [_group_expr(rng, [base])
+                           for _ in range(rng.randint(2, 3))]
+        spec.setop_filters = (
+            _predicate(rng, [base]) if rng.random() < 0.9 else None,
+            _predicate(rng, [base]) if rng.random() < 0.9 else None)
+        return spec
+
     # join chain: expand along FK edges whose one endpoint is joined
     for _ in range(rng.choice([0, 0, 1, 1, 2, 3])):
         cands = [(a, b, c) for a, b, c in FK_EDGES
@@ -615,6 +669,16 @@ def _shrink_steps(spec: QuerySpec):
                 yield clone(
                     group_exprs=spec.group_exprs[:i]
                     + spec.group_exprs[i + 1:])
+    if spec.setop_kind is not None:
+        for i in (0, 1):
+            if spec.setop_filters[i]:
+                nf = list(spec.setop_filters)
+                nf[i] = None
+                yield clone(setop_filters=tuple(nf))
+        for i in range(len(spec.setop_cols) - 1, -1, -1):
+            if len(spec.setop_cols) > 1:
+                yield clone(
+                    setop_cols=spec.setop_cols[:i] + spec.setop_cols[i + 1:])
     if spec.win_partition is not None:
         if spec.win_k and spec.win_k > 1:
             yield clone(win_k=1)
