@@ -18,8 +18,10 @@ import pytest
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from diff_fuzz import (BASE_TABLES, TABLE_COLS, _check_spec,  # noqa: E402
-                       _shrink_steps, gen_query, run_seeds, shrink)
+from diff_fuzz import (BASE_TABLES, TABLE_COLS, AsofSpec,  # noqa: E402
+                       FrameSpec, IntervalSpec, QuerySpec, ScalarSpec,
+                       _check_spec, _shrink_steps, gen_query, run_seeds,
+                       seeds_for_mode, shrink)
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,19 +29,26 @@ SF = "/root/testdata/sf0.001"
 def test_generator_is_deterministic():
     for seed in range(50):
         a, b = gen_query(seed), gen_query(seed)
+        assert a == b
         assert a.to_sql() == b.to_sql()
-        assert a.tables == b.tables and a.joins == b.joins
 
 
 def test_generator_covers_the_grammar():
     """Sanity on the seed distribution: joins, groupings, HAVING, NULL
     injection, and every base table all occur within the battery."""
-    specs = [gen_query(s) for s in range(120)]
+    all_specs = [gen_query(s) for s in range(200)]
+    specs = [s for s in all_specs if isinstance(s, QuerySpec)]
     assert {s.tables[0] for s in specs} == set(BASE_TABLES)
     assert any(len(s.tables) >= 3 for s in specs)
     hows = {j[2] for s in specs for j in s.joins}
     assert hows == {"inner", "left"}
     assert any(j[3] for s in specs for j in s.joins)  # filtered dim side
+    # dim->fact LEFT joins are usually forced-null-extending too (r10
+    # advice: unfiltered ones mostly degenerate to INNER)
+    dimfact = [j for s in specs for j in s.joins
+               if j[2] == "left" and j[0] in
+               {"lineitem", "orders", "customer", "supplier"}]
+    assert any(j[3] for j in dimfact) if dimfact else True
     antis = {sj[2] for s in specs for sj in s.semis}
     assert antis == {True, False}  # both EXISTS and NOT EXISTS occur
     for s in specs:  # semi tables never enter the output scope
@@ -53,13 +62,14 @@ def test_generator_covers_the_grammar():
     modes = {s.group_mode for s in specs if s.group_exprs}
     assert modes == {"plain", "rollup", "cube"}
     wide = [gen_query(s) for s in range(400)]
-    setop_kinds = {s.setop_kind for s in wide if s.setop_kind}
+    setop_kinds = {s.setop_kind for s in wide
+                   if isinstance(s, QuerySpec) and s.setop_kind}
     assert setop_kinds == {"UNION ALL", "UNION", "INTERSECT",
                            "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"}
     for s in wide:  # set-op mode is single-table, projection-only
-        if s.setop_kind:
+        if isinstance(s, QuerySpec) and s.setop_kind:
             assert not (s.joins or s.semis or s.group_exprs or s.agg_exprs)
-            assert 2 <= len(s.setop_cols) <= 3
+            assert 1 <= len(s.setop_cols) <= 3
     windowed = [s for s in specs if s.win_partition is not None]
     assert windowed
     for s in windowed:  # window mode: total order, no aggregation mix
@@ -70,6 +80,51 @@ def test_generator_covers_the_grammar():
     assert limited
     for s in limited:  # total order: every output column participates
         assert len(s.order_by) == len(s.group_exprs) + len(s.agg_exprs)
+
+
+def test_generator_covers_the_new_modes():
+    """r11 modes: window frames, as-of, interval joins, scalar
+    functions — each present with its key variants in the seed space."""
+    wide = [gen_query(s) for s in range(600)]
+    frames = [s for s in wide if isinstance(s, FrameSpec)]
+    assert frames
+    ftypes = {s.frame[0] for s in frames if s.frame}
+    assert ftypes == {"rows", "range"}
+    assert any(s.frame is None for s in frames)       # default frame
+    assert any(not s.order_unique for s in frames)    # RANGE w/ ties
+    for s in frames:  # offsets/ranks require a total order
+        if not s.order_unique:
+            assert not any(f[0] in ("lag", "lead", "row_number")
+                           for f in s.funcs)
+            assert s.frame and s.frame[0] == "range"
+    kinds = {f[0] for s in frames for f in s.funcs}
+    assert {"sum", "lag", "row_number"} <= kinds
+    asofs = [s for s in wide if isinstance(s, AsofSpec)]
+    assert asofs
+    assert {s.direction for s in asofs} == {"backward", "forward"}
+    assert {s.how for s in asofs} == {"left", "inner"}
+    assert any(s.tol_seconds for s in asofs)
+    assert any(s.tol_seconds is None for s in asofs)
+    intervals = [s for s in wide if isinstance(s, IntervalSpec)]
+    assert intervals
+    assert {s.left_side for s in intervals} == {"lineitem", "orders"}
+    assert {s.how for s in intervals} == {"inner", "left"}
+    for s in intervals:
+        assert s.a_days < s.b_days
+    scalars = [s for s in wide if isinstance(s, ScalarSpec)]
+    assert scalars
+    exprs = [c for s in scalars for c in s.cols]
+    # dialect-adapter pairs (regexp_replace 'g' flag, DIV vs //)
+    # render differently; everything else is shared text
+    assert any(s_t != d_t and "regexp_replace" in s_t
+               for s_t, d_t in exprs)
+    assert any(" DIV " in s_t and " // " in d_t for s_t, d_t in exprs)
+    assert any(s_t == d_t for s_t, d_t in exprs)
+    # mode-targeted seed selection is consistent with the generator
+    for mode, cls in (("frame", FrameSpec), ("asof", AsofSpec),
+                      ("interval", IntervalSpec), ("scalar", ScalarSpec)):
+        picked = seeds_for_mode(mode, 5)
+        assert all(isinstance(gen_query(s), cls) for s in picked)
 
 
 def test_catalog_matches_parquet_schemas():
@@ -90,7 +145,8 @@ def test_shrink_reduces_to_minimal_failing_spec():
     fixpoint must strip every droppable clause and keep exactly the
     clause carrying the failure."""
     spec = next(s for s in (gen_query(i) for i in range(400))
-                if s.group_mode == "rollup" and s.where
+                if isinstance(s, QuerySpec)
+                and s.group_mode == "rollup" and s.where
                 and len(s.agg_exprs) >= 2 and s.joins)
     small = shrink(spec, lambda s: s.group_mode == "rollup")
     assert small.group_mode == "rollup"
@@ -104,7 +160,8 @@ def test_shrink_steps_yield_runnable_specs(spark):
     match (structural validity of the shrinker's moves)."""
     from check_correctness import duck_connection
     seeds = [s for s in range(200)
-             if (lambda q: q.joins and (q.where or q.semis))(gen_query(s))]
+             if (lambda q: isinstance(q, QuerySpec) and q.joins
+                 and (q.where or q.semis))(gen_query(s))]
     con = duck_connection(SF)
     checked = 0
     for seed in seeds[:3]:
@@ -133,10 +190,60 @@ def test_known_divergence_rollup_over_empty_input(spark):
         "FROM (SELECT 1 AS i WHERE false) GROUP BY ROLLUP (i % 2)"
     ).fetchall()
     assert duck == [(None, 0)]
-    # the five sweep seeds that surfaced it, green under the adapter
+    # the five v5-sweep seeds that surfaced it (the r11 mode roll
+    # regenerated the seed space, so these are ordinary seeds now —
+    # kept as battery members; the behavior pin is the asserts above)
     failures = run_seeds([168, 223, 226, 261, 277], SF, spark=spark,
                          verbose=False)
     assert not failures, failures
+
+
+def test_asof_tolerance_works_on_ntz_timestamps(spark):
+    """Regression pin for a REAL bug found by `--mode asof` (r11):
+    operators/asof.py's tolerance branch matched only TimestampType,
+    but the parquet loader yields TIMESTAMP_NTZ for every time column
+    — so asof_join(tolerance=...) threw DATATYPE_MISMATCH on every
+    real table (NTZ has no direct DOUBLE cast). The fix routes the
+    seconds-delta through a TIMESTAMP cast (session tz pinned UTC)."""
+    from pyspark.sql import functions as F
+
+    from transcript_analysis_spark.operators.asof import asof_join
+    from transcript_analysis_spark.sources.tables import load_table
+    from pyspark.sql.types import TimestampNTZType
+    o = load_table(spark, SF, "orders")
+    assert isinstance(o.schema["o_orderdate"].dataType, TimestampNTZType)
+    left = o.select(F.col("o_custkey").alias("k"),
+                    F.col("o_orderdate").alias("ats"))
+    right = (o.filter("o_orderstatus = 'F'")
+             .groupBy(F.col("o_custkey").alias("k"),
+                      F.col("o_orderdate").alias("ats"))
+             .agg(F.max("o_totalprice").alias("pay")))
+    out = asof_join(left, right, key="k", ts="ats",
+                    payload_cols=["pay"], tolerance=30 * 86400)
+    rows = out.count()
+    assert rows == o.count()
+    # tolerance actually bounds matches: tighter window, fewer matches
+    tight = asof_join(left, right, key="k", ts="ats",
+                      payload_cols=["pay"], tolerance=86400)
+    n_loose = out.filter("asof_pay IS NOT NULL").count()
+    n_tight = tight.filter("asof_pay IS NOT NULL").count()
+    assert 0 < n_tight <= n_loose
+
+
+def test_known_divergence_concat_null_handling(spark):
+    """Engine-difference pin (probed while building the scalar mode,
+    r11): CONCAT() with a NULL argument returns NULL in Spark but
+    SKIPS the NULL in DuckDB (Postgres-style variadic concat). The
+    scalar grammar therefore emits `||` — NULL-propagating in BOTH
+    engines — and never bare CONCAT(); if either engine changes, this
+    pin fails and the generator can widen."""
+    import duckdb
+    assert spark.sql("SELECT CONCAT('a', NULL, 'b') AS r"
+                     ).collect()[0].r is None
+    assert duckdb.sql("SELECT CONCAT('a', NULL, 'b') AS r"
+                      ).fetchall() == [("ab",)]
+    assert spark.sql("SELECT 'a' || NULL AS r").collect()[0].r is None
+    assert duckdb.sql("SELECT 'a' || NULL AS r").fetchall() == [(None,)]
 
 
 @pytest.mark.parametrize("chunk", range(4))

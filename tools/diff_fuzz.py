@@ -42,6 +42,9 @@ API-assembly path the engine's registered plans use.
 
 Usage:
   python tools/diff_fuzz.py [n_seeds] [sf_dir] [--start K] [--no-shrink]
+                            [--mode frame|asof|interval|scalar|setop|legacy]
+`--mode` runs the first n_seeds seeds whose generated spec belongs to
+that mode (generation is ~free; only matching specs execute).
 exit 1 on any mismatch; prints each failing seed's SQL for replay plus
 a greedily SHRUNKEN still-failing spec (clauses dropped to a fixpoint)
 so a divergence arrives pre-triaged.
@@ -350,6 +353,609 @@ class QuerySpec:
         return out
 
 
+# --- window-frame mode -----------------------------------------------------
+# Fuzzes ROWS/RANGE frame specs (the `rolling_7day_revenue` /
+# `customer_running_total` class, plans/warehouse.py + relational.py)
+# through the DataFrame Window API vs the identical SQL frame clause.
+# Determinism: the ORDER BY column is either the table's unique key
+# (total order — every window function allowed) or a non-unique
+# numeric column restricted to RANGE-frame aggregates (peers are all
+# included, so SUM/COUNT/MIN/MAX are order-insensitive within ties).
+
+UNIQUE_KEYS = {"orders": "o_orderkey", "customer": "c_custkey",
+               "part": "p_partkey", "supplier": "s_suppkey",
+               "events": "event_id", "documents": "doc_id"}
+
+# string-typed columns per table for the scalar mode (cat pools plus
+# the free-text/name columns the cat catalog doesn't track)
+STRING_COLS = {
+    "customer": ["c_name", "c_mktsegment"],
+    "orders": ["o_orderpriority", "o_orderstatus"],
+    "part": ["p_name", "p_brand", "p_type"],
+    "supplier": ["s_name"],
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type"],
+}
+
+
+@dataclass
+class FrameSpec:
+    """Windowed-frame query: per-row window aggregates/offsets over one
+    table, identical OVER clause on both engines.
+
+    ``frame`` is ("rows"|"range", lo, hi) with bounds encoded as
+    None = UNBOUNDED, 0 = CURRENT ROW, -k = k PRECEDING,
+    +k = k FOLLOWING; None = use each engine's DEFAULT frame (RANGE
+    UNBOUNDED PRECEDING..CURRENT ROW per the standard — itself a fuzz
+    target). ``funcs`` entries are (kind, expr, offset)."""
+    seed: int
+    table: str
+    partition: str | None
+    order_col: str
+    order_asc: bool
+    order_unique: bool
+    frame: tuple | None
+    funcs: list = field(default_factory=list)
+    where: str | None = None
+
+    def _bound_sql(self, v, default_side: str) -> str:
+        if v is None:
+            return f"UNBOUNDED {default_side}"
+        if v == 0:
+            return "CURRENT ROW"
+        return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+    def _over_sql(self, with_frame: bool) -> str:
+        parts = []
+        if self.partition:
+            parts.append(f"PARTITION BY {self.partition}")
+        parts.append(f"ORDER BY {self.order_col} "
+                     f"{'ASC' if self.order_asc else 'DESC'}")
+        if with_frame and self.frame is not None:
+            ftype, lo, hi = self.frame
+            parts.append(f"{ftype.upper()} BETWEEN "
+                         f"{self._bound_sql(lo, 'PRECEDING')} AND "
+                         f"{self._bound_sql(hi, 'FOLLOWING')}")
+        return "OVER (" + " ".join(parts) + ")"
+
+    def _func_sql(self, kind: str, expr, off) -> str:
+        over_f = self._over_sql(True)
+        over_p = self._over_sql(False)
+        if kind == "sum":
+            return f"CAST(SUM({expr}) {over_f} AS BIGINT)"
+        if kind == "count_star":
+            return f"CAST(COUNT(*) {over_f} AS BIGINT)"
+        if kind == "count":
+            return f"CAST(COUNT({expr}) {over_f} AS BIGINT)"
+        if kind in ("min_int", "max_int"):
+            fn = kind[:3].upper()
+            return f"CAST({fn}({expr}) {over_f} AS BIGINT)"
+        if kind in ("min_str", "max_str"):
+            return f"{kind[:3].upper()}({expr}) {over_f}"
+        if kind in ("lag", "lead"):
+            return f"CAST({kind.upper()}({expr}, {off}) {over_p} AS BIGINT)"
+        assert kind == "row_number", kind
+        return f"CAST(ROW_NUMBER() {over_p} AS BIGINT)"
+
+    def to_sql(self) -> str:
+        uk = UNIQUE_KEYS[self.table]
+        sel = [f"{uk} AS k"]
+        sel += [f"{self._func_sql(*f)} AS w{i + 1}"
+                for i, f in enumerate(self.funcs)]
+        w = f" WHERE {self.where}" if self.where else ""
+        return f"SELECT {', '.join(sel)} FROM {self.table}{w}"
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.sources.tables import load_table
+        df = load_table(spark, sf_dir, self.table)
+        if self.where:
+            df = df.filter(F.expr(self.where))
+        ordc = (F.expr(self.order_col).asc() if self.order_asc
+                else F.expr(self.order_col).desc())
+        base = (Window.partitionBy(F.expr(self.partition))
+                if self.partition else Window.partitionBy())
+        base = base.orderBy(ordc)
+        if self.frame is not None:
+            ftype, lo, hi = self.frame
+            lo = Window.unboundedPreceding if lo is None else lo
+            hi = Window.unboundedFollowing if hi is None else hi
+            framed = (base.rowsBetween(lo, hi) if ftype == "rows"
+                      else base.rangeBetween(lo, hi))
+        else:
+            framed = base  # engine-default frame — itself under test
+        cols = [F.col(UNIQUE_KEYS[self.table]).alias("k")]
+        for i, (kind, expr, off) in enumerate(self.funcs):
+            if kind == "sum":
+                c = F.sum(F.expr(expr)).over(framed).cast("long")
+            elif kind == "count_star":
+                c = F.count(F.lit(1)).over(framed).cast("long")
+            elif kind == "count":
+                c = F.count(F.expr(expr)).over(framed).cast("long")
+            elif kind in ("min_int", "min_str"):
+                c = F.min(F.expr(expr)).over(framed)
+                if kind == "min_int":
+                    c = c.cast("long")
+            elif kind in ("max_int", "max_str"):
+                c = F.max(F.expr(expr)).over(framed)
+                if kind == "max_int":
+                    c = c.cast("long")
+            elif kind == "lag":
+                c = F.lag(F.expr(expr), off).over(base).cast("long")
+            elif kind == "lead":
+                c = F.lead(F.expr(expr), off).over(base).cast("long")
+            else:
+                c = F.row_number().over(base).cast("long")
+            cols.append(c.alias(f"w{i + 1}"))
+        return df.select(*cols)
+
+    def shrink_steps(self):
+        import copy
+
+        def clone(**kw):
+            s = copy.deepcopy(self)
+            for k, v in kw.items():
+                setattr(s, k, v)
+            return s
+
+        if self.where is not None:
+            yield clone(where=None)
+        for i in range(len(self.funcs) - 1, -1, -1):
+            if len(self.funcs) > 1:
+                yield clone(funcs=self.funcs[:i] + self.funcs[i + 1:])
+        if self.partition is not None:
+            yield clone(partition=None)
+        if self.frame is not None:
+            yield clone(frame=None)
+
+
+def gen_frame(rng: random.Random, seed: int) -> FrameSpec:
+    table = rng.choice(sorted(UNIQUE_KEYS))
+    uk = UNIQUE_KEYS[table]
+    lowints = [c for c, _, _ in TABLE_COLS[table]["lowint"]]
+    if lowints and rng.random() < 0.3:
+        order_col, unique = rng.choice(lowints), False
+    else:
+        order_col, unique = uk, True
+    spec = FrameSpec(seed=seed, table=table, partition=None,
+                     order_col=order_col, order_asc=rng.random() < 0.7,
+                     order_unique=unique, frame=None)
+    part_cands = ([c for c, _ in TABLE_COLS[table].get("cat", [])]
+                  + [c for c in lowints if c != order_col])
+    if rng.random() < 0.8:
+        if part_cands and rng.random() < 0.7:
+            spec.partition = rng.choice(part_cands)
+        else:
+            spec.partition = f"{uk} % {rng.randint(2, 8)}"
+    # frame: RANGE offsets scale with the order column's value spread
+    if not unique or rng.random() < 0.85:
+        ftype = "range" if (not unique or rng.random() < 0.5) else "rows"
+        k = rng.randint(1, 50 if (ftype == "range" and unique) else 6)
+        m = rng.randint(1, 50 if (ftype == "range" and unique) else 6)
+        lo, hi = rng.choice([(None, 0), (-k, 0), (-k, m), (0, None),
+                             (-k, None), (None, m), (1, 1 + m),
+                             (-k - m, -k)])
+        spec.frame = (ftype, lo, hi)
+    kinds = ["sum", "count_star", "count", "min_int", "max_int"]
+    if TABLE_COLS[table].get("cat"):
+        kinds += ["min_str", "max_str"]
+    if unique:  # offsets/ranks need a total order
+        kinds += ["lag", "lead", "row_number"]
+    for kind in rng.sample(kinds, rng.randint(1, 3)):
+        expr, off = None, None
+        if kind in ("sum", "count", "min_int", "max_int", "lag", "lead"):
+            expr = _int_sum_expr(rng, [table]) or uk
+        elif kind in ("min_str", "max_str"):
+            expr = rng.choice(TABLE_COLS[table]["cat"])[0]
+        if kind in ("lag", "lead"):
+            off = rng.randint(1, 3)
+        spec.funcs.append((kind, expr, off))
+    if rng.random() < 0.5:
+        spec.where = _predicate(rng, [table])
+    return spec
+
+
+# --- temporal mode: as-of + interval joins ---------------------------------
+# Fuzzes the repo's riskiest bespoke semantics: operators/asof.py's
+# union-then-window as-of composition (DuckDB's native ASOF JOIN is
+# the oracle) and the equi-key + range-predicate interval join
+# (plans/relational.py shipdate_within_order_window shape). The right
+# side of an as-of is deduped per (key, ts) on BOTH engines so
+# equal-ts tie-breaking cannot differ; payloads are coalesced non-null
+# so matched-ness and payload-nullness coincide (the engine treats the
+# picked right ROW, not a payload cell, as the match marker).
+
+ASOF_PAIRS = {
+    # events.ts is nanos in DuckDB vs micros in Spark — second-truncate
+    # on both sides so the as-of inequality compares identical values
+    "events": dict(
+        key="user_id", ts="date_trunc('second', ts)",
+        pay="coalesce(CAST(ROUND(value * 100) AS BIGINT), 0)",
+        g_opts=["event_type", "user_id % 5"],
+        tol_opts=[300, 3600, 86400, 604800]),
+    "orders": dict(
+        key="o_custkey", ts="o_orderdate",
+        pay="coalesce(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0)",
+        g_opts=["o_orderpriority", "o_orderstatus", "o_custkey % 7"],
+        tol_opts=[d * 86400 for d in (7, 30, 90, 365)]),
+    "lineitem": dict(
+        key="l_suppkey", ts="l_shipdate",
+        pay="coalesce(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0)",
+        g_opts=["l_returnflag", "l_linestatus", "l_suppkey % 5"],
+        tol_opts=[d * 86400 for d in (7, 30, 90, 365)]),
+}
+
+
+@dataclass
+class AsofSpec:
+    """As-of join fuzz case: engine asof_join vs DuckDB ASOF JOIN,
+    rolled into a grouped exact aggregate so output stays bounded."""
+    seed: int
+    table: str
+    direction: str            # backward | forward
+    how: str                  # left | inner
+    tol_seconds: int | None
+    left_filter: str | None
+    right_filter: str | None
+    group_expr: str = "1"
+
+    def to_sql(self) -> str:
+        cfg = ASOF_PAIRS[self.table]
+        lf = f" WHERE {self.left_filter}" if self.left_filter else ""
+        rf = f" WHERE {self.right_filter}" if self.right_filter else ""
+        op = ">=" if self.direction == "backward" else "<="
+        kw = "ASOF LEFT JOIN" if self.how == "left" else "ASOF JOIN"
+        tol = ""
+        if self.tol_seconds is not None:
+            tol_pred = (f"ABS(epoch(l.ats) - epoch(r0.ats)) "
+                        f"<= {self.tol_seconds}")
+            if self.how == "left":
+                pay2 = f"CASE WHEN {tol_pred} THEN r0.pay END"
+            else:
+                pay2, tol = "r0.pay", f" WHERE {tol_pred}"
+        else:
+            pay2 = "r0.pay"
+        return f"""
+        WITH l AS (SELECT {cfg['key']} AS k, {cfg['ts']} AS ats,
+                          {self.group_expr} AS g FROM {self.table}{lf}),
+        r0 AS (SELECT {cfg['key']} AS k, {cfg['ts']} AS ats,
+                      MAX({cfg['pay']}) AS pay
+               FROM {self.table}{rf} GROUP BY 1, 2),
+        j AS (SELECT l.g AS g, {pay2} AS pay2
+              FROM l {kw} r0 ON l.k = r0.k AND l.ats {op} r0.ats{tol})
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS a1,
+               CAST(COUNT(pay2) AS BIGINT) AS a2,
+               CAST(COALESCE(SUM(pay2), 0) AS BIGINT) AS a3
+        FROM j GROUP BY g"""
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.operators.asof import asof_join
+        from transcript_analysis_spark.sources.tables import load_table
+        cfg = ASOF_PAIRS[self.table]
+        t = load_table(spark, sf_dir, self.table)
+        lt = t.filter(F.expr(self.left_filter)) if self.left_filter else t
+        left = lt.select(F.expr(cfg["key"]).alias("k"),
+                         F.expr(cfg["ts"]).alias("ats"),
+                         F.expr(self.group_expr).alias("g"))
+        rt = t.filter(F.expr(self.right_filter)) if self.right_filter else t
+        right = (rt.select(F.expr(cfg["key"]).alias("k"),
+                           F.expr(cfg["ts"]).alias("ats"),
+                           F.expr(cfg["pay"]).alias("pay0"))
+                 .groupBy("k", "ats").agg(F.max("pay0").alias("pay")))
+        joined = asof_join(left, right, key="k", ts="ats",
+                           payload_cols=["pay"], how=self.how,
+                           direction=self.direction,
+                           tolerance=self.tol_seconds)
+        return (joined.groupBy("g")
+                .agg(F.count(F.lit(1)).cast("long").alias("a1"),
+                     F.count("asof_pay").cast("long").alias("a2"),
+                     F.coalesce(F.sum("asof_pay"), F.lit(0))
+                      .cast("long").alias("a3")))
+
+    def shrink_steps(self):
+        import copy
+
+        def clone(**kw):
+            s = copy.deepcopy(self)
+            for k, v in kw.items():
+                setattr(s, k, v)
+            return s
+
+        if self.tol_seconds is not None:
+            yield clone(tol_seconds=None)
+        if self.left_filter is not None:
+            yield clone(left_filter=None)
+        if self.right_filter is not None:
+            yield clone(right_filter=None)
+        if self.how == "inner":
+            yield clone(how="left")
+
+
+@dataclass
+class IntervalSpec:
+    """Equi-key + date-range interval join (point-in-window), inner or
+    null-extending LEFT, aggregated per left-side group."""
+    seed: int
+    left_side: str            # "lineitem" (points) | "orders" (windows)
+    how: str                  # inner | left
+    a_days: int
+    b_days: int
+    lo_op: str                # ">=" | ">"
+    hi_op: str                # "<=" | "<"
+    left_filter: str | None
+    right_filter: str | None
+    group_expr: str = "1"
+
+    def _cond(self) -> str:
+        return (f"l_orderkey = o_orderkey"
+                f" AND l_shipdate {self.lo_op} o_orderdate +"
+                f" INTERVAL {self.a_days} DAY"
+                f" AND l_shipdate {self.hi_op} o_orderdate +"
+                f" INTERVAL {self.b_days} DAY")
+
+    def _sides(self):
+        if self.left_side == "lineitem":
+            return ("lineitem", "orders", "o_orderkey",
+                    "coalesce(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0)")
+        return ("orders", "lineitem", "l_orderkey",
+                "coalesce(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0)")
+
+    def to_sql(self) -> str:
+        lt, rt, probe, pay = self._sides()
+        lsrc = (f"(SELECT * FROM {lt} WHERE {self.left_filter}) AS {lt}"
+                if self.left_filter else lt)
+        rsrc = (f"(SELECT * FROM {rt} WHERE {self.right_filter}) AS {rt}"
+                if self.right_filter else rt)
+        kw = "LEFT JOIN" if self.how == "left" else "JOIN"
+        return (f"SELECT {self.group_expr} AS g, "
+                f"CAST(COUNT(*) AS BIGINT) AS a1, "
+                f"CAST(COUNT({probe}) AS BIGINT) AS a2, "
+                f"CAST(COALESCE(SUM({pay}), 0) AS BIGINT) AS a3 "
+                f"FROM {lsrc} {kw} {rsrc} ON {self._cond()} "
+                f"GROUP BY {self.group_expr}")
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.sources.tables import load_table
+        lt, rt, probe, pay = self._sides()
+        left = load_table(spark, sf_dir, lt)
+        if self.left_filter:
+            left = left.filter(F.expr(self.left_filter))
+        right = load_table(spark, sf_dir, rt)
+        if self.right_filter:
+            right = right.filter(F.expr(self.right_filter))
+        joined = left.join(right, F.expr(self._cond()), self.how)
+        return (joined.groupBy(F.expr(self.group_expr).alias("g"))
+                .agg(F.count(F.lit(1)).cast("long").alias("a1"),
+                     F.count(probe).cast("long").alias("a2"),
+                     F.coalesce(F.sum(F.expr(pay)), F.lit(0))
+                      .cast("long").alias("a3")))
+
+    def shrink_steps(self):
+        import copy
+
+        def clone(**kw):
+            s = copy.deepcopy(self)
+            for k, v in kw.items():
+                setattr(s, k, v)
+            return s
+
+        if self.left_filter is not None:
+            yield clone(left_filter=None)
+        if self.right_filter is not None:
+            yield clone(right_filter=None)
+        if self.lo_op == ">":
+            yield clone(lo_op=">=")
+        if self.hi_op == "<":
+            yield clone(hi_op="<=")
+        if self.how == "left":
+            yield clone(how="inner")
+
+
+def gen_temporal(rng: random.Random, seed: int):
+    if rng.random() < 0.5:
+        table = rng.choice(sorted(ASOF_PAIRS))
+        cfg = ASOF_PAIRS[table]
+        return AsofSpec(
+            seed=seed, table=table,
+            direction=rng.choice(["backward", "forward"]),
+            how=rng.choice(["left", "left", "inner"]),
+            tol_seconds=(rng.choice(cfg["tol_opts"])
+                         if rng.random() < 0.4 else None),
+            left_filter=(_predicate(rng, [table])
+                         if rng.random() < 0.4 else None),
+            right_filter=(_predicate(rng, [table])
+                          if rng.random() < 0.8 else None),
+            group_expr=rng.choice(cfg["g_opts"]))
+    left_side = rng.choice(["lineitem", "orders"])
+    a = rng.randint(0, 25)
+    g_opts = (["l_returnflag", "l_linestatus", "l_linenumber",
+               "l_suppkey % 5"] if left_side == "lineitem"
+              else ["o_orderpriority", "o_orderstatus", "o_custkey % 7"])
+    return IntervalSpec(
+        seed=seed, left_side=left_side,
+        how=rng.choice(["inner", "inner", "left"]),
+        a_days=a, b_days=a + rng.randint(1, 45),
+        lo_op=rng.choice([">=", ">"]), hi_op=rng.choice(["<=", "<"]),
+        left_filter=(_predicate(rng, [left_side])
+                     if rng.random() < 0.4 else None),
+        right_filter=(_predicate(
+            rng, ["orders" if left_side == "lineitem" else "lineitem"])
+            if rng.random() < 0.5 else None),
+        group_expr=rng.choice(g_opts))
+
+
+# --- scalar mode -----------------------------------------------------------
+# String functions and integer/decimal division — the remaining
+# shared-SQL scalar surface where the engines could diverge unnoticed.
+# Each expression is a (spark_text, duck_text) pair; they are the SAME
+# text except where the dialects genuinely differ, each such adapter
+# probed and annotated below:
+#   - regexp_replace: Spark replaces ALL matches by default, DuckDB
+#     only the first — the duck side adds the 'g' flag (same semantics
+#     once flagged; probed 2026-08-16).
+#   - integer division: Spark `a DIV b` / DuckDB `a // b`, BOTH
+#     truncate toward zero incl. negatives (probed: -7/2 -> -3 both).
+#   - CONCAT() diverges for NULL args (Spark: NULL, DuckDB: skips) —
+#     the generator uses `||` (NULL-propagating in both) and the
+#     CONCAT divergence is pinned in tests/test_diff_fuzz.py.
+#   - decimal division: Spark computes exact DECIMAL(38,20), DuckDB
+#     promotes to DOUBLE — quantization is kept coarse (x10^4 on
+#     quotients bounded ~1e3 by |denominator|+100) so the double's
+#     ~1e-9 ulp error cannot reach a rounding tie.
+
+@dataclass
+class ScalarSpec:
+    """Map-only scalar-function fuzz case: k generated expressions
+    projected per row of one table, keyed by its unique key."""
+    seed: int
+    table: str
+    cols: list = field(default_factory=list)   # (spark_text, duck_text)
+    where: str | None = None
+
+    def to_sql(self) -> str:
+        uk = UNIQUE_KEYS[self.table]
+        sel = [f"{uk} AS k"] + [f"{d} AS c{i + 1}"
+                                for i, (_s, d) in enumerate(self.cols)]
+        w = f" WHERE {self.where}" if self.where else ""
+        return f"SELECT {', '.join(sel)} FROM {self.table}{w}"
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.sources.tables import load_table
+        df = load_table(spark, sf_dir, self.table)
+        if self.where:
+            df = df.filter(F.expr(self.where))
+        return df.select(
+            F.col(UNIQUE_KEYS[self.table]).alias("k"),
+            *[F.expr(s).alias(f"c{i + 1}")
+              for i, (s, _d) in enumerate(self.cols)])
+
+    def shrink_steps(self):
+        import copy
+
+        def clone(**kw):
+            s = copy.deepcopy(self)
+            for k, v in kw.items():
+                setattr(s, k, v)
+            return s
+
+        if self.where is not None:
+            yield clone(where=None)
+        for i in range(len(self.cols) - 1, -1, -1):
+            if len(self.cols) > 1:
+                yield clone(cols=self.cols[:i] + self.cols[i + 1:])
+
+
+def _string_input(rng: random.Random, table: str) -> str:
+    """A string-valued input expression, sometimes NULL-injected via
+    the unique key so NULL propagation is exercised on every path."""
+    col = rng.choice(STRING_COLS[table])
+    if rng.random() < 0.25:
+        uk = UNIQUE_KEYS[table]
+        k = rng.randint(2, 7)
+        return (f"CASE WHEN {uk} % {k} = {rng.randrange(k)} "
+                f"THEN NULL ELSE {col} END")
+    return col
+
+
+def _scalar_expr(rng: random.Random, table: str) -> tuple[str, str]:
+    """One generated (spark_text, duck_text) scalar expression."""
+    kind = rng.choice(["upper", "lower", "trim_pad", "substr", "replace",
+                       "concat", "length", "position", "split_part",
+                       "regexp_extract", "regexp_replace",
+                       "cents_mod", "int_div", "dec_div"])
+    s = _string_input(rng, table) if table in STRING_COLS else None
+    if kind in ("upper", "lower"):
+        e = f"{kind.upper()}({s})"
+        return e, e
+    if kind == "trim_pad":
+        fn = rng.choice(["LPAD", "RPAD"])
+        n = rng.randint(1, 18)
+        e = f"TRIM({fn}({s}, {n}, '{rng.choice('*# _x')}'))"
+        return e, e
+    if kind == "substr":
+        e = f"SUBSTRING({s}, {rng.randint(1, 6)}, {rng.randint(0, 12)})"
+        return e, e
+    if kind == "replace":
+        a = rng.choice("aeiorst#0 ")
+        e = f"REPLACE({s}, '{a}', '{rng.choice(['*', '__', ''])}')"
+        return e, e
+    if kind == "concat":
+        t2 = _string_input(rng, table)
+        e = f"{s} || '{rng.choice('-:/#')}' || {t2}"
+        return e, e
+    if kind == "length":
+        e = f"LENGTH({s})"
+        return e, e
+    if kind == "position":
+        e = f"POSITION('{rng.choice('aeiorst#0')}' IN {s})"
+        return e, e
+    if kind == "split_part":
+        sep = rng.choice([" ", "-", "#"])
+        e = f"split_part({s}, '{sep}', {rng.randint(1, 4)})"
+        return e, e
+    if kind == "regexp_extract":
+        pat = rng.choice(["([a-z]+)", "([0-9]+)", "([A-Z][a-z]+)",
+                          "([a-z]+)[0-9]*"])
+        e = f"regexp_extract({s}, '{pat}', {rng.choice([0, 1])})"
+        return e, e
+    if kind == "regexp_replace":
+        pat = rng.choice(["[aeiou]", "[0-9]", "[a-z]{2}"])
+        rep = rng.choice(["*", "", "<>"])
+        # dialect adapter: DuckDB replaces only the FIRST match unless
+        # the 'g' flag is passed; Spark always replaces all
+        return (f"regexp_replace({s}, '{pat}', '{rep}')",
+                f"regexp_replace({s}, '{pat}', '{rep}', 'g')")
+    # numeric kinds — need a money or int column
+    moneys = TABLE_COLS[table].get("money", [])
+    ints = (list(TABLE_COLS[table].get("int", []))
+            + [c for c, _, _ in TABLE_COLS[table].get("lowint", [])])
+    if kind == "cents_mod" or (kind in ("int_div", "dec_div")
+                               and not moneys):
+        if moneys:
+            m, _, _ = rng.choice(moneys)
+            num = f"CAST(ROUND({m} * 100) AS BIGINT)"
+        elif ints:
+            num = rng.choice(ints)
+        else:
+            return f"LENGTH({s})", f"LENGTH({s})"
+        return (f"{num} % {rng.randint(2, 9)}",) * 2
+    if kind == "int_div":
+        m, _, _ = rng.choice(moneys)
+        num = f"CAST(ROUND({m} * 100) AS BIGINT)"
+        if ints and rng.random() < 0.5:
+            den = f"NULLIF({rng.choice(ints)} % {rng.randint(2, 5)}, 0)"
+        else:
+            den = str(rng.choice([3, 7, 100, 997]))
+        # dialect adapter: same truncate-toward-zero semantics (probed
+        # on negatives), different token
+        return f"({num}) DIV ({den})", f"({num}) // ({den})"
+    # dec_div — see module comment on quantization coarseness
+    m1, _, _ = rng.choice(moneys)
+    m2, _, _ = rng.choice(moneys)
+    e = (f"CAST(ROUND(CAST({m1} AS DECIMAL(18,4)) / "
+         f"(ABS(CAST({m2} AS DECIMAL(18,4))) + 100.0) * 10000, 0) "
+         f"AS BIGINT)")
+    return e, e
+
+
+def gen_scalar(rng: random.Random, seed: int) -> ScalarSpec:
+    table = rng.choice(sorted(STRING_COLS))
+    spec = ScalarSpec(seed=seed, table=table)
+    spec.cols = [_scalar_expr(rng, table)
+                 for _ in range(rng.randint(2, 4))]
+    if rng.random() < 0.4:
+        spec.where = _predicate(rng, [table])
+    return spec
+
+
 # --- generation ------------------------------------------------------------
 
 def _cols(tables: list[str], kind: str) -> list:
@@ -526,19 +1132,36 @@ def _agg_expr(rng: random.Random, tables: list[str]) -> str:
             else "CAST(COUNT(*) AS BIGINT)")
 
 
-def gen_query(seed: int) -> QuerySpec:
+def gen_query(seed: int):
+    """Seeded spec generator. Mode roll first: the specialized modes
+    (set-op, window-frame, temporal as-of/interval, scalar) each get a
+    fixed slice of the seed space; the remainder takes the original
+    join/aggregate/window-top-k path."""
     rng = random.Random(seed)
+    mode = rng.random()
+    if mode < 0.24 and mode >= 0.12:
+        return gen_frame(rng, seed)
+    if mode < 0.36 and mode >= 0.24:
+        return gen_temporal(rng, seed)
+    if mode < 0.46 and mode >= 0.36:
+        return gen_scalar(rng, seed)
     spec = QuerySpec(seed=seed)
     base = rng.choice(BASE_TABLES)
     spec.tables = [base]
 
     # set-op mode: two filtered branches over the base table
-    if rng.random() < 0.15:
+    if mode < 0.12:
         spec.setop_kind = rng.choice(
             ["UNION ALL", "UNION", "INTERSECT", "INTERSECT ALL",
              "EXCEPT", "EXCEPT ALL"])
-        spec.setop_cols = [_group_expr(rng, [base])
-                           for _ in range(rng.randint(2, 3))]
+        # every BASE_TABLE has groupable columns today; assert rather
+        # than emit 'None AS c1' SQL if a catalog edit breaks that
+        # (r10 advice: fail in the generator, not with a cryptic
+        # engine error)
+        spec.setop_cols = [g for g in (_group_expr(rng, [base])
+                                       for _ in range(rng.randint(2, 3)))
+                           if g is not None]
+        assert spec.setop_cols, f"no groupable columns on {base}"
         spec.setop_filters = (
             _predicate(rng, [base]) if rng.random() < 0.9 else None,
             _predicate(rng, [base]) if rng.random() < 0.9 else None)
@@ -561,8 +1184,14 @@ def gen_query(seed: int) -> QuerySpec:
                 rf = _predicate(rng, [new])
                 if rf is None:
                     how = "inner"
-            # dim->fact (e.g. customer LEFT JOIN orders): naturally
-            # unmatched rows exist; no filter needed
+            else:
+                # dim->fact: some edges have natural unmatched rows
+                # (customer->orders) but most degenerate to INNER in
+                # TPC-H-ish data (every order has lineitems, every
+                # nation has customers) — force null-extension most
+                # of the time here too (r10 advice)
+                if rng.random() < 0.7:
+                    rf = _predicate(rng, [new])
         spec.tables.append(new)
         spec.joins.append((new, cond, how, rf))
 
@@ -632,12 +1261,15 @@ def gen_query(seed: int) -> QuerySpec:
 
 # --- shrinking -------------------------------------------------------------
 
-def _shrink_steps(spec: QuerySpec):
+def _shrink_steps(spec):
     """Candidate one-step reductions of a spec, structurally valid by
     construction: clauses are dropped, never rewritten, and joins are
     only dropped when nothing else references the joined table (its
     column prefix appears in no other fragment), so every step yields
-    a runnable spec."""
+    a runnable spec. Non-QuerySpec modes carry their own steps."""
+    if not isinstance(spec, QuerySpec):
+        yield from spec.shrink_steps()
+        return
     import copy
 
     def clone(**kw):
@@ -741,7 +1373,16 @@ def _check_spec(spec: QuerySpec, sf_dir: str, spark, con,
         duck_pdf = con.execute(sql).df()
         return compare(label, df, duck_rows, duck_cols, duck_pdf)
     except Exception as e:  # noqa: BLE001
-        return False, f"error: {e}"
+        return False, f"error: {type(e).__name__}: {e}"
+
+
+def _failure_kind(msg: str) -> str:
+    """Coarse failure class for shrink stability: a mismatch-failing
+    seed must not shrink into a spec that fails for an unrelated
+    reason (r10 advice) — 'error:<ExceptionClass>' vs 'mismatch'."""
+    if msg.startswith("error:"):
+        return "error:" + msg.split(":", 2)[1].strip()
+    return "mismatch"
 
 
 def run_seeds(seeds, sf_dir: str, spark=None, con=None,
@@ -764,22 +1405,66 @@ def run_seeds(seeds, sf_dir: str, spark=None, con=None,
             if verbose:
                 print(f"FAIL seed={seed}: {msg}\n  SQL: {spec.to_sql()}")
                 if shrink_failures:
-                    small = shrink(spec, lambda s: not _check_spec(
-                        s, sf_dir, spark, con)[0])
+                    # a shrink step must fail the SAME way as the
+                    # original (mismatch stays mismatch, error keeps
+                    # its exception class) — otherwise the "minimal"
+                    # repro can be an unrelated failure (r10 advice)
+                    kind = _failure_kind(msg)
+
+                    def _same_failure(s, _kind=kind):
+                        ok2, m2 = _check_spec(s, sf_dir, spark, con)
+                        return (not ok2) and _failure_kind(m2) == _kind
+
+                    small = shrink(spec, _same_failure)
                     print(f"  shrunk: {small.to_sql()}")
         elif verbose:
             print(f"PASS seed={seed}: {msg}")
     return failures
 
 
+MODE_CLASSES = {"frame": "FrameSpec", "asof": "AsofSpec",
+                "interval": "IntervalSpec", "scalar": "ScalarSpec",
+                "setop": None, "legacy": None}
+
+
+def seeds_for_mode(mode: str, n: int, start: int = 0):
+    """First `n` seeds >= start whose generated spec belongs to
+    `mode` — lets a sweep target one mode's grammar without paying to
+    execute the other 85% of the seed space (generation is ~free)."""
+    out = []
+    seed = start
+    while len(out) < n:
+        spec = gen_query(seed)
+        cls = type(spec).__name__
+        if mode in ("frame", "asof", "interval", "scalar"):
+            match = cls == MODE_CLASSES[mode]
+        elif mode == "setop":
+            match = cls == "QuerySpec" and spec.setop_kind is not None
+        else:
+            match = cls == "QuerySpec" and spec.setop_kind is None
+        if match:
+            out.append(seed)
+        seed += 1
+    return out
+
+
 def main() -> None:
     argv = sys.argv[1:]
     args: list[str] = []
     start, shrink_failures, i = 0, True, 0
+    mode = None
     while i < len(argv):
         a = argv[i]
         if a == "--no-shrink":
             shrink_failures = False
+        elif a.startswith("--mode"):
+            if "=" in a:
+                mode = a.split("=", 1)[1]
+            else:
+                i += 1
+                mode = argv[i] if i < len(argv) else ""
+            if mode not in MODE_CLASSES:
+                sys.exit(f"--mode must be one of {sorted(MODE_CLASSES)}")
         elif a.startswith("--start"):
             if "=" in a:
                 start = int(a.split("=", 1)[1])
@@ -799,7 +1484,9 @@ def main() -> None:
         sys.exit(f"first positional must be n_seeds, got {args[0]!r} "
                  "(usage: diff_fuzz.py [n_seeds] [sf_dir] [--start K])")
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
-    failures = run_seeds(range(start, start + n), sf_dir,
+    seeds = (seeds_for_mode(mode, n, start) if mode
+             else range(start, start + n))
+    failures = run_seeds(seeds, sf_dir,
                          shrink_failures=shrink_failures)
     print(f"\n{n - len(failures)}/{n} seeds matched"
           + (f"; failing seeds: {[s for s, _ in failures]}"

@@ -211,15 +211,26 @@ def main() -> None:
     if g.returncode != 0:
         failures.append("scan gate")
 
-    print("[6/6] differential fuzz (60 seeds at sf0.001) ...")
+    # fuzz at the smallest scale SIBLING of sf_dir (r10 advice: a
+    # custom data dir must not silently fuzz the stock path) — falls
+    # back to the stock sf0.001 only when no sibling exists, and to
+    # sf_dir itself as a last resort.
+    fuzz_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(fuzz_dir):
+        fuzz_dir = ("/root/testdata/sf0.001"
+                    if os.path.isdir("/root/testdata/sf0.001") else sf_dir)
+    print(f"[6/6] differential fuzz (60 seeds at {fuzz_dir}) ...")
     f = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools/diff_fuzz.py"),
-         "60", "/root/testdata/sf0.001"],
+         "60", fuzz_dir],
         env=env, capture_output=True, text=True)
     flines = [ln for ln in f.stdout.replace("\r", "\n").splitlines()
               if ln.startswith("FAIL") or "seeds matched" in ln]
     print("\n".join(flines[-8:]) if flines else "(no fuzz output)")
     if f.returncode != 0:
+        if not flines:  # crashed before printing: surface the cause
+            err_tail = "\n".join(f.stderr.splitlines()[-6:])
+            print(f"  fuzz stderr tail:\n{err_tail}")
         failures.append("differential fuzz")
 
     if failures:

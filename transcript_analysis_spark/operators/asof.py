@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -81,11 +81,21 @@ def asof_join(left: DataFrame, right: DataFrame,
     filled = unioned.select(*left_cols, "__side", picked.alias("__f_row"))
     out = filled.filter(F.col("__side") == left_tag).drop("__side")
     if tolerance is not None:
-        # fractional-second deltas for timestamps (unix_timestamp
-        # truncates to whole seconds and misjudges sub-second gaps)
-        if isinstance(right.schema[ts].dataType, TimestampType):
-            delta = F.abs(F.col(ts).cast("double")
-                          - F.col("__f_row.rts").cast("double"))
+        # fractional-second deltas for time-typed columns — NTZ
+        # included: the parquet loader yields TIMESTAMP_NTZ, so
+        # matching only TimestampType left this branch dead for every
+        # real table and tolerance threw DATATYPE_MISMATCH (found by
+        # tools/diff_fuzz.py --mode asof, r11). unix_timestamp is not
+        # used because it truncates to whole seconds and misjudges
+        # sub-second gaps.
+        if isinstance(right.schema[ts].dataType,
+                      (TimestampType, TimestampNTZType, DateType)):
+            # NTZ/date cannot cast to double directly — go through
+            # TIMESTAMP first (session tz is pinned UTC, and a
+            # difference of two same-typed instants is tz-invariant)
+            def _secs(c):
+                return c.cast("timestamp").cast("double")
+            delta = F.abs(_secs(F.col(ts)) - _secs(F.col("__f_row.rts")))
         else:
             delta = F.abs(F.col(ts) - F.col("__f_row.rts"))
         out = out.withColumn(
