@@ -21,36 +21,103 @@ from transcript_analysis_spark.plans import all_queries
 from transcript_analysis_spark.session import get_spark
 
 
-# Quiet-machine reference for the calibration micro-query, pinned r8
-# from its in-bench position (after the 21 headliners, fully-warm
-# JVM): 0.202 s; standalone min-of-5 measures ran 0.216-0.251.
-# machine_drift = calibration_sec / this; ~1.0 on an idle host.
-CALIBRATION_REF_SEC = 0.21
+# Quiet-machine references for the calibration probes, pinned from
+# their in-bench position (after the 21 headliners, fully-warm JVM)
+# on an idle host. cpu pinned r8 (standalone min-of-5 ran 0.216-0.251);
+# scan/shuffle pinned r11 when the probes were added.
+# machine_drift[cls] = calibration[cls] / ref; ~1.0 on an idle host.
+CALIBRATION_REFS = {"cpu": 0.21, "scan": 0.22, "shuffle": 0.60}
+
+# Resource-class assignment per headline query (r10 verdict item 1:
+# ONE constant-shape probe cannot model scan-heavy vs shuffle-heavy
+# vs JVM-heavy environment drift — contention hits IO-bound and
+# CPU-bound plans differently, leaving a ±20% per-class residual).
+# Handassigned from the plan audits in ROUND*_NOTES/SCALE.md:
+#   scan    — read/decode-dominated, map-only or single light agg
+#   shuffle — join/exchange-dominated (incl. window/stateful stores)
+#   cpu     — JVM expression work dominates (hashing, n-grams,
+#             smoothing kernels, sketch math)
+# Queries not listed default to "cpu" (the legacy single-probe class).
+QUERY_CLASS = {
+    "gopher_quality_flags": "scan",
+    "tumbling_hourly_event_stats": "scan",
+    "hll_distinct_profile": "scan",
+    "pricing_summary": "scan",
+    "brand_revenue": "scan",
+    "corpus_release_prep": "shuffle",
+    "pagerank_purchase_graph": "shuffle",
+    "mllib_lsh_similar_pairs": "shuffle",
+    "training_data_prep": "shuffle",
+    "sql_frontend_revenue_by_region": "shuffle",
+    "asof_purchase_context": "shuffle",
+    "session_windows_per_user": "shuffle",
+    "ngram_model_score": "cpu",
+    "islands_flagship": "cpu",
+    "island_param_sensitivity": "cpu",
+    "lm_perplexity_filter": "cpu",
+    "duplicate_ngram_coverage": "cpu",
+    "cms_heavy_hitters": "cpu",
+    "bloom_prefilter_contamination": "cpu",
+    "dsir_importance_weights": "cpu",
+    "minhash_lsh_candidate_pairs": "cpu",
+}
+
+# Fixed dataset for the scan probe: constant across rounds (testdata
+# is read-only), so the probe's cost is invariant to repo changes.
+SCAN_PROBE_PATH = "/root/testdata/sf0.1/lineitem.parquet"
 
 
-def calibration_seconds(spark) -> float:
-    """Fixed machine-speed micro-benchmark (r7 verdict item: defend
-    the bench against environment drift). A constant-shape compute-
-    bound job — 800M-row codegen range with an integer fold, no IO, no
-    shuffle beyond the final 32->1 aggregate — whose cost is invariant
-    to every repo change. Recorded beside the query timings so uniform
-    environment inflation (machine contention on the driver host) is
-    measurable: if calibration drifts +20% vs its pinned reference,
-    +20% on unchanged queries is the machine, not the plans. Measured
-    with the same warm + min-of-5 discipline as the queries."""
-    def run():
-        (spark.range(0, 800_000_000, 1, 32)
-         .selectExpr("sum(id * 3 + (id % 7)) as s", "count(1) as c")
-         .write.format("noop").mode("overwrite").save())
-    for _ in range(3):                      # warm (C2 JIT needs >1)
+def _min_of(run, warm: int = 3, reps: int = 5) -> float:
+    for _ in range(warm):                   # C2 JIT needs >1 pass
         run()
     best = None
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.time()
         run()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3)
+
+
+def calibration_probes(spark) -> dict[str, float]:
+    """Machine-speed micro-benchmarks, one per resource class (r7
+    verdict: defend the bench against environment drift; r10 verdict
+    item 1: one probe shape cannot separate IO, shuffle, and CPU
+    contention). Each is a constant-shape job whose cost is invariant
+    to every repo change, measured with the same warm + min-of-5
+    discipline as the queries:
+
+      cpu     — 800M-row codegen range with an integer fold; no IO,
+                no shuffle beyond the final 32->1 aggregate.
+      scan    — full read+decode of the (read-only) sf0.1 lineitem
+                parquet through the noop sink; no shuffle.
+      shuffle — 8M-row range exchanged into 2M groups; the exchange
+                dominates, compute per row is trivial.
+
+    Recorded beside the query timings so per-class environment
+    inflation is measurable: if the scan probe drifts +20% vs its
+    pinned reference, +20% on unchanged scan-class queries is the
+    machine, not the plans."""
+    def cpu():
+        (spark.range(0, 800_000_000, 1, 32)
+         .selectExpr("sum(id * 3 + (id % 7)) as s", "count(1) as c")
+         .write.format("noop").mode("overwrite").save())
+
+    def scan():
+        (spark.read.parquet(SCAN_PROBE_PATH)
+         .write.format("noop").mode("overwrite").save())
+
+    def shuffle():
+        (spark.range(0, 8_000_000, 1, 32)
+         .selectExpr("id % 2000000 as k", "id")
+         .groupBy("k").sum("id")
+         .write.format("noop").mode("overwrite").save())
+
+    out = {"cpu": _min_of(cpu)}
+    if os.path.exists(SCAN_PROBE_PATH):
+        out["scan"] = _min_of(scan)
+    out["shuffle"] = _min_of(shuffle)
+    return out
 
 
 def main() -> None:
@@ -93,7 +160,7 @@ def main() -> None:
         spreads[name] = [round(samples[0], 3), round(samples[2], 3),
                          round(samples[4], 3)]
 
-    cal = calibration_seconds(spark)
+    cals = calibration_probes(spark)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -103,14 +170,24 @@ def main() -> None:
         # per-query [min, median, max] of the same 5 steady-state runs
         "queries_spread": spreads,
         "sf": sf_val,
-        # machine-speed control (NOT in the total): constant-shape
-        # compute job vs its quiet-machine reference — divides out
-        # uniform environment drift in cross-round comparisons
-        "calibration_sec": cal,
+        # machine-speed controls (NOT in the total): constant-shape
+        # jobs vs their quiet-machine references — divide out
+        # PER-CLASS environment drift in cross-round comparisons
+        "calibrations": cals,
+        "calibration_refs": {k: CALIBRATION_REFS[k] for k in cals
+                             if CALIBRATION_REFS.get(k)},
+        "machine_drifts": {k: round(v / CALIBRATION_REFS[k], 3)
+                           for k, v in cals.items()
+                           if CALIBRATION_REFS.get(k)},
+        "query_class": {q: QUERY_CLASS.get(q, "cpu") for q in timings},
+        # legacy single-probe fields (cpu class) so records stay
+        # comparable with pre-r11 BENCH_r*.json gate logic
+        "calibration_sec": cals["cpu"],
     }
-    if CALIBRATION_REF_SEC:
-        out["calibration_ref_sec"] = CALIBRATION_REF_SEC
-        out["machine_drift"] = round(cal / CALIBRATION_REF_SEC, 3)
+    if CALIBRATION_REFS.get("cpu"):
+        out["calibration_ref_sec"] = CALIBRATION_REFS["cpu"]
+        out["machine_drift"] = round(cals["cpu"] / CALIBRATION_REFS["cpu"],
+                                     3)
     print(json.dumps(out))
 
 

@@ -78,9 +78,34 @@ def test_drift_factor_normalizes_machine_state():
         {"q": 3.0}, prev, None, 0.01)) == 1
 
 
+def test_class_factors_normalize_per_resource_class():
+    """r10 verdict item 1: a scan-contended box inflates scan-class
+    queries while the cpu probe looks idle — the per-class factor
+    exempts exactly the class whose probe drifted, and other classes
+    still gate on the global factor."""
+    prev = {"scan_q": 1.0, "cpu_q": 1.0}
+    cur = {"scan_q": 1.4, "cpu_q": 1.4}    # both +40% raw
+    qclass = {"scan_q": "scan", "cpu_q": "cpu"}
+    # the scan probe drifted 1.4x this run (scan contention); the cpu
+    # probe did not -> only cpu_q is a real regression
+    factors = {"scan": 1.0 / 1.4, "cpu": 1.0}
+    v = release_check.bench_regressions(cur, prev, None, 1.0,
+                                        factors, qclass)
+    assert len(v) == 1 and v[0].startswith("cpu_q")
+    # clamp applies per class too: a corrupt probe cannot exempt a 3x
+    v = release_check.bench_regressions({"scan_q": 3.0}, prev, None,
+                                        1.0, {"scan": 0.01}, qclass)
+    assert len(v) == 1
+    # unclassified queries fall back to the global factor
+    v = release_check.bench_regressions(
+        {"other_q": 1.4}, {"other_q": 1.0}, None, 1.0 / 1.4,
+        {"scan": 1.0}, {})
+    assert v == []
+
+
 def test_latest_recorded_bench_reads_highest_round():
-    name, sf, queries, _spread, _drift = \
-        release_check.latest_recorded_bench()
+    rec = release_check.latest_recorded_bench()
+    name, sf, queries = rec["file"], rec["sf"], rec["queries"]
     assert sf == 0.1          # the driver benches at sf0.1
     assert name.startswith("BENCH_r")
     assert queries and all(isinstance(v, float) for v in queries.values())

@@ -91,6 +91,31 @@ def test_observed_row_bytes_measures_footers(spark, tmp_path):
     assert store_io.observed_row_bytes(out, batch_id=9) is None
 
 
+def test_observed_row_bytes_accepts_filesystem_uris(spark, tmp_path):
+    """r10 verdict item 6: the partition walk goes through the
+    pyarrow filesystem resolved FROM THE STORE URI, so calibration
+    extends beyond bare local paths — proven here with a file:// URI
+    (the resolution mechanism is identical for s3a/abfs; only the
+    resolved filesystem differs)."""
+    from transcript_analysis_spark.streaming import store_io
+
+    out = str(tmp_path / "uri_store")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.lit("x"), 120, "y").alias("text"))
+    write_batch_partition(df, 2, out, size_aware=True)
+    via_path = store_io.observed_row_bytes(out)
+    via_uri = store_io.observed_row_bytes(f"file://{out}")
+    assert via_path is not None
+    assert via_uri == via_path
+    assert store_io.observed_row_bytes(f"file://{out}", batch_id=2) == \
+        via_path
+    # an unresolvable URI degrades to None (constant-estimate path),
+    # never an exception
+    assert store_io.observed_row_bytes("definitely-not-a-scheme://x") \
+        is None
+
+
 def test_second_batch_sizes_from_measured_width(spark, tmp_path,
                                                 monkeypatch):
     """Batch 0 sizes from the caller's (deliberately absurd) estimate;

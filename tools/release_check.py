@@ -30,8 +30,11 @@ single PASS/FAIL verdict:
    no hand-written oracle happens to exercise.
 
 Usage: python tools/release_check.py [sf_dir] [--no-bench-gate]
+                                     [--bench-only]
 (default /root/testdata/sf0.01; bench always runs at
-$SPARK_GRAFT_SF_DIR or its sf0.1 default).
+$SPARK_GRAFT_SF_DIR or its sf0.1 default). --bench-only runs steps
+1 + 4 alone — the loop for validating gate stability across
+consecutive runs without paying for the oracle sweep each time.
 Exit code 0 = releasable.
 """
 
@@ -50,14 +53,12 @@ BENCH_DRIFT_TOLERANCE = 0.25   # fail a query >25% slower than last round
 BENCH_GATE_FLOOR_SEC = 0.5     # ignore sub-noise-floor queries
 
 
-def latest_recorded_bench() -> tuple[
-        str, object, dict[str, float], dict[str, list[float]],
-        float | None] | None:
-    """(filename, recorded sf, per-query seconds, per-query spread,
-    machine_drift) of the highest-round BENCH_r*.json at the repo
-    root, or None if none recorded yet. Spread ([min, median, max],
-    recorded since r10) is {} and machine_drift None for records
-    predating those fields."""
+def latest_recorded_bench() -> dict | None:
+    """Parsed fields of the highest-round BENCH_r*.json at the repo
+    root, or None if none recorded yet: {file, sf, queries, spread,
+    drift, drifts, query_class}. Spread ([min, median, max], since
+    r10) is {}; drift (single-probe) None and drifts (per-class,
+    since r11) {} for records predating those fields."""
     best: tuple[int, str] | None = None
     for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
@@ -72,11 +73,15 @@ def latest_recorded_bench() -> tuple[
         # the driver wraps bench.py's JSON line under "parsed"; accept
         # both that shape and a raw bench.py line saved directly
         inner = data.get("parsed", data)
-        sf = inner.get("sf", data.get("sf"))
-        return (os.path.basename(best[1]), sf,
-                dict(inner.get("queries", {})),
-                dict(inner.get("queries_spread", {})),
-                inner.get("machine_drift"))
+        return {
+            "file": os.path.basename(best[1]),
+            "sf": inner.get("sf", data.get("sf")),
+            "queries": dict(inner.get("queries", {})),
+            "spread": dict(inner.get("queries_spread", {})),
+            "drift": inner.get("machine_drift"),
+            "drifts": dict(inner.get("machine_drifts", {})),
+            "query_class": dict(inner.get("query_class", {})),
+        }
     except (OSError, ValueError, AttributeError):
         return None
 
@@ -84,7 +89,10 @@ def latest_recorded_bench() -> tuple[
 def bench_regressions(current: dict[str, float],
                       previous: dict[str, float],
                       prev_spread: dict[str, list[float]] | None = None,
-                      drift_factor: float = 1.0) -> list[str]:
+                      drift_factor: float = 1.0,
+                      class_factors: dict[str, float] | None = None,
+                      query_class: dict[str, str] | None = None
+                      ) -> list[str]:
     """Human-readable violation list: queries >=BENCH_GATE_FLOOR_SEC
     that drifted more than BENCH_DRIFT_TOLERANCE past last round AND
     past the previous record's own run-to-run spread (when recorded) —
@@ -93,19 +101,29 @@ def bench_regressions(current: dict[str, float],
     two rounds were sub-0.3 s noise on code-untouched queries).
 
     ``drift_factor`` = baseline machine_drift / current machine_drift:
-    both records carry the constant-shape calibration row, so the two
+    both records carry constant-shape calibration probes, so the two
     runs are compared in idle-machine-equivalent seconds (now *
     factor vs then) — the same drift adjustment the r8/r9 judges
-    applied by hand before calling anything a regression. Clamped to
-    [0.5, 2.0] so a corrupt calibration can neither nuke nor disable
-    the gate; 1.0 (no adjustment) when either record lacks the row."""
+    applied by hand before calling anything a regression. Since r11
+    the records carry one probe PER RESOURCE CLASS (cpu/scan/shuffle):
+    ``class_factors`` maps class -> baseline/current probe-drift
+    ratio and ``query_class`` assigns each query its class, so a
+    scan-contended box no longer reads as a regression on scan-class
+    queries while the cpu probe sits idle-looking (the r10 residual).
+    Each factor is clamped to [0.5, 2.0] so a corrupt calibration can
+    neither nuke nor disable the gate; the single-probe factor is the
+    fallback for unclassified queries or pre-r11 baselines."""
     out = []
     prev_spread = prev_spread or {}
-    factor = min(2.0, max(0.5, drift_factor or 1.0))
+    class_factors = class_factors or {}
+    query_class = query_class or {}
+    global_factor = min(2.0, max(0.5, drift_factor or 1.0))
     for name, now_raw in sorted(current.items()):
         then = previous.get(name)
         if then is None:
             continue
+        factor = class_factors.get(query_class.get(name), global_factor)
+        factor = min(2.0, max(0.5, factor or 1.0))
         now = now_raw * factor
         # noise-floor exemption only when BOTH sides are sub-floor —
         # a 0.4s query blowing up to 30s must still trip the gate
@@ -128,8 +146,14 @@ def bench_regressions(current: dict[str, float],
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--no-bench-gate"]
-    gate_enabled = "--no-bench-gate" not in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    gate_enabled = "--no-bench-gate" not in flags
+    # --bench-only: steps 1 + 4 alone (bench in a fresh JVM, then the
+    # regression gate vs the recorded baseline) — the loop used to
+    # validate gate stability across consecutive runs on a busy box
+    # without paying for the full oracle sweep each time.
+    bench_only = "--bench-only" in flags
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     env = dict(os.environ, PYTHONPATH=ROOT)
     failures = []
@@ -145,26 +169,28 @@ def main() -> None:
     if b.returncode != 0 or not bench_lines:
         failures.append("bench")
 
-    sys.path.insert(0, ROOT)
-    from transcript_analysis_spark.session import get_spark
-    spark = get_spark("release-check")
-    spark.sparkContext.setLogLevel("ERROR")
-    import __spark_entry__ as e
-    n_rows = e.entry(spark).count()
-    nq, no = len(e.queries()), len(e.oracle_sql())
-    print(f"[2/6] entry smoke: rows={n_rows} queries={nq} oracles={no}")
-    if n_rows <= 0 or no > nq:
-        failures.append("entry smoke")
-    spark.stop()
+    if not bench_only:
+        sys.path.insert(0, ROOT)
+        from transcript_analysis_spark.session import get_spark
+        spark = get_spark("release-check")
+        spark.sparkContext.setLogLevel("ERROR")
+        import __spark_entry__ as e
+        n_rows = e.entry(spark).count()
+        nq, no = len(e.queries()), len(e.oracle_sql())
+        print(f"[2/6] entry smoke: rows={n_rows} queries={nq} oracles={no}")
+        if n_rows <= 0 or no > nq:
+            failures.append("entry smoke")
+        spark.stop()
 
-    print(f"[3/6] oracle sweep at {sf_dir} ...")
-    r = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools/check_correctness.py"),
-         sf_dir], env=env, capture_output=True, text=True)
-    tail = "\n".join(r.stdout.replace("\r", "\n").splitlines()[-3:])
-    print(tail)
-    if r.returncode != 0:
-        failures.append("oracle sweep")
+        print(f"[3/6] oracle sweep at {sf_dir} ...")
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(ROOT, "tools/check_correctness.py"),
+             sf_dir], env=env, capture_output=True, text=True)
+        tail = "\n".join(r.stdout.replace("\r", "\n").splitlines()[-3:])
+        print(tail)
+        if r.returncode != 0:
+            failures.append("oracle sweep")
 
     print("[4/6] bench regression gate ...")
     prev = latest_recorded_bench()
@@ -174,32 +200,51 @@ def main() -> None:
         print("  (skipped: no bench output)")
     elif prev is None:
         print("  (skipped: no recorded BENCH_r*.json baseline)")
-    elif prev[1] != json.loads(bench_lines[-1]).get("sf"):
-        print(f"  (skipped: baseline {prev[0]} recorded at sf={prev[1]}, "
-              f"this run at sf={json.loads(bench_lines[-1]).get('sf')} — "
+    elif prev["sf"] != json.loads(bench_lines[-1]).get("sf"):
+        print(f"  (skipped: baseline {prev['file']} recorded at "
+              f"sf={prev['sf']}, this run at "
+              f"sf={json.loads(bench_lines[-1]).get('sf')} — "
               f"times are not comparable)")
     else:
-        baseline_name, _sf, prev_q, prev_spread, prev_drift = prev
         cur = json.loads(bench_lines[-1])
         cur_q = cur.get("queries", {})
-        cur_drift = cur.get("machine_drift")
-        factor = ((prev_drift / cur_drift)
-                  if prev_drift and cur_drift else 1.0)
-        if factor != 1.0:
-            print(f"  drift adjustment: baseline {prev_drift} / "
-                  f"current {cur_drift} -> factor {factor:.3f}")
-        violations = bench_regressions(cur_q, prev_q, prev_spread,
-                                       factor)
+        factor = ((prev["drift"] / cur.get("machine_drift"))
+                  if prev["drift"] and cur.get("machine_drift") else 1.0)
+        # per-class probe ratios (both records need the r11+ fields);
+        # the current record's class map assigns queries to classes
+        cur_drifts = cur.get("machine_drifts", {})
+        class_factors = {
+            cls: prev["drifts"][cls] / cur_drifts[cls]
+            for cls in prev["drifts"]
+            if cur_drifts.get(cls)}
+        if class_factors:
+            print("  per-class drift factors: "
+                  + ", ".join(f"{c}={f:.3f}"
+                              for c, f in sorted(class_factors.items())))
+        elif factor != 1.0:
+            print(f"  drift adjustment (single-probe): baseline "
+                  f"{prev['drift']} / current {cur.get('machine_drift')} "
+                  f"-> factor {factor:.3f}")
+        violations = bench_regressions(
+            cur_q, prev["queries"], prev["spread"], factor,
+            class_factors, cur.get("query_class", {}))
         if violations:
-            print(f"  REGRESSIONS vs {baseline_name} "
+            print(f"  REGRESSIONS vs {prev['file']} "
                   f"(> {BENCH_DRIFT_TOLERANCE:.0%} on >= "
                   f"{BENCH_GATE_FLOOR_SEC}s queries):")
             for v in violations:
                 print(f"    {v}")
             failures.append("bench regression gate")
         else:
-            print(f"  OK vs {baseline_name}: no query drifted "
+            print(f"  OK vs {prev['file']}: no query drifted "
                   f"> {BENCH_DRIFT_TOLERANCE:.0%}")
+
+    if bench_only:
+        if failures:
+            print(f"RELEASE CHECK (bench-only) FAILED: {failures}")
+            sys.exit(1)
+        print("RELEASE CHECK (bench-only) PASSED")
+        return
 
     print("[5/6] scan gate (compiled ceilings + runtime reuse) ...")
     g = subprocess.run(

@@ -25,8 +25,6 @@ batch (r8 advice item).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,26 +52,35 @@ def observed_row_bytes(out_dir: str,
     """Measured on-disk bytes/row of ONE batch partition of a store —
     `batch_id=N` when given, else the highest batch on disk. Parquet
     footer walk on the driver (no Spark job), bounded by the files of
-    a single partition. Returns None when nothing is readable yet
-    (empty store, remote URI the local walk can't list, zero rows) —
-    callers fall back to their constant estimate, which is exactly the
-    batch-0 behavior."""
+    a single partition. The partition listing goes through the
+    pyarrow filesystem resolved from the store URI (the same walk
+    `describe_tables` uses), so calibration works on object-store
+    URIs (s3a/abfs/file:), not just local paths (r10 verdict item 6
+    — the os.listdir walk silently returned None for remote stores).
+    Returns None when nothing is readable yet (empty store,
+    unresolvable URI, zero rows) — callers fall back to their
+    constant estimate, which is exactly the batch-0 behavior."""
     try:
-        parts = [p for p in os.listdir(out_dir)
-                 if p.startswith("batch_id=")]
+        import pyarrow.dataset as pads
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(out_dir)
+        infos = filesystem.get_file_info(
+            pafs.FileSelector(root, recursive=False))
+        parts = [i.base_name for i in infos
+                 if i.type == pafs.FileType.Directory
+                 and i.base_name.startswith("batch_id=")]
         if batch_id is not None:
             parts = [p for p in parts
                      if p == f"batch_id={int(batch_id)}"]
         if not parts:
             return None
         latest = max(parts, key=lambda p: int(p.split("=", 1)[1]))
-        import pyarrow.dataset as pads
-        ds = pads.dataset(os.path.join(out_dir, latest),
-                          format="parquet")
+        ds = pads.dataset(f"{root.rstrip('/')}/{latest}",
+                          filesystem=filesystem, format="parquet")
         n_rows, n_bytes = 0, 0
         for frag in ds.get_fragments():
             n_rows += frag.metadata.num_rows
-            n_bytes += ds.filesystem.get_file_info(frag.path).size
+            n_bytes += filesystem.get_file_info(frag.path).size
     except Exception:  # noqa: BLE001 - calibration is best-effort
         return None
     if n_rows <= 0:
