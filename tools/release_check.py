@@ -25,16 +25,21 @@ single PASS/FAIL verdict:
    mechanically (r9 verdict item 1).
 6. differential fuzz: tools/diff_fuzz.py — 60 seeded GENERATED query
    plans (join chains, filters, grouped exact aggregates, NULL
-   injection) rendered to both the Spark DataFrame API and DuckDB SQL
-   and compared exactly; catches semantics divergences in plan shapes
-   no hand-written oracle happens to exercise.
+   injection, window frames, as-of/interval joins, scalar string/
+   division functions, set-ops) rendered to both the Spark DataFrame
+   API and DuckDB SQL and compared exactly; catches semantics
+   divergences in plan shapes no hand-written oracle happens to
+   exercise.
 
 Usage: python tools/release_check.py [sf_dir] [--no-bench-gate]
-                                     [--bench-only]
+                                     [--bench-only] [--baseline=PATH]
 (default /root/testdata/sf0.01; bench always runs at
 $SPARK_GRAFT_SF_DIR or its sf0.1 default). --bench-only runs steps
 1 + 4 alone — the loop for validating gate stability across
-consecutive runs without paying for the oracle sweep each time.
+consecutive runs without paying for the oracle sweep each time;
+--baseline=PATH gates against a locally-recorded bench JSON instead
+of the newest BENCH_r*.json (validation of per-class normalization
+before the driver has recorded an r11+ baseline).
 Exit code 0 = releasable.
 """
 
@@ -53,19 +58,25 @@ BENCH_DRIFT_TOLERANCE = 0.25   # fail a query >25% slower than last round
 BENCH_GATE_FLOOR_SEC = 0.5     # ignore sub-noise-floor queries
 
 
-def latest_recorded_bench() -> dict | None:
+def latest_recorded_bench(baseline_path: str | None = None
+                          ) -> dict | None:
     """Parsed fields of the highest-round BENCH_r*.json at the repo
-    root, or None if none recorded yet: {file, sf, queries, spread,
-    drift, drifts, query_class}. Spread ([min, median, max], since
-    r10) is {}; drift (single-probe) None and drifts (per-class,
-    since r11) {} for records predating those fields."""
-    best: tuple[int, str] | None = None
-    for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
-        if m:
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, path)
+    root (or of ``baseline_path`` when given — validation runs
+    against a locally-recorded baseline), or None if none recorded
+    yet: {file, sf, queries, spread, drift, drifts, query_class}.
+    Spread ([min, median, max], since r10) is {}; drift
+    (single-probe) None and drifts (per-class, since r11) {} for
+    records predating those fields."""
+    if baseline_path:
+        best = (0, baseline_path)
+    else:
+        best = None
+        for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+            m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+            if m:
+                rnd = int(m.group(1))
+                if best is None or rnd > best[0]:
+                    best = (rnd, path)
     if best is None:
         return None
     try:
@@ -154,6 +165,10 @@ def main() -> None:
     # validate gate stability across consecutive runs on a busy box
     # without paying for the full oracle sweep each time.
     bench_only = "--bench-only" in flags
+    baseline_path = None
+    for fl in flags:
+        if fl.startswith("--baseline="):
+            baseline_path = fl.split("=", 1)[1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     env = dict(os.environ, PYTHONPATH=ROOT)
     failures = []
@@ -193,7 +208,7 @@ def main() -> None:
             failures.append("oracle sweep")
 
     print("[4/6] bench regression gate ...")
-    prev = latest_recorded_bench()
+    prev = latest_recorded_bench(baseline_path)
     if not gate_enabled:
         print("  (disabled via --no-bench-gate)")
     elif not bench_lines:
