@@ -230,6 +230,24 @@ def test_asof_tolerance_works_on_ntz_timestamps(spark):
     assert 0 < n_tight <= n_loose
 
 
+def test_known_divergence_split_part_null_input(spark):
+    """Engine-difference pin (found by `--mode scalar`'s first
+    1000-seed sweep, r11 — 7 failing seeds, all this shape): DuckDB
+    split_part returns '' for a NULL input string where Spark (and
+    Postgres) NULL-propagate. The scalar grammar guards the DuckDB
+    side with CASE WHEN input IS NULL; if DuckDB adopts NULL
+    propagation, this pin fails and the adapter comes out."""
+    import duckdb
+    assert spark.sql("SELECT split_part(CAST(NULL AS STRING), '-', 1)"
+                     " AS r").collect()[0].r is None
+    assert duckdb.sql("SELECT split_part(NULL, '-', 1) AS r"
+                      ).fetchall() == [("",)]
+    # the adapted seeds from the sweep, green under the guard
+    failures = run_seeds([480, 687, 699, 710, 847, 868, 1204, 1542,
+                          1583], SF, spark=spark, verbose=False)
+    assert not failures, failures
+
+
 def test_known_divergence_concat_null_handling(spark):
     """Engine-difference pin (probed while building the scalar mode,
     r11): CONCAT() with a NULL argument returns NULL in Spark but

@@ -899,8 +899,15 @@ def _scalar_expr(rng: random.Random, table: str) -> tuple[str, str]:
         return e, e
     if kind == "split_part":
         sep = rng.choice([" ", "-", "#"])
-        e = f"split_part({s}, '{sep}', {rng.randint(1, 4)})"
-        return e, e
+        n = rng.randint(1, 4)
+        # dialect adapter (found by this mode's first 1000-seed sweep,
+        # 7 failing seeds, all this shape): DuckDB split_part returns
+        # '' for a NULL input string where Spark (and Postgres)
+        # NULL-propagate — guard the duck side; pinned in
+        # tests/test_diff_fuzz.py
+        return (f"split_part({s}, '{sep}', {n})",
+                f"CASE WHEN ({s}) IS NULL THEN NULL"
+                f" ELSE split_part({s}, '{sep}', {n}) END")
     if kind == "regexp_extract":
         pat = rng.choice(["([a-z]+)", "([0-9]+)", "([A-Z][a-z]+)",
                           "([a-z]+)[0-9]*"])
