@@ -108,22 +108,33 @@ def _perturb_documents(t: pa.Table, copy_i: int) -> pa.Table:
 
 
 def _perturb_embeddings(t: pa.Table, copy_i: int) -> pa.Table:
+    """Per-copy RANDOM ORTHOGONAL ROTATION of the whole vector set.
+
+    Why rotation and not additive noise: a copy must (a) preserve the
+    source's internal geometry exactly — every intra-copy pair
+    distance, cluster, and norm is invariant under rotation, so
+    similarity-join outputs and IVF/k-means structure scale EXACTLY
+    linearly with the factor — and (b) decorrelate from the other
+    copies: two independent rotations of the same set have cross-copy
+    cosines ~ N(0, 1/dim), i.e. euclidean ~ sqrt(2) for unit-ish
+    vectors, far outside near-neighbor thresholds. The first attempt
+    used norm-preserving additive noise (cosine-to-source ~0.6-0.8
+    ~= euclidean 0.6-0.9): every source spawned a factor-sized clique
+    under the LSH join's 1.2 threshold and pair counts grew ~100x at
+    10x data — a pathological shape a real 10x corpus does not have
+    (caught by the r11 sf1.0 scaling probe as the only super-linear
+    headliner; output-driven, not a plan defect)."""
     embs = t["embedding"].to_pylist()
-    mat = np.asarray(embs, dtype=np.float32)
+    mat = np.asarray(embs, dtype=np.float64)
     rng = np.random.RandomState(1_000_003 * (copy_i + 1))
-    scale = float(np.mean(np.abs(mat))) or 1.0
-    noisy = mat + rng.normal(0.0, 0.8 * scale,
-                             size=mat.shape).astype(np.float32)
-    # renormalize each vector to its source norm (preserves the norm
-    # distribution; direction decorrelates)
-    src_n = np.linalg.norm(mat, axis=1, keepdims=True)
-    new_n = np.linalg.norm(noisy, axis=1, keepdims=True)
-    new_n[new_n == 0] = 1.0
-    noisy = noisy * (src_n / new_n)
+    dim = mat.shape[1]
+    q, r = np.linalg.qr(rng.normal(size=(dim, dim)))
+    q *= np.sign(np.diag(r))  # unique Q: det-stable, no reflections
+    rotated = (mat @ q).astype(np.float32)
     idx = t.schema.get_field_index("embedding")
     return t.set_column(
         idx, "embedding",
-        pa.array([row.tolist() for row in noisy.astype(np.float32)],
+        pa.array([row.tolist() for row in rotated],
                  t.schema.field("embedding").type))
 
 
