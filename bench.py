@@ -120,6 +120,39 @@ def calibration_probes(spark) -> dict[str, float]:
     return out
 
 
+def local_probe_seconds(spark, cls: str) -> float:
+    """Quarter-scale calibration probe of one class, min-of-3 — run
+    IMMEDIATELY AFTER each query's samples so the contention sample
+    is temporally local to that query's measurement. The end-of-run
+    probes model per-class machine SPEED; these model per-query-slot
+    machine NOISE: a bursty co-tenant can inflate one query by 60%
+    and be gone before the end-of-run probes ever run (measured in
+    the r11 busy-box validation — 3 of 21 queries flagged while the
+    global probes read near-idle). Refs are unnecessary: the gate
+    uses the baseline/current RATIO of the same probe shape, so the
+    constant cancels."""
+    def cpu():
+        (spark.range(0, 200_000_000, 1, 32)
+         .selectExpr("sum(id * 3 + (id % 7)) as s", "count(1) as c")
+         .write.format("noop").mode("overwrite").save())
+
+    def scan():
+        (spark.read.parquet(SCAN_PROBE_PATH)
+         .selectExpr("l_orderkey", "l_extendedprice")
+         .write.format("noop").mode("overwrite").save())
+
+    def shuffle():
+        (spark.range(0, 2_000_000, 1, 32)
+         .selectExpr("id % 500000 as k", "id")
+         .groupBy("k").sum("id")
+         .write.format("noop").mode("overwrite").save())
+
+    if cls == "scan" and not os.path.exists(SCAN_PROBE_PATH):
+        cls = "cpu"
+    fn = {"cpu": cpu, "scan": scan, "shuffle": shuffle}[cls]
+    return _min_of(fn, warm=1, reps=3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -134,6 +167,7 @@ def main() -> None:
     queries = {name: q for name, q in all_queries().items() if q.headline}
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    local_cal: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         # Isolate queries from each other's heap garbage: with 20+
         # headliners in one JVM, later queries inherit the earlier
@@ -159,6 +193,9 @@ def main() -> None:
         # inside a 0.5 s spread reads as weather, not regression
         spreads[name] = [round(samples[0], 3), round(samples[2], 3),
                          round(samples[4], 3)]
+        # temporally-local contention sample for this query's slot
+        local_cal[name] = local_probe_seconds(
+            spark, QUERY_CLASS.get(name, "cpu"))
 
     cals = calibration_probes(spark)
     total = round(sum(timings.values()), 3)
@@ -180,6 +217,9 @@ def main() -> None:
                            for k, v in cals.items()
                            if CALIBRATION_REFS.get(k)},
         "query_class": {q: QUERY_CLASS.get(q, "cpu") for q in timings},
+        # per-query-slot mini-probe seconds (same class shape, run
+        # right after each query): the gate's per-query noise factor
+        "queries_local_cal": local_cal,
         # legacy single-probe fields (cpu class) so records stay
         # comparable with pre-r11 BENCH_r*.json gate logic
         "calibration_sec": cals["cpu"],

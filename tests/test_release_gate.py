@@ -103,6 +103,30 @@ def test_class_factors_normalize_per_resource_class():
     assert v == []
 
 
+def test_local_factors_take_precedence_per_query():
+    """r11 busy-box finding: a contention burst can cover one query's
+    measurement window and be gone before the end-of-run probes — the
+    per-query temporally-local mini-probe ratio divides it out of
+    exactly that query, beating both the class and global factors."""
+    prev = {"q1": 1.0, "q2": 1.0}
+    cur = {"q1": 1.6, "q2": 1.6}          # both +60% raw
+    qclass = {"q1": "shuffle", "q2": "shuffle"}
+    # q1's local probe saw the same burst (ratio 1/1.6); q2's did not
+    local = {"q1": 1.0 / 1.6, "q2": 1.0}
+    v = release_check.bench_regressions(
+        cur, prev, None, 1.0, {"shuffle": 1.0}, qclass, local)
+    assert len(v) == 1 and v[0].startswith("q2")
+    # local factor is clamped like the others
+    v = release_check.bench_regressions(
+        {"q1": 3.0}, prev, None, 1.0, {}, {}, {"q1": 0.01})
+    assert len(v) == 1
+    # absent local factor falls back to class factor
+    v = release_check.bench_regressions(
+        {"q3": 1.4}, {"q3": 1.0}, None, 1.0, {"scan": 1.0 / 1.4},
+        {"q3": "scan"}, {})
+    assert v == []
+
+
 def test_latest_recorded_bench_reads_highest_round():
     rec = release_check.latest_recorded_bench()
     name, sf, queries = rec["file"], rec["sf"], rec["queries"]

@@ -92,6 +92,7 @@ def latest_recorded_bench(baseline_path: str | None = None
             "drift": inner.get("machine_drift"),
             "drifts": dict(inner.get("machine_drifts", {})),
             "query_class": dict(inner.get("query_class", {})),
+            "local_cal": dict(inner.get("queries_local_cal", {})),
         }
     except (OSError, ValueError, AttributeError):
         return None
@@ -102,7 +103,8 @@ def bench_regressions(current: dict[str, float],
                       prev_spread: dict[str, list[float]] | None = None,
                       drift_factor: float = 1.0,
                       class_factors: dict[str, float] | None = None,
-                      query_class: dict[str, str] | None = None
+                      query_class: dict[str, str] | None = None,
+                      local_factors: dict[str, float] | None = None
                       ) -> list[str]:
     """Human-readable violation list: queries >=BENCH_GATE_FLOOR_SEC
     that drifted more than BENCH_DRIFT_TOLERANCE past last round AND
@@ -121,6 +123,14 @@ def bench_regressions(current: dict[str, float],
     ratio and ``query_class`` assigns each query its class, so a
     scan-contended box no longer reads as a regression on scan-class
     queries while the cpu probe sits idle-looking (the r10 residual).
+    ``local_factors`` (highest precedence, per QUERY) are the ratio of
+    the two records' temporally-local mini-probes — the same class
+    shape run immediately after each query's samples, so a contention
+    burst that covers one query's measurement window (and is gone
+    before the end-of-run probes) is divided out of exactly that
+    query (the r11 busy-box validation measured 3 of 21 queries
+    flagged at +42..61% while the END-of-run probes read near-idle).
+
     Each factor is clamped to [0.5, 2.0] so a corrupt calibration can
     neither nuke nor disable the gate; the single-probe factor is the
     fallback for unclassified queries or pre-r11 baselines."""
@@ -128,12 +138,15 @@ def bench_regressions(current: dict[str, float],
     prev_spread = prev_spread or {}
     class_factors = class_factors or {}
     query_class = query_class or {}
+    local_factors = local_factors or {}
     global_factor = min(2.0, max(0.5, drift_factor or 1.0))
     for name, now_raw in sorted(current.items()):
         then = previous.get(name)
         if then is None:
             continue
-        factor = class_factors.get(query_class.get(name), global_factor)
+        factor = local_factors.get(
+            name, class_factors.get(query_class.get(name),
+                                    global_factor))
         factor = min(2.0, max(0.5, factor or 1.0))
         now = now_raw * factor
         # noise-floor exemption only when BOTH sides are sub-floor —
@@ -232,17 +245,28 @@ def main() -> None:
             cls: prev["drifts"][cls] / cur_drifts[cls]
             for cls in prev["drifts"]
             if cur_drifts.get(cls)}
+        # per-query temporally-local factors (both records need the
+        # r11+ queries_local_cal field)
+        cur_local = cur.get("queries_local_cal", {})
+        local_factors = {
+            name: prev["local_cal"][name] / cur_local[name]
+            for name in prev["local_cal"]
+            if cur_local.get(name)}
         if class_factors:
             print("  per-class drift factors: "
                   + ", ".join(f"{c}={f:.3f}"
                               for c, f in sorted(class_factors.items())))
-        elif factor != 1.0:
+        if local_factors:
+            lo, hi = min(local_factors.values()), max(local_factors.values())
+            print(f"  per-query local factors: n={len(local_factors)} "
+                  f"range [{lo:.3f}, {hi:.3f}]")
+        if not class_factors and not local_factors and factor != 1.0:
             print(f"  drift adjustment (single-probe): baseline "
                   f"{prev['drift']} / current {cur.get('machine_drift')} "
                   f"-> factor {factor:.3f}")
         violations = bench_regressions(
             cur_q, prev["queries"], prev["spread"], factor,
-            class_factors, cur.get("query_class", {}))
+            class_factors, cur.get("query_class", {}), local_factors)
         if violations:
             print(f"  REGRESSIONS vs {prev['file']} "
                   f"(> {BENCH_DRIFT_TOLERANCE:.0%} on >= "
