@@ -120,17 +120,14 @@ def calibration_probes(spark) -> dict[str, float]:
     return out
 
 
-def local_probe_seconds(spark, cls: str) -> float:
-    """Quarter-scale calibration probe of one class, min-of-3 — run
-    IMMEDIATELY AFTER each query's samples so the contention sample
-    is temporally local to that query's measurement. The end-of-run
-    probes model per-class machine SPEED; these model per-query-slot
-    machine NOISE: a bursty co-tenant can inflate one query by 60%
-    and be gone before the end-of-run probes ever run (measured in
-    the r11 busy-box validation — 3 of 21 queries flagged while the
-    global probes read near-idle). Refs are unnecessary: the gate
-    uses the baseline/current RATIO of the same probe shape, so the
-    constant cancels."""
+def _mini_probe_fn(spark, cls: str):
+    """Quarter-scale constant-shape probe of one resource class —
+    cheap enough (~0.1-0.5 s) to run NEXT TO every individual query
+    sample. The end-of-run probes model per-class machine SPEED;
+    these model per-INSTANT machine noise."""
+    if cls == "scan" and not os.path.exists(SCAN_PROBE_PATH):
+        cls = "cpu"
+
     def cpu():
         (spark.range(0, 200_000_000, 1, 32)
          .selectExpr("sum(id * 3 + (id % 7)) as s", "count(1) as c")
@@ -147,10 +144,22 @@ def local_probe_seconds(spark, cls: str) -> float:
          .groupBy("k").sum("id")
          .write.format("noop").mode("overwrite").save())
 
-    if cls == "scan" and not os.path.exists(SCAN_PROBE_PATH):
-        cls = "cpu"
-    fn = {"cpu": cpu, "scan": scan, "shuffle": shuffle}[cls]
-    return _min_of(fn, warm=1, reps=3)
+    return {"cpu": cpu, "scan": scan, "shuffle": shuffle}[cls]
+
+
+def local_probe_once(spark, cls: str) -> float:
+    """One timed run of the class mini-probe — SAMPLE-PAIRED: called
+    immediately after each individual query sample so every sample
+    carries the contention index of its own instant. (The first r11
+    design ran one probe after all five samples; the busy-box
+    validation showed a burst can cover the whole sample window while
+    that single probe lands in a load gap — pairing closes it: if ANY
+    sample+probe pair lands in a gap, the gate's corrected min
+    recovers the clean time.)"""
+    fn = _mini_probe_fn(spark, cls)
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 4)
 
 
 def main() -> None:
@@ -168,6 +177,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     local_cal: dict[str, float] = {}
+    sample_pairs: dict[str, list[list[float]]] = {}
     for name, q in sorted(queries.items()):
         # Isolate queries from each other's heap garbage: with 20+
         # headliners in one JVM, later queries inherit the earlier
@@ -176,26 +186,33 @@ def main() -> None:
         # the headline count grew 13->21). One full GC between
         # queries restores a comparable starting heap.
         spark._jvm.System.gc()
+        cls = QUERY_CLASS.get(name, "cpu")
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache OS pages)
+        local_probe_once(spark, cls)                      # warm the probe too
         samples = []
+        probes = []
         for _ in range(5):  # min-of-5 steady-state runs (shields the
             t0 = time.time()  # metric from one-off system contention;
             # r2->r3 analysis showed single-query wall time swinging
             # 3.1-9.1s under ambient load on an unchanged plan)
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        samples.sort()
-        timings[name] = round(samples[0], 3)
+            # sample-paired contention index: one mini-probe run of
+            # this query's class, timed at THIS sample's instant
+            probes.append(local_probe_once(spark, cls))
+        order = sorted(range(5), key=lambda i: samples[i])
+        timings[name] = round(samples[order[0]], 3)
         # per-query spread [min, median, max] (r9 verdict item 4): the
         # headline stays min-of-5 (backward-comparable), but the record
         # now carries how noisy each number was, so a +0.2 s "drift"
         # inside a 0.5 s spread reads as weather, not regression
-        spreads[name] = [round(samples[0], 3), round(samples[2], 3),
-                         round(samples[4], 3)]
-        # temporally-local contention sample for this query's slot
-        local_cal[name] = local_probe_seconds(
-            spark, QUERY_CLASS.get(name, "cpu"))
+        spreads[name] = [round(samples[order[0]], 3),
+                         round(samples[order[2]], 3),
+                         round(samples[order[4]], 3)]
+        sample_pairs[name] = [[round(samples[i], 3), probes[i]]
+                              for i in range(5)]
+        local_cal[name] = min(probes)
 
     cals = calibration_probes(spark)
     total = round(sum(timings.values()), 3)
@@ -217,9 +234,13 @@ def main() -> None:
                            for k, v in cals.items()
                            if CALIBRATION_REFS.get(k)},
         "query_class": {q: QUERY_CLASS.get(q, "cpu") for q in timings},
-        # per-query-slot mini-probe seconds (same class shape, run
-        # right after each query): the gate's per-query noise factor
+        # per-query-slot mini-probe seconds (min over the five paired
+        # probes): the gate's per-query noise reference
         "queries_local_cal": local_cal,
+        # the raw (sample_sec, paired_probe_sec) pairs — the gate's
+        # corrected-min rule divides each sample by its own instant's
+        # contention index and takes the min
+        "queries_samples": sample_pairs,
         # legacy single-probe fields (cpu class) so records stay
         # comparable with pre-r11 BENCH_r*.json gate logic
         "calibration_sec": cals["cpu"],

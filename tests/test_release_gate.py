@@ -125,6 +125,44 @@ def test_local_factors_take_precedence_per_query():
         {"q3": 1.4}, {"q3": 1.0}, None, 1.0, {"scan": 1.0 / 1.4},
         {"q3": "scan"}, {})
     assert v == []
+    # a local factor > the class factor can only EXCUSE, never
+    # amplify: the minis are noisy and letting them inflate
+    # manufactured a false +28% from a +4% raw drift (r11 validation
+    # sitting 1) — here a 1.3 local ratio must NOT turn +10% raw
+    # into a flagged +43%
+    v = release_check.bench_regressions(
+        {"q4": 1.1}, {"q4": 1.0}, None, 1.0, {}, {}, {"q4": 1.3})
+    assert v == []
+
+
+def test_sample_paired_corrected_min_recovers_gap_samples():
+    """r11 validation sitting 2: a burst covered the whole five-sample
+    window while the single after-probe landed in a load gap (+57%
+    raw, barely excused). With SAMPLE-PAIRED probes the gate takes
+    min_i(sample_i * excuse_i): one sample+probe pair in a quiet gap
+    recovers the clean time; a probe-only burst can't amplify."""
+    prev = {"q": 1.0}
+    # all samples inflated ~1.6x; probes saw the burst on 4 slots,
+    # the 5th pair landed in a gap (sample 1.05, probe at baseline)
+    pairs = [[1.6, 0.32], [1.62, 0.33], [1.58, 0.31], [1.61, 0.34],
+             [1.05, 0.205]]
+    prev_cal = 0.2
+    corrected = {"q": min(s * min(1.0, max(0.5, prev_cal / p))
+                          for s, p in pairs)}
+    v = release_check.bench_regressions(
+        {"q": 1.58}, prev, None, 1.0, {}, {}, {}, corrected)
+    assert v == []
+    # a GENUINE +60% regression under the same burst pattern: burst
+    # slots read real x burst (2.56) and excuse back to ~1.6; the
+    # quiet-slot pair reads 1.6 with a near-clean probe — corrected
+    # min stays ~1.56-1.6 and the gate still flags it
+    pairs = [[2.56, 0.32], [2.6, 0.33], [2.53, 0.31], [2.58, 0.34],
+             [1.6, 0.205]]
+    corrected = {"q": min(s * min(1.0, max(0.5, prev_cal / p))
+                          for s, p in pairs)}
+    v = release_check.bench_regressions(
+        {"q": 2.53}, prev, None, 1.0, {}, {}, {}, corrected)
+    assert len(v) == 1
 
 
 def test_latest_recorded_bench_reads_highest_round():

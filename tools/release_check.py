@@ -104,7 +104,8 @@ def bench_regressions(current: dict[str, float],
                       drift_factor: float = 1.0,
                       class_factors: dict[str, float] | None = None,
                       query_class: dict[str, str] | None = None,
-                      local_factors: dict[str, float] | None = None
+                      local_factors: dict[str, float] | None = None,
+                      corrected: dict[str, float] | None = None
                       ) -> list[str]:
     """Human-readable violation list: queries >=BENCH_GATE_FLOOR_SEC
     that drifted more than BENCH_DRIFT_TOLERANCE past last round AND
@@ -123,13 +124,19 @@ def bench_regressions(current: dict[str, float],
     ratio and ``query_class`` assigns each query its class, so a
     scan-contended box no longer reads as a regression on scan-class
     queries while the cpu probe sits idle-looking (the r10 residual).
-    ``local_factors`` (highest precedence, per QUERY) are the ratio of
-    the two records' temporally-local mini-probes — the same class
-    shape run immediately after each query's samples, so a contention
-    burst that covers one query's measurement window (and is gone
-    before the end-of-run probes) is divided out of exactly that
-    query (the r11 busy-box validation measured 3 of 21 queries
-    flagged at +42..61% while the END-of-run probes read near-idle).
+    Per-query slot-noise correction (r11, refined twice by busy-box
+    validation): ``corrected`` carries, per query, the min over the
+    current record's SAMPLE-PAIRED (sample_sec, probe_sec) pairs of
+    sample * excuse, where excuse = clamp(prev_min_probe / probe_i)
+    capped at 1.0 — every sample is divided by the contention index
+    of ITS OWN instant, so a burst covering the whole sample window
+    is excused (v1: one probe after all samples — the burst was gone
+    by probe time, 3/21 false flags), while a probe-only burst cannot
+    manufacture a regression because excuse never exceeds 1 (v1 also
+    inflated a +4% raw into +28% via a noisy >1 factor).
+    ``local_factors`` is the coarser fallback for records with a
+    single local cal and no pairs; both compose on top of the class
+    factor, excusing only.
 
     Each factor is clamped to [0.5, 2.0] so a corrupt calibration can
     neither nuke nor disable the gate; the single-probe factor is the
@@ -139,16 +146,24 @@ def bench_regressions(current: dict[str, float],
     class_factors = class_factors or {}
     query_class = query_class or {}
     local_factors = local_factors or {}
+    corrected = corrected or {}
     global_factor = min(2.0, max(0.5, drift_factor or 1.0))
     for name, now_raw in sorted(current.items()):
         then = previous.get(name)
         if then is None:
             continue
-        factor = local_factors.get(
-            name, class_factors.get(query_class.get(name),
-                                    global_factor))
-        factor = min(2.0, max(0.5, factor or 1.0))
-        now = now_raw * factor
+        base = class_factors.get(query_class.get(name), global_factor)
+        base = min(2.0, max(0.5, base or 1.0))
+        if name in corrected:
+            now = corrected[name] * base
+        else:
+            local = local_factors.get(name)
+            if local:
+                factor = base * min(1.0, max(0.5, local) / base)
+                factor = min(2.0, max(0.5, factor))
+            else:
+                factor = base
+            now = now_raw * factor
         # noise-floor exemption only when BOTH sides are sub-floor —
         # a 0.4s query blowing up to 30s must still trip the gate
         if then < BENCH_GATE_FLOOR_SEC and now < BENCH_GATE_FLOOR_SEC:
@@ -252,6 +267,15 @@ def main() -> None:
             name: prev["local_cal"][name] / cur_local[name]
             for name in prev["local_cal"]
             if cur_local.get(name)}
+        # sample-paired corrected min (r11+ queries_samples): each
+        # sample excused by its own instant's probe, never amplified
+        corrected = {}
+        for name, pairs in cur.get("queries_samples", {}).items():
+            pc = prev["local_cal"].get(name)
+            if not pc or not pairs:
+                continue
+            corrected[name] = min(
+                s * min(1.0, max(0.5, pc / p)) for s, p in pairs if p)
         if class_factors:
             print("  per-class drift factors: "
                   + ", ".join(f"{c}={f:.3f}"
@@ -264,9 +288,12 @@ def main() -> None:
             print(f"  drift adjustment (single-probe): baseline "
                   f"{prev['drift']} / current {cur.get('machine_drift')} "
                   f"-> factor {factor:.3f}")
+        if corrected:
+            print(f"  sample-paired corrected minima: n={len(corrected)}")
         violations = bench_regressions(
             cur_q, prev["queries"], prev["spread"], factor,
-            class_factors, cur.get("query_class", {}), local_factors)
+            class_factors, cur.get("query_class", {}), local_factors,
+            corrected)
         if violations:
             print(f"  REGRESSIONS vs {prev['file']} "
                   f"(> {BENCH_DRIFT_TOLERANCE:.0%} on >= "
