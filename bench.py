@@ -1,11 +1,22 @@
 """Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+a compact final JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Each query is fully materialized through the `noop` sink (computes
 every column, writes nothing) — `count()` would let Catalyst prune the
 computed columns and undercount the work.
+
+Output contract (r11 verdict item 1): the driver records only the LAST
+~2,000 characters of stdout, so the final line must stay under
+MAX_FINAL_LINE_CHARS. The per-sample fields added in r11
+(queries_samples / queries_spread / queries_local_cal / query_class)
+overflowed that capture and shipped BENCH_r11.json with parsed:null,
+silently disabling the cross-round bench gate. They now go on an
+EARLIER stdout line ({"metric": "headline_queries_detail", ...}) and
+into .local/bench_last.json (the full merged record, which
+tools/save_bench_baseline.py promotes to the tracked
+BENCH_BASELINE.json); the final line carries only the compact core.
 """
 
 from __future__ import annotations
@@ -65,6 +76,35 @@ QUERY_CLASS = {
 # Fixed dataset for the scan probe: constant across rounds (testdata
 # is read-only), so the probe's cost is invariant to repo changes.
 SCAN_PROBE_PATH = "/root/testdata/sf0.1/lineitem.parquet"
+
+# Hard ceiling for the FINAL stdout line — the driver captures a
+# 2,000-char stdout tail and BENCH_r11.json proved an overflow turns
+# into parsed:null silently. 1,900 leaves margin for a trailing
+# newline and future one-key growth; tools/release_check.py and
+# tests/test_release_gate.py both pin this.
+MAX_FINAL_LINE_CHARS = 1900
+
+# Keys allowed on the final (driver-captured) line. Everything else —
+# per-sample pairs, spreads, per-slot minis, the class map — is detail:
+# O(queries x samples) payload that only the local release gate needs.
+CORE_KEYS = (
+    "metric", "value", "unit", "queries", "sf", "calibrations",
+    "calibration_refs", "machine_drifts", "calibration_sec",
+    "calibration_ref_sec", "machine_drift",
+)
+
+
+def split_record(full: dict) -> tuple[dict, dict]:
+    """(core, detail) split of the merged bench record. core carries
+    exactly the CORE_KEYS present in ``full`` (the driver-captured
+    line); detail carries everything else under its own metric name,
+    plus sf so the two lines are self-describing independently."""
+    core = {k: full[k] for k in CORE_KEYS if k in full}
+    detail = {"metric": "headline_queries_detail",
+              "sf": full.get("sf")}
+    detail.update({k: v for k, v in full.items()
+                   if k not in CORE_KEYS and k != "metric"})
+    return core, detail
 
 
 def _min_of(run, warm: int = 3, reps: int = 5) -> float:
@@ -249,7 +289,31 @@ def main() -> None:
         out["calibration_ref_sec"] = CALIBRATION_REFS["cpu"]
         out["machine_drift"] = round(cals["cpu"] / CALIBRATION_REFS["cpu"],
                                      3)
-    print(json.dumps(out))
+
+    # full merged record -> gitignored sidecar (promoted to the tracked
+    # BENCH_BASELINE.json by tools/save_bench_baseline.py)
+    local_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+        with open(os.path.join(local_dir, "bench_last.json"), "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass  # read-only checkout: stdout lines still carry everything
+
+    core, detail = split_record(out)
+    print(json.dumps(detail))          # fat fields: EARLIER line
+    line = json.dumps(core)            # compact core: the LAST line
+    if len(line) > MAX_FINAL_LINE_CHARS:
+        # never ship an overflowing final line again: drop optional
+        # core keys (largest first) until it fits — the gate degrades
+        # gracefully on missing fields, but not on parsed:null
+        for k in ("machine_drifts", "calibration_refs", "calibrations"):
+            core.pop(k, None)
+            line = json.dumps(core)
+            if len(line) <= MAX_FINAL_LINE_CHARS:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -194,3 +194,30 @@ def test_observed_row_bytes_sums_multi_file_partitions(spark, tmp_path):
     total = sum(os.path.getsize(os.path.join(part, f)) for f in files)
     assert store_io.observed_row_bytes(out, batch_id=5) == \
         (total + 299) // 300
+
+
+def test_normalize_store_uri_rewrites_hadoop_s3_aliases():
+    """r11 advice item 2: pyarrow's FileSystem.from_uri raises
+    ArrowInvalid for Spark's Hadoop S3 schemes (s3a://, s3n://) — the
+    exact schemes Spark jobs write stores with — so the calibration
+    walk must rewrite them to the s3:// scheme pyarrow implements.
+    Without the rewrite, remote-store calibration silently fell back
+    to the constant estimate."""
+    import pyarrow as pa
+    import pytest
+    from pyarrow import fs as pafs
+
+    from transcript_analysis_spark.streaming import store_io
+
+    assert store_io.normalize_store_uri("s3a://bkt/islands/") == \
+        "s3://bkt/islands/"
+    assert store_io.normalize_store_uri("s3n://bkt/x") == "s3://bkt/x"
+    # everything else passes through untouched
+    for uri in ("s3://bkt/x", "file:///tmp/store", "/tmp/store",
+                "hdfs://nn/x", "abfs://c@a.dfs.core.windows.net/x"):
+        assert store_io.normalize_store_uri(uri) == uri
+    # the premise the rewrite exists for: pyarrow rejects the alias
+    # scheme itself (if a future pyarrow learns s3a://, this reminds
+    # us the rewrite can be retired)
+    with pytest.raises(pa.lib.ArrowInvalid):
+        pafs.FileSystem.from_uri("s3a://bkt/x")

@@ -23,11 +23,16 @@ produced by offset replication of the largest shipped SF:
   identically under the same (copy, doc)-seeded permutation... except
   identical texts at different doc_ids — those are seeded by TEXT
   HASH, not doc_id, precisely so exact-dup groups replicate linearly.
-- embeddings get per-copy seeded Gaussian perturbation (sigma = 0.8x
-  the per-component scale), renormalized to the source vector's norm:
-  copies decorrelate from their source (cosine ~ 0.6-0.8, below the
-  near-dup regime) while the corpus' cluster structure and norm
-  distribution survive for IVF/ANN realism.
+- embeddings get a per-copy seeded RANDOM ORTHOGONAL ROTATION of the
+  whole vector set (see `_perturb_embeddings`): rotation preserves
+  every intra-copy pair distance, cluster, and norm exactly (so
+  similarity-join outputs and IVF/k-means structure scale linearly
+  with the factor) while two independent rotations decorrelate
+  cross-copy (cosine ~ N(0, 1/dim) — far outside near-neighbor
+  thresholds). An earlier Gaussian-perturbation approach left copies
+  at cosine ~0.6-0.8 to their source, spawning factor-sized cliques
+  under the LSH radius and ~100x pair growth at 10x data — abandoned
+  after the r11 sf1.0 probe caught it.
 
 Usage:
   python tools/gen_scale_testdata.py SRC_DIR DST_DIR [factor]
