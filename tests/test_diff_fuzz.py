@@ -19,9 +19,9 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from diff_fuzz import (BASE_TABLES, TABLE_COLS, AsofSpec,  # noqa: E402
-                       FrameSpec, IntervalSpec, QuerySpec, ScalarSpec,
-                       _check_spec, _shrink_steps, gen_query, run_seeds,
-                       seeds_for_mode, shrink)
+                       FrameSpec, IntervalSpec, JsonSpec, QuerySpec,
+                       ScalarSpec, _check_spec, _shrink_steps, gen_query,
+                       run_seeds, seeds_for_mode, shrink)
 
 SF = "/root/testdata/sf0.001"
 
@@ -120,9 +120,30 @@ def test_generator_covers_the_new_modes():
                for s_t, d_t in exprs)
     assert any(" DIV " in s_t and " // " in d_t for s_t, d_t in exprs)
     assert any(s_t == d_t for s_t, d_t in exprs)
+    jsons = [s for s in wide if isinstance(s, JsonSpec)]
+    assert jsons
+    # every structural variant of the json grammar is reachable
+    assert any(s.null_inject is None for s in jsons)
+    assert any(s.null_inject and "NULL" in s.null_inject[2]
+               for s in jsons)                       # NULL-doc inject
+    assert any(s.null_inject and "NULL" not in s.null_inject[2]
+               for s in jsons)                       # malformed inject
+    probe_texts = [p for s in jsons for p in s.probes]
+    assert any("json_array_length" in s_t for s_t, _ in probe_texts)
+    assert any("TRY_CAST" in s_t for s_t, _ in probe_texts)
+    assert any("$.arr[" in s_t for s_t, _ in probe_texts)
+    # the duck side of EVERY probe is json_valid-guarded (malformed
+    # docs raise in DuckDB where Spark returns NULL)
+    assert all("json_valid(j)" in d_t for _s, d_t in probe_texts)
+    # arrlen probes never target a scalar leaf (DuckDB yields 0 where
+    # Spark yields NULL) — array field or missing key only
+    for s_t, _d in probe_texts:
+        if s_t.startswith("json_array_length"):
+            assert "$.arr'" in s_t or "$.zzz'" in s_t
     # mode-targeted seed selection is consistent with the generator
     for mode, cls in (("frame", FrameSpec), ("asof", AsofSpec),
-                      ("interval", IntervalSpec), ("scalar", ScalarSpec)):
+                      ("interval", IntervalSpec), ("scalar", ScalarSpec),
+                      ("json", JsonSpec)):
         picked = seeds_for_mode(mode, 5)
         assert all(isinstance(gen_query(s), cls) for s in picked)
 
@@ -262,6 +283,43 @@ def test_known_divergence_concat_null_handling(spark):
                       ).fetchall() == [("ab",)]
     assert spark.sql("SELECT 'a' || NULL AS r").collect()[0].r is None
     assert duckdb.sql("SELECT 'a' || NULL AS r").fetchall() == [(None,)]
+
+
+def test_known_divergence_json_malformed_and_scalar_arrlen(spark):
+    """Engine-difference pins for the json mode (probed on both
+    engines before the mode was written, r12 — r11 verdict item 6):
+
+    1. A malformed JSON document: Spark's get_json_object returns
+       NULL, DuckDB's ->> RAISES — so every duck-side probe the
+       grammar emits is wrapped in CASE WHEN json_valid(j).
+    2. json_array_length on a SCALAR value: Spark yields NULL,
+       DuckDB yields 0 — so generated arrlen probes only target the
+       template's array field or a missing key.
+
+    If either engine converges, these pins fail and the adapter can
+    come out."""
+    import duckdb
+    assert spark.sql("SELECT get_json_object('not json', '$.a') AS r"
+                     ).collect()[0].r is None
+    with pytest.raises(duckdb.Error):
+        duckdb.sql("SELECT 'not json' ->> '$.a'").fetchall()
+    assert duckdb.sql("SELECT CASE WHEN json_valid('not json') THEN "
+                      "'not json' ->> '$.a' END AS r").fetchall() == \
+        [(None,)]
+    assert spark.sql("SELECT json_array_length(get_json_object("
+                     "'{\"a\": 1}', '$.a')) AS r").collect()[0].r is None
+    assert duckdb.sql("SELECT json_array_length('{\"a\": 1}', '$.a') "
+                      "AS r").fetchall() == [(0,)]
+    # and the shared ground both adapters rest on: identical minified
+    # re-serialization of extracted subtrees, identical NULL-on-missing
+    assert spark.sql("SELECT get_json_object('{\"o\": {\"i\": 7}}', "
+                     "'$.o') AS r").collect()[0].r == '{"i":7}'
+    assert duckdb.sql("SELECT '{\"o\": {\"i\": 7}}' ->> '$.o' AS r"
+                      ).fetchall() == [('{"i":7}',)]
+    # a json-mode battery: consecutive json seeds, both engines
+    failures = run_seeds(seeds_for_mode("json", 8), SF, spark=spark,
+                         verbose=False)
+    assert not failures, failures
 
 
 @pytest.mark.parametrize("chunk", range(4))

@@ -42,7 +42,7 @@ API-assembly path the engine's registered plans use.
 
 Usage:
   python tools/diff_fuzz.py [n_seeds] [sf_dir] [--start K] [--no-shrink]
-                            [--mode frame|asof|interval|scalar|setop|legacy]
+                            [--mode frame|asof|interval|scalar|json|setop|legacy]
 `--mode` runs the first n_seeds seeds whose generated spec belongs to
 that mode (generation is ~free; only matching specs execute).
 exit 1 on any mismatch; prints each failing seed's SQL for replay plus
@@ -963,6 +963,165 @@ def gen_scalar(rng: random.Random, seed: int) -> ScalarSpec:
     return spec
 
 
+@dataclass
+class JsonSpec:
+    """JSON-path fuzz case (r11 verdict item 6 — the one scalar family
+    without generative coverage): a JSON document CONSTRUCTED
+    deterministically per row from typed columns via shared `||`
+    concat text (both dialects build byte-identical strings, so any
+    divergence is in EXTRACTION semantics, never in the input), probed
+    through each dialect's own JSON functions: Spark get_json_object /
+    json_array_length(text) vs DuckDB ->> / json_array_length(doc,
+    path).
+
+    Dialect adapters, probed on both engines before this mode was
+    written and pinned in tests/test_diff_fuzz.py:
+      - malformed or NULL-injected documents: Spark returns NULL,
+        DuckDB RAISES — every duck-side probe guards with
+        CASE WHEN json_valid(j) THEN ... END (json_valid(NULL) is
+        NULL, so the guard models Spark's NULL propagation too);
+      - json_array_length on a SCALAR value: Spark yields NULL where
+        DuckDB yields 0 — generated arrlen probes only ever target
+        the template's array field or a missing key (both NULL on
+        both engines);
+      - numbers: integers only (1e3 re-serializes as '1000.0' in
+        DuckDB's ->> but '1e3' survives Spark's get_json_object;
+        float text round-trips are not contract-stable either);
+      - object/array re-extraction minifies identically on both
+        engines ('{"i":7}'), so whole-subtree text probes are safe.
+    """
+    seed: int
+    table: str
+    doc: str = ""          # shared construction expression -> column j
+    null_inject: tuple | None = None   # (modulus, residue, literal)
+    probes: list = field(default_factory=list)   # (spark, duck) over j
+    where: str | None = None
+
+    def _doc_expr(self) -> str:
+        if self.null_inject is None:
+            return self.doc
+        k, r, lit = self.null_inject
+        uk = UNIQUE_KEYS[self.table]
+        return (f"CASE WHEN {uk} % {k} = {r} THEN {lit} "
+                f"ELSE {self.doc} END")
+
+    def to_sql(self) -> str:
+        uk = UNIQUE_KEYS[self.table]
+        w = f" WHERE {self.where}" if self.where else ""
+        inner = (f"SELECT {uk} AS k, {self._doc_expr()} AS j "
+                 f"FROM {self.table}{w}")
+        sel = ["k"] + [f"{d} AS c{i + 1}"
+                       for i, (_s, d) in enumerate(self.probes)]
+        return f"SELECT {', '.join(sel)} FROM ({inner}) s"
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.sources.tables import load_table
+        df = load_table(spark, sf_dir, self.table)
+        if self.where:
+            df = df.filter(F.expr(self.where))
+        df = df.select(F.col(UNIQUE_KEYS[self.table]).alias("k"),
+                       F.expr(self._doc_expr()).alias("j"))
+        return df.select(
+            "k", *[F.expr(s).alias(f"c{i + 1}")
+                   for i, (s, _d) in enumerate(self.probes)])
+
+    def shrink_steps(self):
+        import copy
+
+        def clone(**kw):
+            s = copy.deepcopy(self)
+            for k, v in kw.items():
+                setattr(s, k, v)
+            return s
+
+        if self.where is not None:
+            yield clone(where=None)
+        if self.null_inject is not None:
+            yield clone(null_inject=None)
+        for i in range(len(self.probes) - 1, -1, -1):
+            if len(self.probes) > 1:
+                yield clone(probes=self.probes[:i] + self.probes[i + 1:])
+
+
+def _json_probe(rng: random.Random, arr_len: int) -> tuple[str, str]:
+    """One (spark_text, duck_text) probe over the projected doc `j`."""
+    def extract(path: str) -> tuple[str, str]:
+        return (f"get_json_object(j, '{path}')",
+                f"CASE WHEN json_valid(j) THEN j ->> '{path}' END")
+
+    kind = rng.choice(["int_leaf", "int_cast", "str_leaf", "nested",
+                       "arr_idx", "missing", "subtree", "arrlen",
+                       "json_null"])
+    if kind == "int_leaf":
+        return extract("$.i")
+    if kind == "int_cast":
+        s, d = extract(rng.choice(["$.i", "$.o.x", "$.s"]))
+        # TRY_CAST on BOTH sides (same token, same NULL-on-non-numeric
+        # semantics): $.s extracts a non-numeric string, and a plain
+        # CAST errors under Spark's ANSI mode AND in DuckDB
+        return f"TRY_CAST({s} AS BIGINT)", f"TRY_CAST({d} AS BIGINT)"
+    if kind == "str_leaf":
+        return extract("$.s")
+    if kind == "nested":
+        return extract("$.o.x")
+    if kind == "arr_idx":
+        # sometimes deliberately out of range: NULL on both engines
+        idx = rng.randint(0, arr_len + (1 if rng.random() < 0.3 else -1))
+        return extract(f"$.arr[{idx}]")
+    if kind == "missing":
+        return extract(f"$.{rng.choice(['zzz', 'i2', 'missing_key'])}")
+    if kind == "subtree":
+        return extract(rng.choice(["$.o", "$.arr"]))
+    if kind == "arrlen":
+        path = rng.choice(["$.arr", "$.zzz"])   # array or missing only
+        return (f"json_array_length(get_json_object(j, '{path}'))",
+                f"CASE WHEN json_valid(j) THEN "
+                f"json_array_length(j, '{path}') END")
+    return extract("$.z")    # json null literal: NULL on both
+
+
+def gen_json(rng: random.Random, seed: int) -> JsonSpec:
+    tables = sorted(t for t in UNIQUE_KEYS
+                    if TABLE_COLS[t].get("cat") and
+                    (TABLE_COLS[t].get("int")
+                     or TABLE_COLS[t].get("lowint")))
+    table = rng.choice(tables)
+    spec = JsonSpec(seed=seed, table=table)
+    ints = (list(TABLE_COLS[table].get("int", []))
+            + [c for c, _, _ in TABLE_COLS[table].get("lowint", [])])
+
+    def int_expr() -> str:
+        return f"({rng.choice(ints)} % {rng.randint(3, 97)})"
+
+    cat_col, _pool = rng.choice(TABLE_COLS[table]["cat"])
+    arr_len = rng.randint(2, 4)
+    arr = " || ',' || ".join(int_expr() for _ in range(arr_len))
+    fields = [
+        f"'\"i\": ' || {int_expr()}",
+        f"'\"s\": \"' || {cat_col} || '\"'",
+        f"'\"o\": {{\"x\": ' || {int_expr()} || '}}'",
+        f"'\"arr\": [' || {arr} || ']'",
+        "'\"z\": null'",
+    ]
+    rng.shuffle(fields)   # key order must not matter to path lookup
+    body = " || ', ' || ".join(fields)
+    spec.doc = f"('{{' || {body} || '}}')"
+    roll = rng.random()
+    if roll < 0.25:       # NULL document injection
+        spec.null_inject = (rng.randint(2, 7), 0, "CAST(NULL AS STRING)")
+    elif roll < 0.45:     # malformed document injection
+        spec.null_inject = (rng.randint(2, 7), 1,
+                            rng.choice(["'{broken'", "'not json'",
+                                        "'[1, 2'"]))
+    spec.probes = [_json_probe(rng, arr_len)
+                   for _ in range(rng.randint(2, 4))]
+    if rng.random() < 0.4:
+        spec.where = _predicate(rng, [table])
+    return spec
+
+
 # --- generation ------------------------------------------------------------
 
 def _cols(tables: list[str], kind: str) -> list:
@@ -1152,6 +1311,8 @@ def gen_query(seed: int):
         return gen_temporal(rng, seed)
     if mode < 0.46 and mode >= 0.36:
         return gen_scalar(rng, seed)
+    if mode < 0.54 and mode >= 0.46:
+        return gen_json(rng, seed)
     spec = QuerySpec(seed=seed)
     base = rng.choice(BASE_TABLES)
     spec.tables = [base]
@@ -1431,7 +1592,7 @@ def run_seeds(seeds, sf_dir: str, spark=None, con=None,
 
 MODE_CLASSES = {"frame": "FrameSpec", "asof": "AsofSpec",
                 "interval": "IntervalSpec", "scalar": "ScalarSpec",
-                "setop": None, "legacy": None}
+                "json": "JsonSpec", "setop": None, "legacy": None}
 
 
 def seeds_for_mode(mode: str, n: int, start: int = 0):
@@ -1443,7 +1604,7 @@ def seeds_for_mode(mode: str, n: int, start: int = 0):
     while len(out) < n:
         spec = gen_query(seed)
         cls = type(spec).__name__
-        if mode in ("frame", "asof", "interval", "scalar"):
+        if mode in ("frame", "asof", "interval", "scalar", "json"):
             match = cls == MODE_CLASSES[mode]
         elif mode == "setop":
             match = cls == "QuerySpec" and spec.setop_kind is not None
