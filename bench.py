@@ -43,7 +43,13 @@ CALIBRATION_REFS = {"cpu": 0.21, "scan": 0.22, "shuffle": 0.60}
 # ONE constant-shape probe cannot model scan-heavy vs shuffle-heavy
 # vs JVM-heavy environment drift — contention hits IO-bound and
 # CPU-bound plans differently, leaving a ±20% per-class residual).
-# Handassigned from the plan audits in ROUND*_NOTES/SCALE.md:
+# Hand-assigned from the plan audits in ROUND*_NOTES/SCALE.md and
+# RETAINED after the r12 fit experiment (SCALE.md §r12): three
+# datasets — two controlled-contention sittings and one real
+# busy-vs-quiet comparison — show the class dimension does not
+# separate measurably on this box (class-median drifts 1.14/1.19/1.17
+# under real load), so these stay plan-shape assignments and the
+# gate's sample-paired per-query layer carries the normalization.
 #   scan    — read/decode-dominated, map-only or single light agg
 #   shuffle — join/exchange-dominated (incl. window/stateful stores)
 #   cpu     — JVM expression work dominates (hashing, n-grams,

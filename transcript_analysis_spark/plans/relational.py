@@ -624,6 +624,68 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_shred",
+    oracle="""
+    WITH shred AS (
+      SELECT event_type,
+             '{"meta": {"t": "' || event_type || '"}, "ids": ['
+               || (event_id % 7) || ',' || (user_id % 5)
+               || '], "k": ' || (props ->> '$.k') || '}' AS doc
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*)                                        AS n_events,
+           CAST(SUM(CAST(doc ->> '$.k' AS BIGINT))
+                AS BIGINT)                                 AS sum_k,
+           CAST(SUM(CAST(doc ->> '$.ids[0]' AS BIGINT))
+                AS BIGINT)                                 AS sum_id0,
+           CAST(SUM(json_array_length(doc, '$.ids'))
+                AS BIGINT)                                 AS sum_arrlen,
+           CAST(SUM(CASE WHEN doc ->> '$.meta.t' = event_type
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_meta_match,
+           CAST(SUM(CASE WHEN doc ->> '$.zzz' IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_missing
+    FROM shred
+    GROUP BY event_type
+    """,
+    tags=("json", "A5"),
+)
+def events_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep JSON-path shredding — the full get_json_object surface
+    (nested object path, array index, array length, missing key) over
+    a document CONSTRUCTED per row from typed columns, then rolled up
+    exactly. Second registered JSON oracle beyond `events_json_rollup`
+    (r11 verdict item 6): the generative twin is `tools/diff_fuzz.py
+    --mode json`; this pins one rich hand-written shape the driver
+    re-checks every window. Reference analog: the
+    `channel_snippet->>'title'` JSON-path family
+    (`server/dashboard.py:166`, `sql/schema.sql:38,61`).
+
+    Scale shape: map-only construction + extraction (JVM codegen, no
+    UDF), one hash aggregate on a 5-value key — a single shuffle of
+    5 rows per partition after partial aggregation."""
+    e = _t(spark, sf_dir, "events")
+    doc = F.expr(
+        """'{"meta": {"t": "' || event_type || '"}, "ids": ['
+           || (event_id % 7) || ',' || (user_id % 5)
+           || '], "k": ' || get_json_object(props, '$.k') || '}'""")
+    d = e.select("event_type", doc.alias("doc"))
+    gjo = F.get_json_object
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(gjo("doc", "$.k").cast("long")).alias("sum_k"),
+        F.sum(gjo("doc", "$.ids[0]").cast("long")).alias("sum_id0"),
+        F.sum(F.json_array_length(gjo("doc", "$.ids"))
+              .cast("long")).alias("sum_arrlen"),
+        F.sum(F.when(gjo("doc", "$.meta.t") == F.col("event_type"),
+                     F.lit(1)).otherwise(F.lit(0))
+              .cast("long")).alias("n_meta_match"),
+        F.sum(F.when(gjo("doc", "$.zzz").isNull(), F.lit(1))
+              .otherwise(F.lit(0)).cast("long")).alias("n_missing"),
+    )
+
+
+@register(
     "sql_frontend_revenue_by_region",
     oracle="""
     SELECT r.r_name,
