@@ -132,6 +132,12 @@ def test_generator_covers_the_new_modes():
     assert any("json_array_length" in s_t for s_t, _ in probe_texts)
     assert any("TRY_CAST" in s_t for s_t, _ in probe_texts)
     assert any("$.arr[" in s_t for s_t, _ in probe_texts)
+    # json_tuple shredding present but not universal, and only ever
+    # over the template's top-level keys
+    assert any(s.tuple_keys for s in jsons)
+    assert any(not s.tuple_keys for s in jsons)
+    assert all(set(s.tuple_keys) <= {"i", "s", "z", "zzz", "o", "arr"}
+               for s in jsons)
     # the duck side of EVERY probe is json_valid-guarded (malformed
     # docs raise in DuckDB where Spark returns NULL)
     assert all("json_valid(j)" in d_t for _s, d_t in probe_texts)
@@ -316,6 +322,16 @@ def test_known_divergence_json_malformed_and_scalar_arrlen(spark):
                      "'$.o') AS r").collect()[0].r == '{"i":7}'
     assert duckdb.sql("SELECT '{\"o\": {\"i\": 7}}' ->> '$.o' AS r"
                       ).fetchall() == [('{"i":7}',)]
+    # json_tuple (the generator path the tuple_keys shred uses) agrees
+    # with get_json_object on every adapter-relevant case: NULL on
+    # malformed, NULL on missing key, NULL json value, minified
+    # subtree
+    row = spark.sql(
+        "SELECT json_tuple('{\"i\": 5, \"z\": null, \"o\": {\"a\": 1}}',"
+        " 'i', 'z', 'zzz', 'o') AS (a, b, c, d)").collect()[0]
+    assert (row.a, row.b, row.c, row.d) == ("5", None, None, '{"a":1}')
+    assert spark.sql("SELECT json_tuple('not json', 'i') AS (a)"
+                     ).collect()[0].a is None
     # a json-mode battery: consecutive json seeds, both engines
     failures = run_seeds(seeds_for_mode("json", 8), SF, spark=spark,
                          verbose=False)

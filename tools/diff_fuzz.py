@@ -995,6 +995,11 @@ class JsonSpec:
     doc: str = ""          # shared construction expression -> column j
     null_inject: tuple | None = None   # (modulus, residue, literal)
     probes: list = field(default_factory=list)   # (spark, duck) over j
+    # top-level keys shredded via Spark's json_tuple generator (a
+    # SEPARATE implementation from the get_json_object scalar path —
+    # probed: identical NULL-on-malformed/missing/null-input and
+    # minified-subtree semantics) vs guarded ->> on the duck side
+    tuple_keys: list = field(default_factory=list)
     where: str | None = None
 
     def _doc_expr(self) -> str:
@@ -1012,6 +1017,9 @@ class JsonSpec:
                  f"FROM {self.table}{w}")
         sel = ["k"] + [f"{d} AS c{i + 1}"
                        for i, (_s, d) in enumerate(self.probes)]
+        sel += [f"CASE WHEN json_valid(j) THEN j ->> '$.{key}' END"
+                f" AS t{i + 1}"
+                for i, key in enumerate(self.tuple_keys)]
         return f"SELECT {', '.join(sel)} FROM ({inner}) s"
 
     def to_spark(self, spark, sf_dir: str):
@@ -1023,9 +1031,18 @@ class JsonSpec:
             df = df.filter(F.expr(self.where))
         df = df.select(F.col(UNIQUE_KEYS[self.table]).alias("k"),
                        F.expr(self._doc_expr()).alias("j"))
-        return df.select(
-            "k", *[F.expr(s).alias(f"c{i + 1}")
-                   for i, (s, _d) in enumerate(self.probes)])
+        cols = ["k"] + [F.expr(s).alias(f"c{i + 1}")
+                        for i, (s, _d) in enumerate(self.probes)]
+        if self.tuple_keys:
+            # json_tuple is a multi-column generator whose outputs are
+            # named c0..cN — colliding with the probe aliases — so
+            # rename the whole projection BY POSITION
+            cols.append(F.json_tuple(F.col("j"), *self.tuple_keys))
+            names = (["k"]
+                     + [f"c{i + 1}" for i in range(len(self.probes))]
+                     + [f"t{i + 1}" for i in range(len(self.tuple_keys))])
+            return df.select(*cols).toDF(*names)
+        return df.select(*cols)
 
     def shrink_steps(self):
         import copy
@@ -1040,6 +1057,8 @@ class JsonSpec:
             yield clone(where=None)
         if self.null_inject is not None:
             yield clone(null_inject=None)
+        if self.tuple_keys:
+            yield clone(tuple_keys=[])
         for i in range(len(self.probes) - 1, -1, -1):
             if len(self.probes) > 1:
                 yield clone(probes=self.probes[:i] + self.probes[i + 1:])
@@ -1117,6 +1136,10 @@ def gen_json(rng: random.Random, seed: int) -> JsonSpec:
                                         "'[1, 2'"]))
     spec.probes = [_json_probe(rng, arr_len)
                    for _ in range(rng.randint(2, 4))]
+    if rng.random() < 0.5:   # shred 2-3 top-level keys via json_tuple
+        keys = ["i", "s", "z", "zzz", "o", "arr"]
+        rng.shuffle(keys)
+        spec.tuple_keys = keys[:rng.randint(2, 3)]
     if rng.random() < 0.4:
         spec.where = _predicate(rng, [table])
     return spec
