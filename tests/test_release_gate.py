@@ -187,6 +187,27 @@ def test_latest_recorded_bench_always_yields_usable_baseline():
         assert rec["local_cal"] and rec["samples"]
 
 
+def test_tracked_baseline_contract():
+    """BENCH_BASELINE.json (promoted each round via
+    tools/save_bench_baseline.py) must stay gate-loadable: a flat
+    bench record with an integer round stamp, driver-scale sf, and
+    the rich per-sample fields that justify preferring it over the
+    compact driver records."""
+    import json
+    path = os.path.join(ROOT, "BENCH_BASELINE.json")
+    if not os.path.exists(path):
+        return
+    raw = json.loads(open(path).read())
+    assert isinstance(raw.get("round"), int)
+    rec = release_check._load_record(path)
+    assert rec is not None and rec["sf"] == 0.1
+    assert rec["queries"] and rec["local_cal"] and rec["samples"]
+    # every query with samples agrees: min sample == headline min
+    for name, pairs in rec["samples"].items():
+        assert rec["queries"][name] == min(round(s, 3)
+                                           for s, _ in pairs)
+
+
 def test_unparsable_driver_record_is_reconstructed_not_fatal():
     """BENCH_r11.json itself — the record whose overflow caused the
     r11 failure — must now tail-reconstruct: per-query minima equal
