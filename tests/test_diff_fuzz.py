@@ -19,9 +19,9 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from diff_fuzz import (BASE_TABLES, TABLE_COLS, AsofSpec,  # noqa: E402
-                       FrameSpec, IntervalSpec, JsonSpec, QuerySpec,
-                       ScalarSpec, _check_spec, _shrink_steps, gen_query,
-                       run_seeds, seeds_for_mode, shrink)
+                       FrameSpec, HofSpec, IntervalSpec, JsonSpec,
+                       QuerySpec, ScalarSpec, _check_spec, _shrink_steps,
+                       gen_query, run_seeds, seeds_for_mode, shrink)
 
 SF = "/root/testdata/sf0.001"
 
@@ -334,6 +334,161 @@ def test_known_divergence_json_malformed_and_scalar_arrlen(spark):
                      ).collect()[0].a is None
     # a json-mode battery: consecutive json seeds, both engines
     failures = run_seeds(seeds_for_mode("json", 8), SF, spark=spark,
+                         verbose=False)
+    assert not failures, failures
+
+
+def test_generator_covers_the_hof_mode():
+    """r13 mode (r12 verdict item 5): higher-order array functions —
+    every structural variant of the grammar is reachable and the
+    adapter disciplines hold on every generated probe."""
+    hofs = [s for s in (gen_query(s) for s in range(1500))
+            if isinstance(s, HofSpec)]
+    assert len(hofs) >= 50
+    # array construction variants
+    assert any(s.null_inject for s in hofs)           # whole-array NULL
+    assert any(s.has_null_elems for s in hofs)        # element NULL
+    assert any(s.null_inject is None and not s.has_null_elems
+               for s in hofs)                         # clean arrays
+    assert any(s.elems2 for s in hofs)                # zip_with pair
+    assert any(s.where for s in hofs)
+    assert all(2 <= len(s.elems) <= 5 for s in hofs)
+    assert all(len(s.elems2) in (0, len(s.elems)) for s in hofs)
+    probe_texts = [p for s in hofs for p in s.probes]
+    # the full Spark higher-order surface is exercised
+    for token in ("aggregate(", "transform(", "filter(", "zip_with(",
+                  "exists(", "forall(", "slice(", "sort_array(",
+                  "array_distinct(", "try_element_at(", "reverse(",
+                  "(x, i) ->"):
+        assert any(token in s_t for s_t, _d in probe_texts), token
+    # ...including the 4-arg aggregate (finish lambda)
+    assert any(", acc -> acc *" in s_t for s_t, _d in probe_texts)
+    # duck side: both oracle styles present — native list_* and the
+    # recompute-from-element-expressions style
+    assert any("list_transform(" in d_t for _s, d_t in probe_texts)
+    assert any("list_filter(" in d_t for _s, d_t in probe_texts)
+    assert any(" + " in d_t and "list_" not in d_t
+               for _s, d_t in probe_texts)            # pure recompute
+    # adapter disciplines (each pinned by
+    # test_known_divergence_hof_adapters):
+    for s_t, d_t in probe_texts:
+        # every duck list_sum is BIGINT-cast (HUGEINT -> float64 skew)
+        if "list_sum(" in d_t:
+            assert "CAST(list_sum(" in d_t, d_t
+            assert "COALESCE(" in d_t, d_t            # empty-fold zero
+        # element access is try_element_at, never ANSI element_at
+        assert "element_at(" not in s_t or "try_element_at(" in s_t
+    for s in hofs:
+        for s_t, d_t in s.probes:
+            # three-valued exists/forall and NULL-dropping
+            # list_distinct only ever run on null-free arrays
+            if "exists(" in s_t or "forall(" in s_t \
+                    or "array_distinct(" in s_t:
+                assert not s.has_null_elems, s_t
+            # folds over arrays with injected element NULLs pre-filter
+            # x IS NOT NULL on BOTH sides (duck's list_sum skips what
+            # Spark's acc + x nulls out); recompute probes are exempt
+            # by construction (SQL + propagates like the fold)
+            if s.has_null_elems and "list_sum(" in d_t:
+                assert "x IS NOT NULL" in s_t and "x IS NOT NULL" in d_t
+    # mode-targeted seed selection is consistent with the generator
+    assert all(isinstance(gen_query(s), HofSpec)
+               for s in seeds_for_mode("hof", 5))
+
+
+def test_known_divergence_hof_adapters(spark):
+    """Engine-difference pins for the hof mode (probed on both engines
+    before the mode was written, r13 — r12 verdict item 5). If either
+    engine converges, these pins fail and the matching adapter can
+    come out."""
+    import duckdb
+
+    # 1. empty-array fold: Spark returns the zero initializer, DuckDB
+    #    list_sum([]) is NULL -> COALESCE adapter
+    assert spark.sql(
+        "SELECT aggregate(CAST(array() AS ARRAY<BIGINT>), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS r"
+    ).collect()[0].r == 0
+    assert duckdb.sql("SELECT list_sum([]) AS r").fetchall() == [(None,)]
+
+    # 2. list_sum returns HUGEINT (pandas float64) -> BIGINT cast
+    assert duckdb.sql("SELECT typeof(list_sum([1, 2])) AS t"
+                      ).fetchall() == [("HUGEINT",)]
+
+    # 3. NULL elements in folds: Spark's acc + x propagates NULL,
+    #    DuckDB list_sum SKIPS -> both sides pre-filter x IS NOT NULL
+    assert spark.sql(
+        "SELECT aggregate(array(1, NULL, 2), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x) AS r").collect()[0].r is None
+    assert duckdb.sql("SELECT list_sum([1, NULL, 2]) AS r"
+                      ).fetchall() == [(3,)]
+
+    # 4. exists/forall are three-valued on Spark; the duck emulation
+    #    (len(list_filter) > 0) is two-valued -> null-free arrays only
+    assert spark.sql("SELECT exists(array(1, NULL, 3), x -> x = 99) "
+                     "AS r").collect()[0].r is None
+    assert duckdb.sql(
+        "SELECT len(list_filter([1, NULL, 3], x -> x = 99)) > 0 AS r"
+    ).fetchall() == [(False,)]
+
+    # 5. NULL sort placement differs (Spark NULLS FIRST, duck NULLS
+    #    LAST) but BOTH stringifiers skip NULL elements, so
+    #    sort+stringify probes stay comparable
+    assert spark.sql("SELECT sort_array(array(3, NULL, 1)) AS r"
+                     ).collect()[0].r == [None, 1, 3]
+    assert duckdb.sql("SELECT list_sort([3, NULL, 1]) AS r"
+                      ).fetchall() == [([1, 3, None],)]
+    assert spark.sql(
+        "SELECT array_join(transform(sort_array(array(3, NULL, 1)), "
+        "x -> CAST(x AS STRING)), ',') AS r").collect()[0].r == "1,3"
+    assert duckdb.sql("SELECT array_to_string(list_sort([3, NULL, 1]),"
+                      " ',') AS r").fetchall() == [("1,3",)]
+
+    # 6. empty-array stringify: array_join -> '', array_to_string ->
+    #    NULL -> COALESCE(.., '') adapter
+    assert spark.sql("SELECT array_join(CAST(array() AS ARRAY<STRING>),"
+                     " ',') AS r").collect()[0].r == ""
+    assert duckdb.sql("SELECT array_to_string([]::BIGINT[], ',') AS r"
+                      ).fetchall() == [(None,)]
+
+    # 7. slice mapping: slice(a, start, len) == list_slice(a, start,
+    #    start + len - 1); both clamp, both yield [] past the end
+    assert spark.sql("SELECT slice(array(10, 20, 30, 40), 2, 2) AS r"
+                     ).collect()[0].r == [20, 30]
+    assert duckdb.sql("SELECT list_slice([10, 20, 30, 40], 2, 3) AS r"
+                      ).fetchall() == [([20, 30],)]
+    assert spark.sql("SELECT slice(array(10, 20), 9, 3) AS r"
+                     ).collect()[0].r == []
+    assert duckdb.sql("SELECT list_slice([10, 20], 9, 11) AS r"
+                      ).fetchall() == [([],)]
+
+    # 8. element access: ANSI element_at RAISES out-of-range ->
+    #    try_element_at, matching duck's NULL bracket indexing
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        spark.sql("SELECT element_at(array(1, 2), 9) AS r").collect()
+    assert spark.sql("SELECT try_element_at(array(1, 2), 9) AS r"
+                     ).collect()[0].r is None
+    assert duckdb.sql("SELECT ([1, 2])[9] AS r").fetchall() == [(None,)]
+
+    # 9. array_distinct keeps one NULL, list_distinct drops them (and
+    #    returns unstable order) -> count-only probes on null-free
+    #    arrays
+    assert spark.sql("SELECT array_distinct(array(1, 2, 2, NULL)) AS r"
+                     ).collect()[0].r == [1, 2, None]
+    assert duckdb.sql("SELECT len(list_distinct([1, 2, 2, NULL])) AS r"
+                      ).fetchall() == [(2,)]
+
+    # and the shared ground: zip_with semantics the recompute oracle
+    # models (product-sum), index lambda is 0-based
+    assert spark.sql(
+        "SELECT aggregate(zip_with(array(1, 2), array(10, 20), "
+        "(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS r"
+    ).collect()[0].r == 50
+    assert spark.sql("SELECT transform(array(10, 20, 30), "
+                     "(x, i) -> x * i) AS r").collect()[0].r == [0, 20, 60]
+
+    # a hof-mode battery: consecutive hof seeds, both engines
+    failures = run_seeds(seeds_for_mode("hof", 8), SF, spark=spark,
                          verbose=False)
     assert not failures, failures
 

@@ -118,6 +118,13 @@ def compare(name, spark_df, duck_rows, duck_cols, duck_pdf=None):
 
 
 def main():
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2): resolve the
+        # deferred engine imports without starting a JVM.
+        from transcript_analysis_spark.plans import all_queries
+        print(f"selfcheck OK: duckdb {duckdb.__version__}, "
+              f"{len(all_queries())} queries importable")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 

@@ -42,7 +42,7 @@ API-assembly path the engine's registered plans use.
 
 Usage:
   python tools/diff_fuzz.py [n_seeds] [sf_dir] [--start K] [--no-shrink]
-                            [--mode frame|asof|interval|scalar|json|setop|legacy]
+                            [--mode frame|asof|interval|scalar|json|hof|setop|legacy]
 `--mode` runs the first n_seeds seeds whose generated spec belongs to
 that mode (generation is ~free; only matching specs execute).
 exit 1 on any mismatch; prints each failing seed's SQL for replay plus
@@ -1145,6 +1145,273 @@ def gen_json(rng: random.Random, seed: int) -> JsonSpec:
     return spec
 
 
+@dataclass
+class HofSpec:
+    """Higher-order array-function fuzz case (r12 verdict item 5 — the
+    last expression family without generative coverage; the islands/
+    scoring hot path leans on it, `operators/islands.py:75`,
+    `plans/domain.py:296`): an ARRAY column CONSTRUCTED per row from
+    typed int columns (shared element-expression text — both dialects
+    build value-identical arrays, so any divergence is in the
+    higher-order semantics, never the input), probed through Spark's
+    aggregate/transform/zip_with/filter/exists/forall/slice/
+    sort_array/array_distinct/try_element_at vs DuckDB's list_*
+    counterparts (list_sum/list_transform/list_filter/list_sort/
+    list_slice/list_distinct/list_aggregate/list_reverse/bracket
+    indexing) — plus RECOMPUTE oracles that re-derive the fold
+    arithmetic directly from the element expressions, a second,
+    structurally independent oracle style for the lambda shapes DuckDB
+    cannot express (index lambdas, zip_with, 4-arg aggregate).
+
+    Dialect adapters, probed on both engines before this mode was
+    written and pinned in tests/test_diff_fuzz.py:
+      - empty-array folds: Spark aggregate() returns the zero
+        initializer where DuckDB list_sum([]) is NULL — duck probes
+        wrap in COALESCE(..., 0) under an a-IS-NULL guard;
+      - list_sum returns HUGEINT, which pandas widens to float64
+        (dtype-kind skew vs Spark's BIGINT fold) — duck sum probes
+        CAST back to BIGINT;
+      - NULL elements in folds: Spark's acc + x propagates NULL where
+        DuckDB list_sum SKIPS NULLs — fold probes pre-filter
+        x IS NOT NULL on BOTH sides whenever the spec injects element
+        NULLs (recompute probes are exempt: plain SQL `+` propagates
+        exactly like Spark's fold);
+      - exists/forall are three-valued on Spark (NULL when no
+        definite witness but a NULL element) and emulated via
+        len(list_filter(...)) on duck — generated only for null-free
+        arrays;
+      - sort order of NULL elements differs (Spark sort_array ASC is
+        NULLS FIRST, DuckDB list_sort is NULLS LAST) but BOTH
+        array_join and array_to_string skip NULL elements, so
+        sort+stringify probes stay comparable with NULLs present;
+      - array_to_string([]) is NULL where array_join(empty) is '' —
+        duck stringify probes COALESCE to '' under the NULL-array
+        guard;
+      - element access: Spark element_at RAISES out-of-range under
+        ANSI mode — probes use try_element_at, matching duck's
+        NULL-on-out-of-range bracket indexing;
+      - slice: Spark slice(a, start, length) == DuckDB
+        list_slice(a, start, start + length - 1) (1-based, inclusive,
+        both clamp; start past the end yields an empty array);
+      - array_distinct keeps one NULL where list_distinct drops them
+        (and returns unstable order) — distinct probes compare COUNTS
+        on null-free arrays only.
+    """
+    seed: int
+    table: str
+    elems: list = field(default_factory=list)    # shared element exprs
+    elems2: list = field(default_factory=list)   # second array (zip_with)
+    # whole-array NULL injection: (modulus, residue) over the unique key
+    null_inject: tuple | None = None
+    has_null_elems: bool = False
+    probes: list = field(default_factory=list)   # (spark, duck) over a/b
+    where: str | None = None
+
+    def _arr(self, elems: list, dialect: str) -> str:
+        body = ", ".join(elems)
+        arr = f"array({body})" if dialect == "spark" else f"[{body}]"
+        if self.null_inject is not None:
+            k, r = self.null_inject
+            uk = UNIQUE_KEYS[self.table]
+            return f"CASE WHEN {uk} % {k} = {r} THEN NULL ELSE {arr} END"
+        return arr
+
+    def to_sql(self) -> str:
+        uk = UNIQUE_KEYS[self.table]
+        w = f" WHERE {self.where}" if self.where else ""
+        proj = [f"{uk} AS k", f"{self._arr(self.elems, 'duck')} AS a"]
+        if self.elems2:
+            proj.append(f"{self._arr(self.elems2, 'duck')} AS b")
+        # recompute probes reference raw table columns, so the inner
+        # select projects them through (*) alongside k and a/b
+        inner = f"SELECT {', '.join(proj)}, * FROM {self.table}{w}"
+        sel = ["k"] + [f"{d} AS c{i + 1}"
+                       for i, (_s, d) in enumerate(self.probes)]
+        return f"SELECT {', '.join(sel)} FROM ({inner}) s"
+
+    def to_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from transcript_analysis_spark.sources.tables import load_table
+        df = load_table(spark, sf_dir, self.table)
+        if self.where:
+            df = df.filter(F.expr(self.where))
+        df = df.withColumn("a", F.expr(self._arr(self.elems, "spark")))
+        if self.elems2:
+            df = df.withColumn("b",
+                               F.expr(self._arr(self.elems2, "spark")))
+        cols = ([F.col(UNIQUE_KEYS[self.table]).alias("k")]
+                + [F.expr(s).alias(f"c{i + 1}")
+                   for i, (s, _d) in enumerate(self.probes)])
+        return df.select(*cols)
+
+    def shrink_steps(self):
+        import copy
+
+        def clone(**kw):
+            s = copy.deepcopy(self)
+            for k, v in kw.items():
+                setattr(s, k, v)
+            return s
+
+        if self.where is not None:
+            yield clone(where=None)
+        if self.null_inject is not None:
+            yield clone(null_inject=None)
+        for i in range(len(self.probes) - 1, -1, -1):
+            if len(self.probes) > 1:
+                yield clone(probes=self.probes[:i] + self.probes[i + 1:])
+
+
+def _hof_probe(rng: random.Random, spec: "HofSpec") -> tuple[str, str]:
+    """One (spark_text, duck_text) scalar probe over array column a
+    (and b when the spec carries a second array)."""
+    k = len(spec.elems)
+    m, c = rng.randint(2, 9), rng.randint(0, 9)
+    r = rng.randrange(m)
+    null_guard = "CASE WHEN a IS NULL THEN NULL ELSE {expr} END"
+
+    def fold(inner_spark: str, inner_duck: str) -> tuple[str, str]:
+        # Spark fold-from-zero vs duck list_sum: COALESCE models the
+        # zero initializer; when element NULLs are live, pre-filter
+        # both sides (duck's list_sum would silently skip what
+        # Spark's acc + x turns into NULL)
+        if spec.has_null_elems:
+            inner_spark = f"filter({inner_spark}, x -> x IS NOT NULL)"
+            inner_duck = (f"list_filter({inner_duck}, "
+                          f"x -> x IS NOT NULL)")
+        sp = (f"aggregate({inner_spark}, CAST(0 AS BIGINT), "
+              f"(acc, x) -> acc + x)")
+        # list_sum returns HUGEINT (-> float64 via pandas); cast back
+        # to BIGINT to match Spark's fold accumulator type
+        du = null_guard.format(
+            expr=f"COALESCE(CAST(list_sum({inner_duck}) AS BIGINT), 0)")
+        return sp, du
+
+    def recompute(terms: list) -> str:
+        # duck-side independent oracle: the fold arithmetic re-derived
+        # from the element expressions; plain SQL + propagates NULL
+        # exactly like Spark's acc + x, and the a-IS-NULL guard models
+        # whole-array injection without referencing its condition (so
+        # shrink can drop null_inject without rewriting probes)
+        return null_guard.format(
+            expr="(" + " + ".join(terms) + ")")
+
+    kinds = ["fold_sum", "transform_fold", "filter_count", "sort_join",
+             "slice_join", "reverse_join", "arr_max", "try_element",
+             "idx_fold", "fold_finish"]
+    if not spec.has_null_elems:
+        kinds += ["exists", "forall", "distinct_count"]
+    if spec.elems2:
+        kinds += ["zipw_prodsum", "zipw_prodsum"]
+    kind = rng.choice(kinds)
+
+    if kind == "fold_sum":
+        return fold("a", "a")
+    if kind == "transform_fold":
+        return fold(f"transform(a, x -> x * {m} + {c})",
+                    f"list_transform(a, x -> x * {m} + {c})")
+    if kind == "filter_count":
+        return (f"size(filter(a, x -> x % {m} = {r}))",
+                f"len(list_filter(a, x -> x % {m} = {r}))")
+    if kind == "sort_join":
+        return (f"array_join(transform(sort_array(a), "
+                f"x -> CAST(x AS STRING)), ',')",
+                null_guard.format(
+                    expr="COALESCE(array_to_string("
+                         "list_sort(a), ','), '')"))
+    if kind == "slice_join":
+        s0 = rng.randint(1, k + 1)          # sometimes past the end
+        ln = rng.randint(1, k + 1)
+        return (f"array_join(transform(slice(a, {s0}, {ln}), "
+                f"x -> CAST(x AS STRING)), ',')",
+                null_guard.format(
+                    expr=f"COALESCE(array_to_string(list_slice("
+                         f"a, {s0}, {s0 + ln - 1}), ','), '')"))
+    if kind == "reverse_join":
+        return (f"array_join(transform(reverse(a), "
+                f"x -> CAST(x AS STRING)), ',')",
+                null_guard.format(
+                    expr="COALESCE(array_to_string("
+                         "list_reverse(a), ','), '')"))
+    if kind == "arr_max":
+        fn = rng.choice(["max", "min"])
+        return (f"array_{fn}(a)", f"list_aggregate(a, '{fn}')")
+    if kind == "try_element":
+        idx = rng.randint(1, k + 1)         # 1-based, sometimes OOR
+        return (f"try_element_at(a, {idx})", f"a[{idx}]")
+    if kind == "idx_fold":
+        # Spark-only index lambda; duck oracle recomputed from the
+        # element expressions (transform's i is 0-based)
+        sp = (f"aggregate(transform(a, (x, i) -> x * i), "
+              f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        return sp, recompute([f"{i} * ({e})"
+                              for i, e in enumerate(spec.elems)])
+    if kind == "fold_finish":
+        # 4-arg aggregate with a finish lambda; duck recomputes
+        sp = (f"aggregate(a, CAST(0 AS BIGINT), "
+              f"(acc, x) -> acc + x, acc -> acc * {m} + {c})")
+        du = null_guard.format(
+            expr="(" + " + ".join(f"({e})" for e in spec.elems)
+                 + f") * {m} + {c}")
+        return sp, du
+    if kind == "zipw_prodsum":
+        sp = (f"aggregate(zip_with(a, b, (x, y) -> x * y), "
+              f"CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        terms = [f"({e}) * ({f})"
+                 for e, f in zip(spec.elems, spec.elems2)]
+        du = ("CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE ("
+              + " + ".join(terms) + ") END")
+        return sp, du
+    if kind == "exists":
+        return (f"CAST(exists(a, x -> x % {m} = {r}) AS STRING)",
+                null_guard.format(
+                    expr=f"CAST(len(list_filter(a, "
+                         f"x -> x % {m} = {r})) > 0 AS VARCHAR)"))
+    if kind == "forall":
+        return (f"CAST(forall(a, x -> x % {m} <> {r}) AS STRING)",
+                null_guard.format(
+                    expr=f"CAST(len(list_filter(a, x -> NOT "
+                         f"(x % {m} <> {r}))) = 0 AS VARCHAR)"))
+    # distinct_count (null-free arrays only: list_distinct drops NULLs)
+    return ("size(array_distinct(a))", "len(list_distinct(a))")
+
+
+def gen_hof(rng: random.Random, seed: int) -> HofSpec:
+    tables = sorted(t for t in UNIQUE_KEYS if TABLE_COLS[t].get("int")
+                    or TABLE_COLS[t].get("lowint"))
+    table = rng.choice(tables)
+    spec = HofSpec(seed=seed, table=table)
+    ints = (list(TABLE_COLS[table].get("int", []))
+            + [c for c, _, _ in TABLE_COLS[table].get("lowint", [])])
+
+    def elem() -> str:
+        # BIGINT-cast so the array element type is identical on both
+        # sides regardless of the parquet column's physical width
+        return (f"CAST({rng.choice(ints)} % {rng.randint(3, 97)} "
+                f"AS BIGINT)")
+
+    k = rng.randint(2, 5)
+    spec.elems = [elem() for _ in range(k)]
+    roll = rng.random()
+    if roll < 0.25:      # whole-array NULL injection
+        spec.null_inject = (rng.randint(2, 7), 0)
+    elif roll < 0.45:    # element NULL injection (one slot)
+        j = rng.randrange(k)
+        mj = rng.randint(2, 7)
+        uk = UNIQUE_KEYS[table]
+        spec.elems[j] = (f"CASE WHEN {uk} % {mj} = 1 THEN NULL "
+                         f"ELSE {spec.elems[j]} END")
+        spec.has_null_elems = True
+    if rng.random() < 0.35:   # second, same-length array for zip_with
+        spec.elems2 = [elem() for _ in range(k)]
+    spec.probes = [_hof_probe(rng, spec)
+                   for _ in range(rng.randint(2, 4))]
+    if rng.random() < 0.4:
+        spec.where = _predicate(rng, [table])
+    return spec
+
+
 # --- generation ------------------------------------------------------------
 
 def _cols(tables: list[str], kind: str) -> list:
@@ -1336,6 +1603,8 @@ def gen_query(seed: int):
         return gen_scalar(rng, seed)
     if mode < 0.54 and mode >= 0.46:
         return gen_json(rng, seed)
+    if mode < 0.62 and mode >= 0.54:
+        return gen_hof(rng, seed)
     spec = QuerySpec(seed=seed)
     base = rng.choice(BASE_TABLES)
     spec.tables = [base]
@@ -1615,7 +1884,8 @@ def run_seeds(seeds, sf_dir: str, spark=None, con=None,
 
 MODE_CLASSES = {"frame": "FrameSpec", "asof": "AsofSpec",
                 "interval": "IntervalSpec", "scalar": "ScalarSpec",
-                "json": "JsonSpec", "setop": None, "legacy": None}
+                "json": "JsonSpec", "hof": "HofSpec",
+                "setop": None, "legacy": None}
 
 
 def seeds_for_mode(mode: str, n: int, start: int = 0):
@@ -1627,7 +1897,8 @@ def seeds_for_mode(mode: str, n: int, start: int = 0):
     while len(out) < n:
         spec = gen_query(seed)
         cls = type(spec).__name__
-        if mode in ("frame", "asof", "interval", "scalar", "json"):
+        if mode in ("frame", "asof", "interval", "scalar", "json",
+                    "hof"):
             match = cls == MODE_CLASSES[mode]
         elif mode == "setop":
             match = cls == "QuerySpec" and spec.setop_kind is not None
@@ -1641,6 +1912,18 @@ def seeds_for_mode(mode: str, n: int, start: int = 0):
 
 def main() -> None:
     argv = sys.argv[1:]
+    if "--selfcheck" in argv:
+        # Clean-shell import canary (r12 verdict item 2): resolve the
+        # deferred engine + duckdb imports and generate (not execute)
+        # one spec per mode — no JVM, no DuckDB connection.
+        import duckdb as _duck
+        from transcript_analysis_spark.session import get_spark  # noqa: F401
+        n_modes = sum(1 for m in sorted(MODE_CLASSES)
+                      if next(iter(seeds_for_mode(m, 1, 0)), None)
+                      is not None)
+        print(f"selfcheck OK: duckdb {_duck.__version__}, "
+              f"{n_modes}/{len(MODE_CLASSES)} modes generate")
+        return
     args: list[str] = []
     start, shrink_failures, i = 0, True, 0
     mode = None

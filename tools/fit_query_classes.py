@@ -79,6 +79,14 @@ def _timed_min(fn, reps: int) -> float:
 
 
 def main() -> None:
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2): the heavy
+        # imports (bench, engine) already ran at module level; prove
+        # they resolved, no JVM.
+        print(f"selfcheck OK: {len(all_queries())} queries, "
+              f"classes={','.join(CLASSES)}, "
+              f"bench refs={len(bench.CALIBRATION_REFS)}")
+        return
     reps = 2
     margin_floor = 0.05
     for a in sys.argv[1:]:

@@ -37,6 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2), no JVM.
+        from transcript_analysis_spark.streaming import pipeline as pl
+        from transcript_analysis_spark.streaming import sample_store
+        print(f"selfcheck OK: {pl.__name__} and "
+              f"{sample_store.__name__} importable")
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 

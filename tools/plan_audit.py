@@ -39,8 +39,13 @@ def audit(plan: str) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2), no JVM.
+        from transcript_analysis_spark.plans import all_queries
+        print(f"selfcheck OK: {len(all_queries())} queries importable")
+        return
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from transcript_analysis_spark.plans import all_queries
     from transcript_analysis_spark.session import get_spark
 

@@ -30,17 +30,25 @@ DRIVER_SF = 0.1
 def main() -> None:
     argv = sys.argv[1:]
     force = "--force" in argv
+    usage = "usage: save_bench_baseline.py --round N [source.json]"
     rnd, args = None, []
     it = iter(a for a in argv if a != "--force")
     for a in it:
         if a.startswith("--round="):
-            rnd = int(a.split("=", 1)[1])
+            raw = a.split("=", 1)[1]
         elif a == "--round":
-            rnd = int(next(it, "") or 0) or None
+            raw = next(it, "")
         else:
             args.append(a)
+            continue
+        try:
+            rnd = int(raw)
+        except ValueError:
+            sys.exit(usage)
+        if rnd < 1:
+            sys.exit(f"{usage}\nround must be a positive integer, got {rnd}")
     if rnd is None:
-        sys.exit("usage: save_bench_baseline.py --round N [source.json]")
+        sys.exit(usage)
 
     src = args[0] if args else os.path.join(ROOT, ".local",
                                             "bench_last.json")

@@ -266,6 +266,12 @@ def check_main(multiples: list[int]) -> None:
 
 def main() -> None:
     args = sys.argv[1:]
+    if "--selfcheck" in args:
+        # Clean-shell import canary (r12 verdict item 2), no JVM.
+        from transcript_analysis_spark.plans import all_queries
+        print(f"selfcheck OK: {len(all_queries())} queries, "
+              f"{len(CHECK_FAMILY)} check-family entries")
+        return
     if "--check" in args:
         args.remove("--check")
         check_main([int(x) for x in args] or [8, 64])

@@ -155,6 +155,15 @@ def gate(spark, sf_dir: str) -> list[str]:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
+    if "--selfcheck" in args:
+        # Clean-shell import canary (r12 verdict item 2): deferred
+        # engine imports + the pins file, no JVM.
+        from transcript_analysis_spark.plans import all_queries
+        from transcript_analysis_spark.session import get_spark  # noqa: F401
+        pins = load_pins()
+        print(f"selfcheck OK: {len(all_queries())} queries, "
+              f"{len(pins)} scan pins loadable")
+        return
     verify = "--verify" in args
     gate_mode = "--gate" in args
     emit = "--emit-pins" in args

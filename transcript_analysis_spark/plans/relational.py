@@ -630,20 +630,27 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              '{"meta": {"t": "' || event_type || '"}, "ids": ['
                || (event_id % 7) || ',' || (user_id % 5)
-               || '], "k": ' || (props ->> '$.k') || '}' AS doc
+               || '], "k": '
+               || (CASE WHEN json_valid(props)
+                        THEN props ->> '$.k' END) || '}' AS doc
       FROM events
     )
     SELECT event_type,
            COUNT(*)                                        AS n_events,
-           CAST(SUM(CAST(doc ->> '$.k' AS BIGINT))
+           CAST(SUM(CASE WHEN json_valid(doc)
+                         THEN CAST(doc ->> '$.k' AS BIGINT) END)
                 AS BIGINT)                                 AS sum_k,
-           CAST(SUM(CAST(doc ->> '$.ids[0]' AS BIGINT))
+           CAST(SUM(CASE WHEN json_valid(doc)
+                         THEN CAST(doc ->> '$.ids[0]' AS BIGINT) END)
                 AS BIGINT)                                 AS sum_id0,
-           CAST(SUM(json_array_length(doc, '$.ids'))
+           CAST(SUM(CASE WHEN json_valid(doc)
+                         THEN json_array_length(doc, '$.ids') END)
                 AS BIGINT)                                 AS sum_arrlen,
-           CAST(SUM(CASE WHEN doc ->> '$.meta.t' = event_type
+           CAST(SUM(CASE WHEN json_valid(doc)
+                          AND (doc ->> '$.meta.t') = event_type
                          THEN 1 ELSE 0 END) AS BIGINT)     AS n_meta_match,
-           CAST(SUM(CASE WHEN doc ->> '$.zzz' IS NULL
+           CAST(SUM(CASE WHEN NOT json_valid(doc)
+                          OR (doc ->> '$.zzz') IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT)     AS n_missing
     FROM shred
     GROUP BY event_type
@@ -659,7 +666,11 @@ def events_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     --mode json`; this pins one rich hand-written shape the driver
     re-checks every window. Reference analog: the
     `channel_snippet->>'title'` JSON-path family
-    (`server/dashboard.py:166`, `sql/schema.sql:38,61`).
+    (`server/dashboard.py:166`, `sql/schema.sql:38,61`). The oracle's
+    extractions are json_valid-guarded (the fuzzer adapter discipline,
+    r12 advice): DuckDB's ->> RAISES on malformed JSON where Spark's
+    get_json_object returns NULL, so a non-integer props.$.k must
+    degrade to NULLs on both sides, not crash the oracle.
 
     Scale shape: map-only construction + extraction (JVM codegen, no
     UDF), one hash aggregate on a 5-value key — a single shuffle of
