@@ -1008,6 +1008,93 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_length_profile",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, lang, words,
+             list_transform(words, w -> CAST(length(w) AS BIGINT)) AS lens
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id, lang,
+           CAST(len(words) AS BIGINT)                AS n_words,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+           CAST(CAST(list_sum(lens) AS BIGINT) * 1000000 // len(lens)
+                AS BIGINT)                           AS mean_len_e6,
+           CAST((list_sort(lens))[(len(lens) + 1) // 2]
+                AS BIGINT)                           AS median_len,
+           CAST(COALESCE(CAST(list_sum(list_transform(
+                  range(1, len(lens)),
+                  i -> lens[i] * lens[i + 1])) AS BIGINT), 0)
+                AS BIGINT)                           AS bigram_len_dot,
+           len(list_filter(words, w -> length(w) >= 10)) > 0
+                                                     AS has_long_word,
+           len(list_filter(lens, x -> NOT (x <= 12))) = 0
+                                                     AS all_short
+    FROM l
+    """,
+    tags=("text", "array", "hof"),
+)
+def word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-length profile computed ENTIRELY with
+    higher-order array functions — the registered oracle twin of the
+    r13 generative hof fuzz mode (`tools/diff_fuzz.py --mode hof`),
+    exercising in one hand-written shape what the grammar covers
+    generatively: filter (empty-token drop), transform (word ->
+    length), 4-arg aggregate with a finish lambda that references an
+    outer column (exact e6-quantized mean), sort_array +
+    try_element_at (median), slice + zip_with + fold (adjacent-length
+    dot product; the n=1 edge degrades to slice(_, 1, 0) = [] ->
+    fold = 0 on both engines, no guard needed), exists / forall, and
+    array_distinct. All JVM codegen, no UDF. Reference analog: the
+    word-level statistics of the token-counting path
+    (`embed_transcripts_to_vector_db.py:53-74`) and the text-quality
+    word filters (`score_transcripts.py` length heuristics).
+
+    Oracle notes (adapters pinned in tests/test_diff_fuzz.py):
+    DuckDB's zip_with gap is bridged with range(1, n) + bracket
+    indexing inside the lambda; list_sum's HUGEINT is cast back to
+    BIGINT; mean uses integer `DIV`/`//` (identical floor on the
+    non-negative domain) at e6 quantization so equality is exact,
+    never float-rounded.
+
+    Scale shape: map-only (one scan, zero shuffles) — embarrassingly
+    parallel at any corpus size; the arrays live only inside a row's
+    evaluation, never materialized to state."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("words"))
+    d = (d.filter(F.size("words") > 0)
+          .withColumn("lens",
+                      F.expr("transform(words, "
+                             "w -> CAST(length(w) AS BIGINT))")))
+    return d.select(
+        "doc_id", "lang",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("long")
+         .alias("n_distinct_words"),
+        F.expr("aggregate(lens, CAST(0 AS BIGINT), "
+               "(acc, x) -> acc + x, "
+               "acc -> acc * CAST(1000000 AS BIGINT) DIV size(lens))")
+         .alias("mean_len_e6"),
+        F.expr("try_element_at(sort_array(lens), "
+               "CAST((size(lens) + 1) DIV 2 AS INT))")
+         .cast("long").alias("median_len"),
+        F.expr("aggregate(zip_with(slice(lens, 1, size(lens) - 1), "
+               "slice(lens, 2, size(lens) - 1), (a, b) -> a * b), "
+               "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+         .alias("bigram_len_dot"),
+        F.expr("exists(words, w -> length(w) >= 10)")
+         .alias("has_long_word"),
+        F.expr("forall(lens, x -> x <= 12)").alias("all_short"),
+    )
+
+
+@register(
     "document_fingerprints",
     oracle=f"""
     WITH tok AS (
