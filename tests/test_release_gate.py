@@ -280,6 +280,51 @@ def test_corrected_excuse_composes_relative_to_class_factor():
     assert v == []
 
 
+def test_sign_aware_composition_tightens_on_a_fast_box():
+    """r12 advice (medium): with excuse <= 1 by construction,
+    min(base, excuse) could never exceed 1, so a box FASTER than the
+    baseline's recording conditions (base > 1) lost the tighten
+    signal and masked a real regression. Sign-aware composition
+    multiplies opposite-sign signals.
+
+    Scenario: baseline recorded on a 1.4x-contended box (class factor
+    1.4/1.0 = 1.4 when the current box is idle). A query that reads
+    +10% raw on the idle box is really ~+54% in baseline-equivalent
+    terms. Clean paired probes (excuse = 1) must NOT cancel the
+    tighten."""
+    prev = {"q": 1.0}
+    prev_cal = {"q": 0.28}          # baseline cal recorded 1.4x slow
+    pairs = [[1.1, 0.2]] * 5        # idle probes, raw only +10%
+    corrected = release_check.corrected_minima({"q": pairs}, prev_cal)
+    v = release_check.bench_regressions(
+        {"q": 1.1}, prev, None, 1.0, {"cpu": 1.4}, {"q": "cpu"},
+        {}, corrected)
+    assert len(v) == 1 and v[0].startswith("q:")   # 1.1 * 1.4 = 1.54
+    # the same reading WITH a genuine same-instant burst (probes 2x
+    # the baseline cal) is excused multiplicatively: 1.4 * 0.5 = 0.7
+    pairs = [[1.1, 0.56]] * 5
+    corrected = release_check.corrected_minima({"q": pairs}, prev_cal)
+    v = release_check.bench_regressions(
+        {"q": 1.1}, prev, None, 1.0, {"cpu": 1.4}, {"q": "cpu"},
+        {}, corrected)
+    assert v == []
+    # the local-factor path is intentionally NOT multiplied: local is
+    # a full per-query measurement (can exceed 1, carries its own
+    # tighten) with per-query precedence — local = 1.0 (this query's
+    # window at baseline parity) correctly overrides the class-level
+    # tighten, unlike the corrected path whose excuse is capped at 1
+    # and can never express parity
+    v = release_check.bench_regressions(
+        {"q": 1.1}, prev, None, 1.0, {"cpu": 1.4}, {"q": "cpu"},
+        {"q": 1.0}, {})
+    assert v == []
+    # and a local that itself reads tighten keeps flagging
+    v = release_check.bench_regressions(
+        {"q": 1.1}, prev, None, 1.0, {"cpu": 1.4}, {"q": "cpu"},
+        {"q": 1.4}, {})
+    assert len(v) == 1 and v[0].startswith("q:")
+
+
 def test_bench_final_line_fits_driver_tail():
     """r11 verdict item 2, the driver-contract canary: bench.py's
     compact core line for a full 21-headliner record (the real query

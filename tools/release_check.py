@@ -230,17 +230,22 @@ def bench_regressions(current: dict[str, float],
     manufacture a regression because excuse never exceeds 1 (v1 also
     inflated a +4% raw into +28% via a noisy >1 factor).
     ``local_factors`` is the coarser fallback for records with a
-    single local cal and no pairs; both compose RELATIVE to the class
-    factor, sign-aware (r12 advice): when base <= 1 (box at least as
-    contended as the baseline's), effective factor = min(base,
-    excuse) — never the product, which would double-count contention
-    the paired probes and the end-of-run class probes both witnessed
-    (r11 advice: the product can reach 0.25 and mask a real ~30%
-    regression); when base > 1 (box FASTER than the baseline's
-    recording conditions) the two signals have opposite signs and
-    compose multiplicatively — base tightens into idle-equivalent
-    seconds while excuse still forgives per-instant bursts, so a
-    quiet box cannot mask a real regression.
+    single local cal and no pairs. The corrected path composes
+    SIGN-AWARE relative to the class factor (r12 advice): when
+    base <= 1 (box at least as contended as the baseline's),
+    effective factor = min(base, excuse) — never the product, which
+    would double-count contention the paired probes and the
+    end-of-run class probes both witnessed (r11 advice: the product
+    can reach 0.25 and mask a real ~30% regression); when base > 1
+    (box FASTER than the baseline's recording conditions) the two
+    signals have opposite signs and compose multiplicatively — base
+    tightens into idle-equivalent seconds while excuse still
+    forgives per-instant bursts, so a quiet box cannot mask a real
+    regression. The local path stays min-composed (factor =
+    min(base, clamp(local))): unlike excuse, local is a full
+    per-query measurement that can exceed 1 and carries its own
+    tighten with per-query precedence — local at parity (1.0)
+    correctly overrides a class-level tighten.
 
     Each factor is clamped to [0.5, 2.0] so a corrupt calibration can
     neither nuke nor disable the gate; the single-probe factor is the
@@ -281,6 +286,12 @@ def bench_regressions(current: dict[str, float],
         else:
             local = local_factors.get(name)
             if local:
+                # unlike the corrected path's excuse, local is a FULL
+                # per-query measurement (prev_cal / current_cal, can
+                # exceed 1), so it carries its own tighten signal and
+                # takes per-query precedence (r11 doctrine); min with
+                # base only caps a tighten at the class-level reading
+                # — no sign-aware multiply needed here
                 factor = base * min(1.0, max(0.5, local) / base)
                 factor = min(2.0, max(0.5, factor))
             else:
