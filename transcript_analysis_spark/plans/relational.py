@@ -718,7 +718,10 @@ def sql_frontend_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFram
     second API, replacing the reference's SQL-strings-to-Postgres
     path). 5-way star join: Catalyst broadcast-joins every dim."""
     from transcript_analysis_spark.sources.tables import register_views
-    register_views(spark, sf_dir)
+    # r13: register only the referenced tables — catalog scoping,
+    # not a result change (measured -12% min-of-5 at sf0.1).
+    register_views(spark, sf_dir, tables=[
+        "lineitem", "orders", "customer", "nation", "region"])
     return spark.sql("""
         SELECT r.r_name,
                COUNT(*)                                              AS n_items,
@@ -761,7 +764,7 @@ def sql_frontend_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
     `time_bucket_gapfill` pattern. The recursion is O(#months) driver
     rows; the corpus side stays one hash aggregate."""
     from transcript_analysis_spark.sources.tables import register_views
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=["orders"])  # r13 scoping
     return spark.sql("""
         WITH RECURSIVE months(m) AS (
           SELECT DATE '1995-01-01'
@@ -1235,7 +1238,8 @@ def sql_frontend_correlated_subqueries(spark: SparkSession,
     existence join) — the surface a reference user writing raw SQL
     exercises constantly, planned without per-row re-execution."""
     from transcript_analysis_spark.sources.tables import register_views
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir,
+                   tables=["nation", "customer"])  # r13 scoping
     return spark.sql("""
         SELECT n.n_name,
                (SELECT COUNT(*) FROM customer c
@@ -1287,7 +1291,7 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping-sets divergence: see sales_rollup_cube /
     tests/test_diff_fuzz.py.)"""
     from transcript_analysis_spark.sources.tables import register_views
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=["orders"])  # r13 scoping
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total_price
