@@ -135,6 +135,79 @@ def exp_islands(spark):
             "islands:hoisted": _islands_hoisted}
 
 
+def _ngram_model_join(spark, sf_dir):
+    """ngram_model_score with per-entry precomputed logp model tables:
+    2 probe-side joins instead of 3, log10 evaluated per model row
+    instead of per pair row (the lm_perplexity_filter discipline)."""
+    from transcript_analysis_spark.functions.rounding import (
+        spark_round_ratio)
+    from transcript_analysis_spark.plans.domain import fanout, load_table
+
+    docs = fanout(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    bi = (
+        d.select(
+            "doc_id", "source",
+            F.posexplode(F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1)))
+             .alias("pos0", "z"))
+        .select("doc_id", "source",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("z")["0"].alias("w1"),
+                F.col("z")["1"].alias("w2"))
+    )
+    tok = (d.select("doc_id", "source",
+                    F.posexplode("words").alias("pos0", "word"))
+           .select("doc_id", "source", "word"))
+    c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt2")))
+    c1 = (c2.groupBy("model_source", "w1")
+            .agg(F.sum("cnt2").cast("long").alias("cnt1")))
+    cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
+             .agg(F.count(F.lit(1)).alias("cntu")))
+    tot = (cu.groupBy("model_source")
+             .agg(F.sum("cntu").cast("long").alias("total")))
+    m2 = (c2.join(c1, ["model_source", "w1"])
+          .select("model_source", "w1", "w2",
+                  F.round(F.log10(F.col("cnt2").cast("double")
+                                  / F.col("cnt1")), 9).alias("logp2")))
+    bo = (cu.join(F.broadcast(tot), ["model_source"])
+          .select("model_source", F.col("word").alias("w2"),
+                  F.round(F.log10((F.lit(0.4) * F.col("cntu"))
+                                  / F.col("total")), 9).alias("logpu")))
+    models = tot.select("model_source")
+    pairs = bi.select("doc_id", "w1", "w2").crossJoin(F.broadcast(models))
+    scored = (
+        pairs
+        .join(m2, ["model_source", "w1", "w2"], "left")
+        .join(bo, ["model_source", "w2"], "left")
+        .select("doc_id", "model_source",
+                F.coalesce("logp2", "logpu", F.lit(-7.0)).alias("logp")))
+    return (scored.groupBy("doc_id", "model_source")
+            .agg(spark_round_ratio(
+                    "sum(cast(round(logp * 1e9, 0) as bigint))",
+                    "count(1)", 6, n_prescale=9).alias("avg_logprob"),
+                 F.count(F.lit(1)).alias("n_ngrams")))
+
+
+def exp_ngram(spark):
+    return {"ngram:current": _q("ngram_model_score"),
+            "ngram:modeljoin": _ngram_model_join}
+
+
+def exp_aqeshj(spark):
+    """AQE runtime SMJ->SHJ conversion threshold (0 = off, default)."""
+    out = {}
+    for q in ("pagerank_purchase_graph", "ngram_model_score",
+              "mllib_lsh_similar_pairs"):
+        out[f"{q}:thr0"] = _with_conf(
+            _q(q), **{"spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0"})
+        out[f"{q}:thr64m"] = _with_conf(
+            _q(q), **{"spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864"})
+    return out
+
+
 _SQL_FRONTEND = """
     SELECT r.r_name,
            COUNT(*)                                              AS n_items,
@@ -166,4 +239,63 @@ EXPERIMENTS = {
     "bloom": exp_bloom,
     "islands": exp_islands,
     "sqlfrontend": exp_sqlfrontend,
+    "ngram": exp_ngram,
+    "aqeshj": exp_aqeshj,
 }
+
+
+def _dsir_keyed(spark, sf_dir):
+    """dsir with fanout hash-partitioned by doc_id: the (doc_id,
+    source, w) groupBy reuses the partitioning (no second exchange)
+    and the round-robin local sort disappears."""
+    from transcript_analysis_spark.plans.selection import (
+        DSIR_TARGET, doc_word_counts, dsir_score, dsir_weight_table, _t)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    dc = doc_word_counts(docs).localCheckpoint(eager=True)
+    wt = dsir_weight_table(dc)
+    return dsir_score(dc.filter(F.col("source") != DSIR_TARGET), wt)
+
+
+def _islands_keyed(spark, sf_dir):
+    from transcript_analysis_spark.plans.domain import (
+        islands_from_docs, load_table)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    return islands_from_docs(docs)
+
+
+def exp_keyed(spark):
+    return {"dsir:roundrobin": _q("dsir_importance_weights"),
+            "dsir:keyed": _dsir_keyed,
+            "islands:roundrobin": _q("islands_flagship"),
+            "islands:keyed": _islands_keyed}
+
+
+EXPERIMENTS["keyed"] = exp_keyed
+
+
+def _sweep_keyed(spark, sf_dir):
+    from transcript_analysis_spark.operators import islands as isl
+    from transcript_analysis_spark.plans.domain import (
+        ISLAND_SWEEP_CONFIGS, load_table, scored_documents_from,
+        sweep_table_from_islands)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    scored = isl.smooth_scores(scored_documents_from(docs),
+                               score_col="raw", out_col="smoothed") \
+        .localCheckpoint(eager=True)
+    im = isl.find_islands_multi(scored, keys=["doc_id", "model_id"],
+                                score_col="raw", smoothed_col="smoothed",
+                                configs=ISLAND_SWEEP_CONFIGS)
+    return sweep_table_from_islands(spark, im)
+
+
+def exp_keyed2(spark):
+    return {"islands:roundrobin": _q("islands_flagship"),
+            "islands:keyed": _islands_keyed,
+            "sweep:current": _q("island_param_sensitivity"),
+            "sweep:keyed": _sweep_keyed}
+
+
+EXPERIMENTS["keyed2"] = exp_keyed2

@@ -129,18 +129,33 @@ def scaled_feature(s: int, n: int) -> int:
 def _decode_fake(payload: bytes, kind: str) -> list[float]:
     """Deterministic stand-in: byte-statistics 'features' so tests and
     downstream similarity plumbing have stable real numbers. Pure
-    integer/byte arithmetic -> DuckDB-oracle-checkable."""
+    integer/byte arithmetic -> DuckDB-oracle-checkable.
+
+    The strided byte sums run vectorized (numpy reshape + column sum;
+    r13, guide §4.2 — the interpreted per-byte generator cost O(len)
+    Python bytecode per payload); the half-up scaling stays exact
+    Python-int arithmetic, so outputs are bit-identical to the scalar
+    form (pinned by test_pandas_operators)."""
+    import numpy as np
+
     n = len(payload) or 1
-    feats = []
-    for d in range(FEATURE_DIM):
-        s = sum(payload[i] for i in range(d, len(payload), FEATURE_DIM))
-        feats.append(scaled_feature(s, n) / 1e6)
-    return feats
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    pad = (-len(arr)) % FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    sums = arr.reshape(-1, FEATURE_DIM).sum(axis=0, dtype=np.int64) \
+        if arr.size else np.zeros(FEATURE_DIM, dtype=np.int64)
+    return [scaled_feature(int(s), n) / 1e6 for s in sums]
 
 
 def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """payload -> fixed-dim feature vector via mapInPandas (Arrow
-    batches; decoder state initialized once per partition)."""
+    batches; decoder state initialized once per partition).
+
+    Only the three columns the decoder touches cross the Python
+    boundary (r13, guide §4.1): Spark cannot see inside an opaque
+    mapInPandas function, so without the explicit select the unused
+    `meta` struct would be read, Arrow-framed and shipped per row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _decode_real if use_real_codecs else _decode_fake
@@ -154,25 +169,33 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
             })
             yield out
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    return media.select("media_id", "kind", "payload") \
+        .mapInPandas(run, FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, stride: int = 7) -> DataFrame:
     """Frame sampling for video payloads (UDTF shape: 1 row -> N
     frames). Frame boundaries are byte-range slices of the payload —
-    with real codecs this is the keyframe index walk."""
+    with real codecs this is the keyframe index walk.
+
+    The sampler only ever reads len(payload) — so the payload bytes
+    never cross the Python boundary (r13, guide §8: decide with small
+    rows, leave heavy bytes where they are): the length is computed
+    JVM-side and only (media_id, kind, n_frames, total) ship through
+    Arrow, ~30 bytes/row instead of the blob. The video-kind filter
+    runs JVM-side too, so non-video rows never reach Python at all.
+    Row iteration replaced with a zip over column arrays (iterrows
+    materializes a Series per row)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, sizes = [], [], []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                n_frames = int(row["meta"]["n_frames"])
-                total = len(row["payload"])
-                per = max(1, total // max(1, n_frames))
-                for fi in range(0, n_frames, stride):
-                    ids.append(row["media_id"])
+            for mid, nf, total in zip(pdf["media_id"], pdf["n_frames"],
+                                      pdf["total"]):
+                nf, total = int(nf), int(total)
+                per = max(1, total // max(1, nf))
+                for fi in range(0, nf, stride):
+                    ids.append(mid)
                     idxs.append(fi)
                     sizes.append(min(per, total - fi * per))
             yield pd.DataFrame({
@@ -181,4 +204,8 @@ def sample_frames(media: DataFrame, stride: int = 7) -> DataFrame:
                 "frame_bytes": pd.Series(sizes, dtype="int64"),
             })
 
-    return media.mapInPandas(run, FRAMES_SCHEMA)
+    slim = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").cast("long").alias("total"))
+    return slim.mapInPandas(run, FRAMES_SCHEMA)

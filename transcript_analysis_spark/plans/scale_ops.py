@@ -196,28 +196,30 @@ def bloom_prefilter_contamination(spark: SparkSession,
     probe = (probe.select("doc_id", "shingle", hit.alias("bloom_hit"))
              .localCheckpoint(eager=True))
 
-    # The scale shape the docstring promises: per-doc totals come from
-    # ONE aggregate over the probe (no join needed to count), and the
-    # exact equi-join against the train set ships ONLY bloom-positive
-    # shingles — a left join would have to carry every probe row
-    # through the shuffle just to preserve n_shingles.
-    counts = (probe.groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_shingles"),
-                   F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
-                    .cast("long").alias("n_candidates")))
-    overlap = (probe.filter("bloom_hit")
-               .join(train.withColumn("in_train", F.lit(1)),
-                     "shingle", "left")
-               .groupBy("doc_id")
-               .agg(F.sum(F.coalesce(F.col("in_train"), F.lit(0)))
-                     .cast("long").alias("n_overlap")))
-    return (counts.join(overlap, "doc_id", "left")
-            .select("doc_id", "n_shingles", "n_candidates",
-                    F.coalesce("n_overlap", F.lit(0)).cast("long")
-                     .alias("n_overlap"),
-                    (F.col("n_candidates")
-                     - F.coalesce("n_overlap", F.lit(0))).cast("long")
-                     .alias("n_false_positives")))
+    # The scale shape the docstring promises: the exact equi-join
+    # against the train set ships ONLY bloom-positive shingles — a
+    # plain left join would carry every probe row through the shingle
+    # shuffle just to preserve n_shingles. The negatives rejoin as
+    # zero-marked 3-int rows through a union, so ALL per-doc totals
+    # come out of ONE doc_id aggregate (r13: previously two aggregates
+    # + a doc_id join; the union collapses map-side before the
+    # shuffle, measured −5% min-of-5 at sf0.1 and one fewer stage).
+    pos = (probe.filter("bloom_hit")
+           .join(train.withColumn("in_train", F.lit(1)),
+                 "shingle", "left")
+           .select("doc_id", F.lit(1).alias("is_cand"),
+                   F.coalesce("in_train", F.lit(0)).alias("in_train")))
+    neg = (probe.filter(~F.col("bloom_hit"))
+           .select("doc_id", F.lit(0).alias("is_cand"),
+                   F.lit(0).alias("in_train")))
+    return (pos.unionAll(neg)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum("is_cand").cast("long").alias("n_candidates"),
+                 F.sum("in_train").cast("long").alias("n_overlap"))
+            .select("doc_id", "n_shingles", "n_candidates", "n_overlap",
+                    (F.col("n_candidates") - F.col("n_overlap"))
+                    .cast("long").alias("n_false_positives")))
 
 
 # --- sequence packing ----------------------------------------------------

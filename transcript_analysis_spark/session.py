@@ -49,6 +49,16 @@ def get_spark(app_name: str = "transcript-analysis-spark",
         # memory-constrained deployments.
         .config("spark.sql.join.preferSortMergeJoin",
                 os.environ.get("SPARK_PREFER_SMJ", "false"))
+        # Let AQE rewrite runtime sort-merge joins to shuffled-hash
+        # when every post-shuffle partition's build side fits in 64 MB
+        # (default 0 = never; guide §3.1). Catches the joins whose
+        # STATIC size estimates overshoot (post-aggregation tables):
+        # r13 interleaved A/B at sf0.1 read pagerank −21%,
+        # ngram_model_score −32%, mllib_lsh −9% on min-of-5. 64 MB
+        # per-partition is conservative against executor memory at
+        # cluster scale; override via SPARK_AQE_SHJ_THRESHOLD.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_AQE_SHJ_THRESHOLD", "67108864"))
         # Keep broadcast autodetection on; 10MB default is fine for the
         # dims here (region/nation/kernel tables are tiny).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

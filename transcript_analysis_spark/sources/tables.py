@@ -55,6 +55,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # strategy never changes join semantics. Overridable per env.
     spark.conf.set("spark.sql.join.preferSortMergeJoin",
                    os.environ.get("SPARK_PREFER_SMJ", "false"))
+    # ... and let AQE rewrite runtime SMJs to shuffled-hash when the
+    # per-partition build side fits 64 MB (see session.py for the
+    # measurements and the scale justification).
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                   os.environ.get("SPARK_AQE_SHJ_THRESHOLD", "67108864"))
     spark._ta_session_confs_done = True
 
 
@@ -97,8 +102,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition to engage every core.
+def fanout(df: DataFrame, partitions: int | None = None,
+           key: str | None = None) -> DataFrame:
+    """Repartition to engage every core.
 
     The driver corpus ships one small parquet file per table, which
     Spark scans as a single partition — any compute-heavy per-row work
@@ -106,8 +112,20 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
     production scale the scan has thousands of splits and this is a
     no-op decision; for single-file inputs the tiny shuffle (the raw
     rows) buys full parallelism for everything downstream.
+
+    ``key`` (r13, guide §2.4/§2.5) hash-partitions by that column
+    instead of round-robin: skips the sort-before-repartition every
+    keyless repartition pays (SPARK-23207), is retry-deterministic,
+    and lets a downstream join/groupBy clustered on the key reuse the
+    partitioning (islands_flagship's doc_id time-range join measured
+    −22% min-of-5 at sf0.1). Key choice matters: a query whose FIRST
+    heavy op is an explode→multi-key groupBy measured SLOWER keyed
+    (dsir −44%... i.e. +44% wall), so callers opt in per plan shape.
     """
+    from pyspark.sql import functions as F
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if key is not None:
+        return df.repartition(n, F.col(key))
     return df.repartition(n)
 
 
