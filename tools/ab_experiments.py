@@ -299,3 +299,20 @@ def exp_keyed2(spark):
 
 
 EXPERIMENTS["keyed2"] = exp_keyed2
+
+
+def exp_regress(spark):
+    """Did the r13 conf defaults hurt mllib/lm_perplexity? Compare the
+    r12 conf set (preferSMJ=true, thr=0) against the r13 defaults."""
+    r12 = {"spark.sql.join.preferSortMergeJoin": "true",
+           "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0"}
+    r13 = {"spark.sql.join.preferSortMergeJoin": "false",
+           "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864"}
+    out = {}
+    for q in ("mllib_lsh_similar_pairs", "lm_perplexity_filter"):
+        out[f"{q}:r12conf"] = _with_conf(_q(q), **r12)
+        out[f"{q}:r13conf"] = _with_conf(_q(q), **r13)
+    return out
+
+
+EXPERIMENTS["regress"] = exp_regress
