@@ -316,3 +316,28 @@ def exp_regress(spark):
 
 
 EXPERIMENTS["regress"] = exp_regress
+
+
+def _sweep_slim(spark, sf_dir):
+    """island_param_sensitivity with the checkpoint projected to the
+    4 columns find_islands_multi reads (drops the 5x-replicated words
+    array from the materialization)."""
+    from transcript_analysis_spark.operators import islands as isl
+    from transcript_analysis_spark.plans.domain import (
+        ISLAND_SWEEP_CONFIGS, _scored_documents, sweep_table_from_islands)
+    scored = (isl.smooth_scores(_scored_documents(spark, sf_dir),
+                                score_col="raw", out_col="smoothed")
+              .select("doc_id", "model_id", "raw", "smoothed")
+              .localCheckpoint(eager=True))
+    im = isl.find_islands_multi(scored, keys=["doc_id", "model_id"],
+                                configs=ISLAND_SWEEP_CONFIGS,
+                                score_col="raw", smoothed_col="smoothed")
+    return sweep_table_from_islands(spark, im)
+
+
+def exp_sweepslim(spark):
+    return {"sweep:current": _q("island_param_sensitivity"),
+            "sweep:slim": _sweep_slim}
+
+
+EXPERIMENTS["sweepslim"] = exp_sweepslim
