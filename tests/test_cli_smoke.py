@@ -66,6 +66,13 @@ SELFCHECK_TOOLS = [
     "scale_probe.py",
     "fit_query_classes.py",
     "gen_scale_testdata.py",
+    # r13 optimization-round measurement tools — same clean-shell
+    # discipline so the r11/r12 boundary-defect class cannot recur
+    # through new tooling either.
+    "ab_bench.py",
+    "dump_plans_r13.py",
+    "probe_sf1_r13.py",
+    "merge_bench_sittings.py",
 ]
 
 

@@ -43,6 +43,13 @@ def run_ab(spark, sf_dir: str, variants: dict, reps: int = 5,
 
 
 def main() -> None:
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2), no JVM.
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import ab_experiments
+        print(f"selfcheck OK: {len(ab_experiments.EXPERIMENTS)} "
+              f"experiments registered")
+        return
     from transcript_analysis_spark.session import get_spark
 
     exp = sys.argv[1]

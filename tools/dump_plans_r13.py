@@ -21,6 +21,11 @@ from transcript_analysis_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2), no JVM.
+        from transcript_analysis_spark.plans import all_queries
+        print(f"selfcheck OK: {len(all_queries())} queries importable")
+        return
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

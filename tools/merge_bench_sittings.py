@@ -19,6 +19,13 @@ PER_QUERY = ("queries", "queries_spread", "queries_local_cal",
 
 
 def main() -> None:
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell canary: pure-stdlib tool, nothing to import.
+        print(f"selfcheck OK: merges {PER_QUERY} per-query fields")
+        return
+    if len(sys.argv) < 4:
+        sys.exit("usage: merge_bench_sittings.py out.json "
+                 "in1.json in2.json ...")
     out_path, srcs = sys.argv[1], sys.argv[2:]
     if len(srcs) < 2:
         sys.exit("need >= 2 sitting records")

@@ -29,6 +29,11 @@ QUERIES = [
 
 
 def main() -> None:
+    if "--selfcheck" in sys.argv[1:]:
+        # Clean-shell import canary (r12 verdict item 2), no JVM.
+        from transcript_analysis_spark.plans import all_queries
+        print(f"selfcheck OK: {len(all_queries())} queries importable")
+        return
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1",
                             os.path.join(ROOT, ".local", "sf1.0")]
     spark = get_spark("sf1-probe")
