@@ -23,14 +23,24 @@ if ROOT not in sys.path:
 
 def run_ab(spark, sf_dir: str, variants: dict, reps: int = 5,
            warm: int = 2) -> None:
+    """Counterbalanced interleaved A/B (r14): a null A/B (identical
+    builders in both arms) exposed a large FIRST-POSITION penalty in
+    the r13 A,B,A,B pattern — the arm following a *different* heavy
+    query read up to 36% slower than the same builder following
+    itself (ngram null A/B: 4.63 vs 2.97 min-of-5). Alternating the
+    visit order per rep (A,B then B,A) gives each arm the same
+    position distribution, so the penalty cancels in both min and
+    median instead of landing entirely on whichever arm was listed
+    first."""
     names = list(variants)
     for name in names:  # warm each: plan + JIT + page cache
         for _ in range(warm):
             variants[name](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(reps):
-        for name in names:
+    for rep in range(reps):
+        order = names if rep % 2 == 0 else list(reversed(names))
+        for name in order:
             spark._jvm.System.gc()
             t0 = time.time()
             variants[name](spark, sf_dir).write.format("noop") \

@@ -341,3 +341,272 @@ def exp_sweepslim(spark):
 
 
 EXPERIMENTS["sweepslim"] = exp_sweepslim
+
+
+def exp_tdp(spark):
+    """r14 VERDICT item 1: adjudicate the training_data_prep 32-core
+    regression by isolating the two r13 conf changes. Four arms:
+    the r12 conf set, each conf alone, and the r13 default set."""
+    arms = {
+        "tdp:r12conf": {"spark.sql.join.preferSortMergeJoin": "true",
+                        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0"},
+        "tdp:smjFalseOnly": {"spark.sql.join.preferSortMergeJoin": "false",
+                             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0"},
+        "tdp:aqeThrOnly": {"spark.sql.join.preferSortMergeJoin": "true",
+                           "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864"},
+        "tdp:r13conf": {"spark.sql.join.preferSortMergeJoin": "false",
+                        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864"},
+    }
+    return {name: _with_conf(_q("training_data_prep"), **confs)
+            for name, confs in arms.items()}
+
+
+EXPERIMENTS["tdp"] = exp_tdp
+
+
+def _ngram_preagg(spark, sf_dir):
+    """ngram_model_score probing at distinct-(doc, w1, w2) granularity
+    (r14 VERDICT item 4): bigram occurrences collapse to counts BEFORE
+    the model probes, so each distinct (doc, bigram) pays the 3 probe
+    joins once and the final rollup weights by cnt. Exact equivalence:
+    sum over occurrences of round(logp*1e9) == sum over distinct
+    triples of cnt * round(logp*1e9); n_ngrams == sum(cnt)."""
+    from transcript_analysis_spark.functions.rounding import (
+        spark_round_ratio)
+    from transcript_analysis_spark.plans.domain import fanout, load_table
+
+    docs = fanout(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    bi = (
+        d.select(
+            "doc_id", "source",
+            F.posexplode(F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1)))
+             .alias("pos0", "z"))
+        .select("doc_id", "source",
+                F.col("z")["0"].alias("w1"),
+                F.col("z")["1"].alias("w2"))
+    )
+    tok = (d.select("doc_id", "source",
+                    F.posexplode("words").alias("pos0", "word"))
+           .select("doc_id", "source", "word"))
+    c2 = (bi.groupBy(F.col("source").alias("model_source"), "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt2")))
+    c1 = (c2.groupBy("model_source", "w1")
+            .agg(F.sum("cnt2").cast("long").alias("cnt1")))
+    cu = (tok.groupBy(F.col("source").alias("model_source"), "word")
+             .agg(F.count(F.lit(1)).alias("cntu")))
+    tot = (cu.groupBy("model_source")
+             .agg(F.sum("cntu").cast("long").alias("total")))
+    models = tot.select("model_source")
+    bic = (bi.groupBy("doc_id", "w1", "w2")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    pairs = bic.crossJoin(F.broadcast(models))
+    scored = (
+        pairs
+        .join(c2, ["model_source", "w1", "w2"], "left")
+        .join(c1, ["model_source", "w1"], "left")
+        .join(cu.withColumnRenamed("word", "w2"), ["model_source", "w2"], "left")
+        .join(F.broadcast(tot), ["model_source"])
+        .select(
+            "doc_id", "model_source", "cnt",
+            F.when(F.col("cnt2").isNotNull(),
+                   F.round(F.log10(F.col("cnt2").cast("double") / F.col("cnt1")), 9))
+             .when(F.col("cntu").isNotNull(),
+                   F.round(F.log10((F.lit(0.4) * F.col("cntu")) / F.col("total")), 9))
+             .otherwise(F.lit(-7.0))
+             .alias("logp"))
+    )
+    return (scored.groupBy("doc_id", "model_source")
+            .agg(spark_round_ratio(
+                    "sum(cnt * cast(round(logp * 1e9, 0) as bigint))",
+                    "sum(cnt)", 6, n_prescale=9).alias("avg_logprob"),
+                 F.sum("cnt").cast("long").alias("n_ngrams")))
+
+
+def exp_ngram2(spark):
+    return {"ngram:current": _q("ngram_model_score"),
+            "ngram:preagg": _ngram_preagg}
+
+
+EXPERIMENTS["ngram2"] = exp_ngram2
+
+
+def _pagerank_iter_ckpt(spark, sf_dir):
+    """pagerank with a lazy localCheckpoint of the rank frame between
+    iterations (r14 VERDICT item 8): truncates the T-round plan so each
+    round is its own AQE-planned job with runtime stats."""
+    from transcript_analysis_spark.plans.graph import (
+        PR_D_DEN, PR_D_NUM, PR_MASS, PR_T, _spark_graph)
+
+    edges, deg = _spark_graph(spark, sf_dir, materialize_base=True)
+    nn = deg.agg(F.count("*").alias("n"))
+    base_pr = F.expr(f"{PR_MASS} div n")
+    r = (deg.join(F.broadcast(nn))
+         .select(F.col("src").alias("node"),
+                 base_pr.cast("bigint").alias("pr")))
+    ed = edges.join(deg, "src")
+    for _ in range(PR_T):
+        inflow = (ed.join(r, ed.src == r.node)
+                  .select("dst", F.expr("pr div deg").alias("c"))
+                  .groupBy("dst").agg(F.sum("c").alias("inflow")))
+        r = (deg.join(F.broadcast(nn))
+             .join(inflow, deg.src == inflow.dst, "left")
+             .select(
+                 F.col("src").alias("node"),
+                 (F.expr(f"({PR_D_DEN - PR_D_NUM} * ({PR_MASS} div n))"
+                         f" div {PR_D_DEN}")
+                  + F.expr(f"({PR_D_NUM} * coalesce(inflow, 0))"
+                           f" div {PR_D_DEN}")).cast("bigint").alias("pr")))
+        r = r.localCheckpoint(eager=False)
+    return r.select(F.col("node").alias("node_id"),
+                    F.col("pr").alias("pagerank_fp"))
+
+
+def exp_pagerank2(spark):
+    return {"pr:current": _q("pagerank_purchase_graph"),
+            "pr:iterckpt": _pagerank_iter_ckpt}
+
+
+EXPERIMENTS["pagerank2"] = exp_pagerank2
+
+
+def _crp_fused(spark, sf_dir):
+    """corpus_release_prep with the two corpus explodes fused (r14
+    VERDICT item 6): ONE explode emits both the bigram keys (kind=2,
+    for the perplexity model) and the 3-gram shingles (kind=3, for
+    dup coverage); ONE groupBy collapses both to per-(doc, key) counts
+    and ONE localCheckpoint pins the union. kind=2 rows reproduce
+    lm_perplexity_filter's pos_counts exactly; kind=3 rows reproduce
+    duplicate_ngram_coverage's occ_counts exactly."""
+    from transcript_analysis_spark.functions.rounding import (
+        spark_round_ratio)
+    from transcript_analysis_spark.plans.curation import (
+        COV_DROP_THRESHOLD, NLL_FLAG_THRESHOLD, dataset_split_assignment)
+    from transcript_analysis_spark.plans.data_pipeline import _t
+    from transcript_analysis_spark.plans.domain import fanout
+
+    docs_w = (fanout(_t(spark, sf_dir, "documents"))
+              .select("doc_id", F.split("text", " ").alias("words")))
+    grams = docs_w.select("doc_id", F.explode(F.expr(
+        "concat("
+        " CASE WHEN size(words) >= 2 THEN"
+        "  transform(sequence(1, size(words) - 1),"
+        "   i -> struct(2 as kind, element_at(words, i) as k1,"
+        "               element_at(words, i + 1) as k2))"
+        "  ELSE array() END,"
+        " CASE WHEN size(words) >= 3 THEN"
+        "  transform(sequence(1, size(words) - 2),"
+        "   i -> struct(3 as kind, concat_ws(' ', slice(words, i, 3)) as k1,"
+        "               '' as k2))"
+        "  ELSE array() END)")).alias("g"))
+    counts = (grams.select("doc_id", "g.kind", "g.k1", "g.k2")
+              .groupBy("doc_id", "kind", "k1", "k2")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=True))
+    pos_counts = (counts.filter(F.col("kind") == 2)
+                  .select("doc_id", F.col("k1").alias("w1"),
+                          F.col("k2").alias("w2"), "cnt"))
+    occ_counts = (counts.filter(F.col("kind") == 3)
+                  .select("doc_id", F.col("k1").alias("shingle"),
+                          F.col("cnt").alias("n_occ")))
+
+    # --- lm_perplexity_filter tail (verbatim from curation.py) ---
+    big = pos_counts.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (big.select(F.col("w1").alias("w"))
+             .union(big.select(F.col("w2").alias("w")))
+             .distinct()
+             .agg(F.count(F.lit(1)).alias("v")))
+    model = (big.join(uni, "w1").join(F.broadcast(vocab))
+             .select("w1", "w2", F.expr(
+                 "cast(round(ln((2.0 * c2 + 1.0) / (2.0 * c1 + v))"
+                 " * 1000000000.0) as bigint)").alias("logp_e9")))
+    lm_scored = (pos_counts.join(F.broadcast(model), ["w1", "w2"])
+                 .groupBy("doc_id")
+                 .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+                      (-F.sum(F.col("cnt") * F.col("logp_e9")))
+                      .cast("long").alias("nll_e9")))
+    avg_nll = spark_round_ratio("nll_e9", "n_bigrams", 4, n_prescale=9)
+    ppl = lm_scored.select(
+        "doc_id", (avg_nll > NLL_FLAG_THRESHOLD).alias("flagged"))
+
+    # --- duplicate_ngram_coverage tail (verbatim) ---
+    dup = (occ_counts
+           .groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .filter(F.col("n_docs") >= 2)
+           .select("shingle", F.lit(1).alias("is_dup")))
+    marked = occ_counts.join(dup, "shingle", "left")
+    cov = (marked.groupBy("doc_id")
+           .agg(F.sum("n_occ").cast("long").alias("n_positions"),
+                F.sum(F.when(F.col("is_dup").isNotNull(), F.col("n_occ"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("n_dup_positions"))
+           .withColumn("dup_fraction",
+                       spark_round_ratio("n_dup_positions",
+                                         "n_positions", 6))
+           .select("doc_id", "dup_fraction"))
+
+    # --- release decision (verbatim) ---
+    spl = dataset_split_assignment(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    minid = docs.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
+    dupflag = (docs.join(minid, "text")
+               .select("doc_id",
+                       (F.col("doc_id") != F.col("canonical_id"))
+                       .alias("is_copy")))
+    j = (spl.join(dupflag, "doc_id")
+         .join(cov, "doc_id", "left")
+         .join(ppl, "doc_id", "left"))
+    reason = (F.when(F.col("is_copy"), F.lit("duplicate"))
+              .when(F.col("dup_fraction") > COV_DROP_THRESHOLD,
+                    F.lit("dup_coverage"))
+              .when(F.col("flagged"), F.lit("perplexity"))
+              .otherwise(F.lit("none")))
+    return j.select("doc_id", "lang", "split",
+                    reason.alias("drop_reason"),
+                    (reason == "none").alias("keep"))
+
+
+def exp_crp(spark):
+    return {"crp:current": _q("corpus_release_prep"),
+            "crp:fused": _crp_fused}
+
+
+EXPERIMENTS["crp"] = exp_crp
+
+
+def exp_confpair(spark):
+    """r14: is the r13 conf pair (preferSMJ=false + AQE SHJ threshold)
+    worth anything at all? Final-plan dumps show ZERO ShuffledHashJoin
+    under these confs, so the expectation is neutral."""
+    r12 = {"spark.sql.join.preferSortMergeJoin": "true",
+           "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0"}
+    r13 = {"spark.sql.join.preferSortMergeJoin": "false",
+           "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864"}
+    out = {}
+    for q in ("pagerank_purchase_graph", "bloom_prefilter_contamination",
+              "corpus_release_prep", "ngram_model_score"):
+        out[f"{q}:r12conf"] = _with_conf(_q(q), **r12)
+        out[f"{q}:r13conf"] = _with_conf(_q(q), **r13)
+    return out
+
+
+EXPERIMENTS["confpair"] = exp_confpair
+
+
+def exp_nullab(spark):
+    """Null A/B: all arms run the SAME builder under the SAME confs.
+    Any systematic spread between arms is harness/position artifact."""
+    r13 = {"spark.sql.join.preferSortMergeJoin": "false",
+           "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864"}
+    out = {}
+    for q in ("ngram_model_score", "bloom_prefilter_contamination"):
+        out[f"{q}:armA"] = _with_conf(_q(q), **r13)
+        out[f"{q}:armB"] = _with_conf(_q(q), **r13)
+    return out
+
+
+EXPERIMENTS["nullab"] = exp_nullab

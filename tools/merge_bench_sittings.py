@@ -35,10 +35,18 @@ def main() -> None:
     merged_from = {}
     for key in PER_QUERY:
         base[key] = dict(base.get(key) or {})
-    for q in recs[0][1]["queries"]:
+    # Union the query keys across ALL sittings (r14 advice): iterating
+    # only the first sitting's set raised KeyError on a sitting missing
+    # a query, and queries present only in later sittings bypassed the
+    # min-merge entirely.
+    all_queries: set[str] = set()
+    for _, r in recs:
+        all_queries.update(r.get("queries") or {})
+    for q in sorted(all_queries):
+        candidates = [(label, r) for label, r in recs
+                      if q in (r.get("queries") or {})]
         best_label, best_rec = min(
-            ((label, r) for label, r in recs),
-            key=lambda lr: lr[1]["queries"][q])
+            candidates, key=lambda lr: lr[1]["queries"][q])
         merged_from[q] = best_label
         for key in PER_QUERY:
             if best_rec.get(key, {}).get(q) is not None:

@@ -39,26 +39,18 @@ def get_spark(app_name: str = "transcript-analysis-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Shuffled-hash over sort-merge when the per-partition build
-        # side fits (guide: joins §3.1 / config §9): skips both sort
-        # passes. r13 interleaved A/B at sf0.1: pagerank −11%, bloom
-        # −28%, corpus_release_prep −13% (min-of-5, same-sitting
-        # alternation). Scale-safe: the planner still requires its
-        # build-side size conditions, AQE skew-split stays on, and
-        # SMJ remains available via SPARK_PREFER_SMJ=true for
-        # memory-constrained deployments.
-        .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_PREFER_SMJ", "false"))
-        # Let AQE rewrite runtime sort-merge joins to shuffled-hash
-        # when every post-shuffle partition's build side fits in 64 MB
-        # (default 0 = never; guide §3.1). Catches the joins whose
-        # STATIC size estimates overshoot (post-aggregation tables):
-        # r13 interleaved A/B at sf0.1 read pagerank −21%,
-        # ngram_model_score −32%, mllib_lsh −9% on min-of-5. 64 MB
-        # per-partition is conservative against executor memory at
-        # cluster scale; override via SPARK_AQE_SHJ_THRESHOLD.
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                os.environ.get("SPARK_AQE_SHJ_THRESHOLD", "67108864"))
+        # The r13 SHJ-preference pair (preferSortMergeJoin=false +
+        # adaptive.maxShuffledHashJoinLocalMapThreshold=64m) was
+        # REMOVED in r14: post-execution AQE final plans for every
+        # query the r13 A/B cited (pagerank, ngram, mllib_lsh, bloom,
+        # corpus_release_prep, training_data_prep) contain ZERO
+        # ShuffledHashJoin and are node-for-node identical with and
+        # without the confs (plans/r14/*), and a null A/B (identical
+        # builders in both arms) reproduced the r13 "wins" as a
+        # first-position harness artifact (tools/ab_bench.py r14
+        # note). Defaults also remove the documented risk of a
+        # non-spilling SHJ build side OOMing on a size underestimate
+        # at cluster scale (r13 ADVICE item 1).
         # Keep broadcast autodetection on; 10MB default is fine for the
         # dims here (region/nation/kernel tables are tiny).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

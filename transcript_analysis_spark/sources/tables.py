@@ -36,31 +36,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     - UTC session timezone: date_format/unix_timestamp outputs must
       match the DuckDB oracle's UTC-naive timestamps.
 
-    Both are runtime-settable SQL confs. Setting a conf is one py4j
-    round-trip (~1 ms); with load_table called 10x per register_views
-    and several times per query build, the repeated sets added up to
-    tens of ms per bench sample — so they are applied once per
-    SparkSession object (r13), marked by an attribute on the Python
-    session wrapper.
+    Both are runtime-settable SQL confs, re-asserted on EVERY call
+    (r14 advice): if a foreign harness mutates the session timezone
+    mid-session, timestamp outputs would silently diverge from the
+    DuckDB oracle — the pre-r13 per-call behaviour self-healed, so
+    keep it for the confs that decide correctness (2 py4j round-trips,
+    ~1 ms/call, invisible at bench granularity).
+
+    The r13 join-strategy confs that used to live here (set-once
+    preferSortMergeJoin=false + AQE SHJ threshold) were removed in
+    r14: AQE final plans proved them inert (zero ShuffledHashJoin,
+    node-identical plans either way — see session.py and plans/r14/),
+    and with them went the set-once guard.
     """
-    if getattr(spark, "_ta_session_confs_done", False):
-        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Perf default (r13): prefer shuffled-hash join when the planner's
-    # build-side size conditions hold — skips the two sort passes of
-    # sort-merge (guide §3.1). Set here as well as in session.py so
-    # queries run under a foreign SparkSession (the driver's verify
-    # harness) get the same plan shape. Result-invariant: join
-    # strategy never changes join semantics. Overridable per env.
-    spark.conf.set("spark.sql.join.preferSortMergeJoin",
-                   os.environ.get("SPARK_PREFER_SMJ", "false"))
-    # ... and let AQE rewrite runtime SMJs to shuffled-hash when the
-    # per-partition build side fits 64 MB (see session.py for the
-    # measurements and the scale justification).
-    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                   os.environ.get("SPARK_AQE_SHJ_THRESHOLD", "67108864"))
-    spark._ta_session_confs_done = True
 
 
 # In-session table-schema memo — the catalog pattern (r13, guide §6):
@@ -73,6 +63,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 # keyed on (path, mtime, size) so a rewritten file (fuzz harness tmp
 # dirs) can never serve a stale schema.
 _SCHEMA_MEMO: dict[tuple[str, float, int], object] = {}
+# Bound the memo (r14 advice): fuzz harnesses create many tmp dirs;
+# without a cap the module-global memo grows for the process lifetime.
+# 256 entries is ~25x the corpus table count — far above any working
+# set, tiny in bytes (StructTypes only), evicted FIFO.
+_SCHEMA_MEMO_MAX = 256
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -80,7 +75,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime, st.st_size)
+        # Directory inputs (Spark-written tables) are NOT memoized
+        # (r14 advice): an in-place part-file rewrite of identical
+        # size may not touch the directory mtime, so the stat key
+        # cannot prove freshness. Single-file tables (the corpus
+        # layout) keep the memo; dirs pay footer inference per call.
+        key = (None if os.path.isdir(path)
+               else (path, st.st_mtime, st.st_size))
     except OSError:
         key = None  # non-local path (s3a/hdfs): infer every time
     schema = _SCHEMA_MEMO.get(key) if key else None
@@ -89,6 +90,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
         if key:
+            if len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_MAX:
+                _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
             _SCHEMA_MEMO[key] = df.schema
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos
@@ -143,7 +146,9 @@ def register_views(spark: SparkSession, sf_dir: str,
     scale unscoped registration also pays one file-listing per unused
     table). Default stays every table (the generic SQL surface).
     """
-    for name in tables or TABLES:
+    # `tables if tables is None else ...` (r14 advice): an explicit
+    # empty list means "register nothing", not "register all 10".
+    for name in (TABLES if tables is None else tables):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
