@@ -1054,17 +1054,90 @@ def _register_release_prep() -> None:
         split. Decision precedence is part of the contract (a copy is
         'duplicate' even if it would also fail coverage).
 
-        Every stage is the REGISTERED query (and the oracle is
-        composed from the registered oracles), so the composite can't
-        drift from the parts; the joins are all doc_id-keyed except
-        the canonical-text group, which shuffles on the text key like
-        exact_dedup_groups. Missing stage rows (docs too short for
-        shingles/bigrams) fail no gate — NULL comparisons are
-        non-drops in both engines."""
+        r14 (guide §2.4, VERDICT r13 item 6): the two corpus explodes
+        the composed stages paid separately (bigrams for the
+        perplexity model, 3-gram shingles for dup coverage) are FUSED
+        into one explode emitting both widths with a `kind` tag, one
+        groupBy collapsing both to per-(doc, key) counts, and one
+        localCheckpoint of the union — halving the corpus scan+split+
+        explode work and one of the two checkpoint writes. kind=2 rows
+        reproduce lm_perplexity_filter's pos_counts EXACTLY and kind=3
+        rows duplicate_ngram_coverage's occ_counts EXACTLY (a bigram/
+        shingle's per-doc count is independent of what else the
+        explode emits), so every downstream stage is the registered
+        query's own tail, verbatim. Equivalence pinned three ways:
+        row-identical vs the composed form at sf0.001/0.01/0.1/1.0,
+        the unchanged composed DuckDB oracle, and
+        tests/test_curation.py's fused-vs-composed test. Measured:
+        −17% med at sf0.1, −9% med at sf1.0 (counterbalanced
+        interleaved A/B, twice at sf0.1).
+
+        Missing stage rows (docs too short for shingles/bigrams) fail
+        no gate — NULL comparisons are non-drops in both engines."""
+        docs_w = (fanout(_t(spark, sf_dir, "documents"))
+                  .select("doc_id", F.split("text", " ").alias("words")))
+        grams = docs_w.select("doc_id", F.explode(F.expr(
+            "concat("
+            " CASE WHEN size(words) >= 2 THEN"
+            "  transform(sequence(1, size(words) - 1),"
+            "   i -> struct(2 as kind, element_at(words, i) as k1,"
+            "               element_at(words, i + 1) as k2))"
+            "  ELSE array() END,"
+            " CASE WHEN size(words) >= 3 THEN"
+            "  transform(sequence(1, size(words) - 2),"
+            "   i -> struct(3 as kind, concat_ws(' ', slice(words, i, 3))"
+            "               as k1, '' as k2))"
+            "  ELSE array() END)")).alias("g"))
+        counts = (grams.select("doc_id", "g.kind", "g.k1", "g.k2")
+                  .groupBy("doc_id", "kind", "k1", "k2")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .localCheckpoint(eager=True))
+        pos_counts = (counts.filter(F.col("kind") == 2)
+                      .select("doc_id", F.col("k1").alias("w1"),
+                              F.col("k2").alias("w2"), "cnt"))
+        occ_counts = (counts.filter(F.col("kind") == 3)
+                      .select("doc_id", F.col("k1").alias("shingle"),
+                              F.col("cnt").alias("n_occ")))
+
+        # lm_perplexity_filter's tail over the kind=2 counts, verbatim
+        big = pos_counts.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+        uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        vocab = (big.select(F.col("w1").alias("w"))
+                 .union(big.select(F.col("w2").alias("w")))
+                 .distinct()
+                 .agg(F.count(F.lit(1)).alias("v")))
+        model = (big.join(uni, "w1").join(F.broadcast(vocab))
+                 .select("w1", "w2", F.expr(
+                     "cast(round(ln((2.0 * c2 + 1.0) / (2.0 * c1 + v))"
+                     " * 1000000000.0) as bigint)").alias("logp_e9")))
+        lm_scored = (pos_counts.join(F.broadcast(model), ["w1", "w2"])
+                     .groupBy("doc_id")
+                     .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+                          (-F.sum(F.col("cnt") * F.col("logp_e9")))
+                          .cast("long").alias("nll_e9")))
+        avg_nll = spark_round_ratio("nll_e9", "n_bigrams", 4, n_prescale=9)
+        ppl = lm_scored.select(
+            "doc_id", (avg_nll > NLL_FLAG_THRESHOLD).alias("flagged"))
+
+        # duplicate_ngram_coverage's tail over the kind=3 counts, verbatim
+        dup = (occ_counts
+               .groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+               .filter(F.col("n_docs") >= 2)
+               .select("shingle", F.lit(1).alias("is_dup")))
+        marked = occ_counts.join(dup, "shingle", "left")
+        cov = (marked.groupBy("doc_id")
+               .agg(F.sum("n_occ").cast("long").alias("n_positions"),
+                    F.sum(F.when(F.col("is_dup").isNotNull(),
+                                 F.col("n_occ"))
+                           .otherwise(F.lit(0))).cast("long")
+                     .alias("n_dup_positions"))
+               .withColumn("dup_fraction",
+                           spark_round_ratio("n_dup_positions",
+                                             "n_positions", 6))
+               .select("doc_id", "dup_fraction"))
+
         spl = dataset_split_assignment(spark, sf_dir)
-        cov = duplicate_ngram_coverage(spark, sf_dir).select(
-            "doc_id", "dup_fraction")
-        ppl = lm_perplexity_filter(spark, sf_dir).select("doc_id", "flagged")
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         minid = docs.groupBy("text").agg(
             F.min("doc_id").alias("canonical_id"))

@@ -51,6 +51,23 @@ def get_spark(app_name: str = "transcript-analysis-spark",
         # note). Defaults also remove the documented risk of a
         # non-spilling SHJ build side OOMing on a size underestimate
         # at cluster scale (r13 ADVICE item 1).
+        # Whole-stage-codegen compiled-class cache (default 100
+        # entries). A null A/B in r14 found a deterministic +45%
+        # penalty on a heavy query whenever a DIFFERENT heavy query
+        # ran in between (ngram after bloom: 4.7 s vs 3.2 s after
+        # itself) — the two queries' ~30+ codegen units thrash the
+        # 100-entry cache and every miss pays a driver-side Janino
+        # recompile before the stage launches (guide §7.3: plan/
+        # compile time as the bottleneck). 3000 entries holds the
+        # whole 191-query registry's codegen units; memory is bounded
+        # (compiled classes, tens of KB each). Measured: eliminates
+        # the alternation penalty (2.7-3.2 s after bloom); NEUTRAL on
+        # the bench itself, which runs each query in its own block
+        # (mini-suite totals 32.06 vs 31.93 — within noise). The win
+        # is for the production shape: a query server alternating
+        # many distinct queries.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "3000"))
         # Keep broadcast autodetection on; 10MB default is fine for the
         # dims here (region/nation/kernel tables are tiny).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
