@@ -610,3 +610,73 @@ def exp_nullab(spark):
 
 
 EXPERIMENTS["nullab"] = exp_nullab
+
+
+def _islands_roundrobin(spark, sf_dir):
+    """islands_flagship with the pre-r13 round-robin fanout (the
+    registered query is keyed now) — for re-verifying the r13 adoption
+    under the counterbalanced harness."""
+    from transcript_analysis_spark.plans.domain import (
+        islands_from_docs, load_table)
+    from transcript_analysis_spark.sources.tables import fanout
+    return islands_from_docs(fanout(load_table(spark, sf_dir,
+                                                "documents")))
+
+
+def exp_islands3(spark):
+    return {"islands:keyed(current)": _q("islands_flagship"),
+            "islands:roundrobin(r12)": _islands_roundrobin}
+
+
+EXPERIMENTS["islands3"] = exp_islands3
+
+
+def _mllib_lsh_idjoin(spark, sf_dir):
+    """mllib_lsh_similar_pairs with the candidate search done on ids
+    only (guide §8): same fitted MLlib model, same hashes, but the
+    bucket join ships (vec_id, entry, bucket) instead of MLlib's
+    (full row + vector + hashes), the distinct runs on id pairs, and
+    the euclidean distance is a codegen expression over vectors
+    re-attached by id — replacing approxSimilarityJoin's wide-row
+    distinct + scalar-UDF distance. Pair set and distances must be
+    IDENTICAL (same hashes, same candidate condition, same
+    ascending-order float summation)."""
+    from pyspark.ml.functions import vector_to_array
+    from transcript_analysis_spark.operators.ann import fit_lsh_model
+    from transcript_analysis_spark.plans.data_pipeline import _t
+
+    e = _t(spark, sf_dir, "embeddings")
+    model, df = fit_lsh_model(e, "embedding",
+                              bucket_length=0.25, num_tables=2)
+    hashed = model.transform(df)
+    ent = (hashed.select("vec_id",
+                         F.posexplode("__hashes").alias("entry", "hv"))
+           .select("vec_id", "entry",
+                   vector_to_array("hv").getItem(0).alias("bucket")))
+    a = ent.select(F.col("vec_id").alias("vec_a"), "entry", "bucket")
+    b = ent.select(F.col("vec_id").alias("vec_b"), "entry", "bucket")
+    cand = (a.join(b, ["entry", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    vecs = df.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("v"))
+    dist = ("sqrt(aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, d) -> acc + d))")
+    pairs = (cand
+             .join(vecs.select(F.col("vec_id").alias("vec_a"),
+                               F.col("v").alias("va")), "vec_a")
+             .join(vecs.select(F.col("vec_id").alias("vec_b"),
+                               F.col("v").alias("vb")), "vec_b")
+             .select("vec_a", "vec_b", F.expr(dist).alias("dist"))
+             .filter(F.col("dist") < F.lit(1.2))
+             .select("vec_a", "vec_b",
+                     F.round("dist", 6).alias("euclidean_dist")))
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+def exp_mllib2(spark):
+    return {"mllib:current": _q("mllib_lsh_similar_pairs"),
+            "mllib:idjoin": _mllib_lsh_idjoin}
+
+
+EXPERIMENTS["mllib2"] = exp_mllib2
