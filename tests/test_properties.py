@@ -5,7 +5,7 @@ independent pure-Python/NumPy references on arbitrary inputs.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
                                StructType)
@@ -177,6 +177,9 @@ cue_text_strategy = st.text(
               st.integers(min_value=0, max_value=9_000_000),   # start ms
               st.integers(min_value=1, max_value=600_000)),    # duration ms
     min_size=1, max_size=20))
+@example(
+    cues=[('0  0', 0, 1)],
+).via('discovered failure')
 def test_vtt_render_parse_roundtrip(cues):
     """Any cue list survives render -> parse with text exact and
     timings to the millisecond (the parser is the reference's own

@@ -227,7 +227,12 @@ def parse_vtt_text(doc: str) -> list[tuple[str, float, float]]:
         elif line and not (re.match(r"^\d+$", line)
                            or line.startswith("WEBVTT")
                            or line.startswith("Kind:")):
-            current_text.append(line)
+            # collapse intra-line whitespace runs: cue text is
+            # whitespace-normalized downstream ("normalized text",
+            # maintain_database-derived columns) and the roundtrip
+            # property pins it; a double space inside a cue line
+            # previously leaked through (r14, hypothesis-found).
+            current_text.append(" ".join(line.split()))
     if current_text and current_start is not None:
         text = " ".join(current_text).strip()
         if text:
