@@ -51,23 +51,20 @@ def get_spark(app_name: str = "transcript-analysis-spark",
         # note). Defaults also remove the documented risk of a
         # non-spilling SHJ build side OOMing on a size underestimate
         # at cluster scale (r13 ADVICE item 1).
-        # Whole-stage-codegen compiled-class cache (default 100
-        # entries). A null A/B in r14 found a deterministic +45%
-        # penalty on a heavy query whenever a DIFFERENT heavy query
-        # ran in between (ngram after bloom: 4.7 s vs 3.2 s after
-        # itself) — the two queries' ~30+ codegen units thrash the
-        # 100-entry cache and every miss pays a driver-side Janino
-        # recompile before the stage launches (guide §7.3: plan/
-        # compile time as the bottleneck). 3000 entries holds the
-        # whole 191-query registry's codegen units; memory is bounded
-        # (compiled classes, tens of KB each). Measured: eliminates
-        # the alternation penalty (2.7-3.2 s after bloom); NEUTRAL on
-        # the bench itself, which runs each query in its own block
-        # (mini-suite totals 32.06 vs 31.93 — within noise). The win
-        # is for the production shape: a query server alternating
-        # many distinct queries.
-        .config("spark.sql.codegen.cache.maxEntries",
-                os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "3000"))
+        # Whole-stage-codegen cache: left at Spark's default (100
+        # compiled classes) after a DELIBERATE r14 experiment. A null
+        # A/B found a +45% recompile penalty when two heavy queries
+        # alternate (their ~30+ codegen units thrash the cache; each
+        # miss is a driver-side Janino compile), and raising the cache
+        # to 3000 eliminates it — but a process-level A/B then showed
+        # the raised cache costing up to +36% on CPU-bound queries
+        # run block-at-a-time (minhash 1.04 -> 1.41 s min-of-5;
+        # retained generated classes pressure the JIT code cache), and
+        # the bench runs every query in its own block, so the default
+        # wins there. The alternation finding is documented in
+        # OPTIMIZATION_r14.md; the measurement-fairness problem it
+        # caused is fixed in tools/ab_bench.py (counterbalanced arm
+        # order), not by this conf.
         # Keep broadcast autodetection on; 10MB default is fine for the
         # dims here (region/nation/kernel tables are tiny).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
